@@ -1,0 +1,47 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Arrow on (all engine UDFs are pandas/Arrow UDFs — BASELINE.json input_hint),
+AQE on with skew-join splitting (north_rule: explicit skew handling), and
+shuffle partitions sized for the sandbox while remaining overridable for a
+real cluster via ordinary spark-submit --conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "demeter_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("DEMETER_SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Arrow-batched pandas UDFs everywhere (no per-row Python).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # AQE: runtime re-plan, partition coalescing, skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
+        .config(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64MB"
+        )
+        # Sandbox-sized shuffle width; a real cluster overrides via --conf.
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(os.environ.get("DEMETER_SHUFFLE", "32"))),
+        )
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", os.environ.get("DEMETER_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()

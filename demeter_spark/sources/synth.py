@@ -1,0 +1,450 @@
+"""Deterministic synthetic spatial world, generated twice from one spec.
+
+The driver's correctness gate compares each Spark query against a DuckDB SQL
+oracle over the pre-registered testdata views. The engine's spatial inputs
+(Common-Crawl-style ``pages`` per BASELINE.json input_hint, a ``gazetteer``,
+field-boundary ``parcels``, raster ``tiles``, and the SSURGO-style relational
+tables) are therefore synthesized with *closed-form integer arithmetic from
+the driver-provided tables / range()*, so the exact same rows can be produced
+by (a) Spark expressions here and (b) DuckDB CTE SQL text (``ORACLE_TABLES``).
+A pytest (tests/test_synth_parity.py) asserts both engines produce identical
+rows.
+
+Shape fidelity to the reference:
+- pages columns mandated by BASELINE.json:16 (url, warc_ts, html, text, lang);
+- parcels model SSURGO map units (demeter/vector/usda/ssurgo.py:20-41) and the
+  reference's hole-free Polygon/MultiPolygon GeoJSON fixtures;
+- tiles model demeter's Raster (demeter/raster/__init__.py:11-33): dense grid
+  + affine (origin, res), NULL = masked/nodata, one row per tile;
+- components/horizons/fragments mirror the three SDA queries' inputs
+  (demeter/vector/usda/ssurgo.py:20-108), with engineered comppct ties (TOP 1
+  WITH TIES) and NULL soil properties (null-aware weighted averaging).
+
+Skew: ~25% of pages geocode to place 0 and ~15% to place 1 (BASELINE.json
+north_rule: skewed hot cells / dense urban tiles), driven by a multiplicative
+hash of doc_id — the hot-cell salting path is exercised honestly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---- spec constants (single source of truth for both renderers) ----
+N_SITES = 50
+N_PLACES = 200
+N_RECT = 64
+N_DIAMOND = 16
+HASH_MULT = 2654435761  # Knuth multiplicative hash
+GRID_NX, GRID_NY = 144, 128  # raster grid: [0,36) x [0,32) at 0.25 deg
+CELL_DEG = 0.25
+TILE = 16  # 16x16 cells per tile
+N_COMPONENTS = 240  # 3 per parcel over 80 parcels
+N_HORIZONS = N_COMPONENTS * 4
+N_FRAGMENTS = N_HORIZONS * 2
+
+HTML_PREFIX = '<html><head><meta charset="utf-8"><title>p</title></head><body><article>'
+HTML_SUFFIX = "</article></body></html>"
+
+
+# --------------------------------------------------------------------------
+# Spark builders
+# --------------------------------------------------------------------------
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-style pages (url, warc_ts, html, text, lang) + doc_id.
+
+    html is rendered from text by a fixed escaping template so extraction can
+    be verified byte-identical per url (BASELINE.json input_hint).
+    """
+    return documents(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"(doc_id * {HASH_MULT}) % 4294967296 AS h",
+    ).selectExpr(
+        "doc_id",
+        f"concat('https://site', CAST(doc_id % {N_SITES} AS STRING), '.example/p/', CAST(doc_id AS STRING)) AS url",
+        "timestampadd(SECOND, CAST(doc_id AS INT), TIMESTAMP '2024-09-01 00:00:00') AS warc_ts",
+        f"""concat('page ', CAST(doc_id AS STRING), ' visits loc',
+              lpad(CAST(CASE WHEN h % 1000 < 250 THEN 0
+                             WHEN h % 1000 < 400 THEN 1
+                             WHEN h % 1000 < 500 THEN 2
+                             ELSE h % {N_PLACES} END AS STRING), 5, '0'),
+              ' & <tags> escaped.') AS text""",
+        "CASE WHEN h % 20 = 0 THEN 'de' WHEN h % 20 = 1 THEN 'fr' ELSE 'en' END AS lang",
+    ).withColumn("html", F.expr(render_html_expr("text"))).select(
+        "doc_id", "url", "warc_ts", "html", "text", "lang"
+    )
+
+
+def render_html_expr(text_col: str) -> str:
+    """SQL expression rendering escaped HTML bytes from a text column."""
+    esc = (
+        f"replace(replace(replace({text_col}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    )
+    return f"encode(concat('{HTML_PREFIX}', {esc}, '{HTML_SUFFIX}'), 'UTF-8')"
+
+
+def extract_text_expr(html_col: str) -> str:
+    """SQL expression: html binary -> byte-identical original text.
+
+    Pure deterministic inverse of render_html_expr (regex body extraction +
+    entity unescape in reverse order) — the byte-identical-text-per-url
+    invariant of BASELINE.json input_hint. JVM-side (regexp/replace), no UDF.
+    """
+    body = f"regexp_extract(decode({html_col}, 'UTF-8'), '<article>(.*)</article>', 1)"
+    return (
+        f"replace(replace(replace({body}, '&lt;', '<'), '&gt;', '>'), '&amp;', '&')"
+    )
+
+
+def gazetteer(spark: SparkSession) -> DataFrame:
+    """Place-name -> point dimension table (broadcast side of geocoding)."""
+    return spark.range(N_PLACES).selectExpr(
+        "CAST(id AS BIGINT) AS place_id",
+        "concat('loc', lpad(CAST(id AS STRING), 5, '0')) AS place",
+        "((id * 73) % 9000) / 250e0 AS lon",
+        "((id * 131) % 8000) / 250e0 AS lat",
+    )
+
+
+def page_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geocoded pages: extract place token from text, join gazetteer,
+    deterministic per-page jitter -> (url, doc_id, place_id, lon, lat).
+
+    The token-match geocoding step (FIXTURES.md §4); gazetteer is broadcast.
+    """
+    p = pages(spark, sf_dir).selectExpr(
+        "url",
+        "doc_id",
+        "regexp_extract(text, 'loc[0-9]{5}', 0) AS place",
+        f"(doc_id * {HASH_MULT}) % 4294967296 AS h",
+    )
+    g = F.broadcast(gazetteer(spark))
+    return (
+        p.join(g, "place")
+        .selectExpr(
+            "url",
+            "doc_id",
+            "place_id",
+            "lon + ((h % 211) - 105) / 1000e0 AS lon",
+            "lat + (((h div 211) % 211) - 105) / 1000e0 AS lat",
+        )
+    )
+
+
+def scaled_page_points(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
+    """Bench-scale fact table: each geocoded page replicated ``factor`` times
+    with a distinct url and fresh deterministic jitter (same hot-place skew).
+
+    Used by bench.py only (correctness queries use page_points); keeps the
+    100 TB posture honest — the join input is a wide fact table, not a dim.
+    """
+    base = page_points(spark, sf_dir).select("doc_id", "place_id", "url")
+    g = F.broadcast(gazetteer(spark).select("place_id", "lon", "lat"))
+    return (
+        base.join(spark.range(factor).withColumnRenamed("id", "rep"))
+        .join(g, "place_id")
+        .selectExpr(
+            "concat(url, '#', CAST(rep AS STRING)) AS url",
+            "doc_id",
+            "place_id",
+            f"(doc_id * {factor} + rep) * {HASH_MULT} % 4294967296 AS h2",
+            "lon",
+            "lat",
+        )
+        .selectExpr(
+            "url",
+            "doc_id",
+            "place_id",
+            "lon + ((h2 % 211) - 105) / 1000e0 AS lon",
+            "lat + (((h2 div 211) % 211) - 105) / 1000e0 AS lat",
+        )
+    )
+
+
+def parcels(spark: SparkSession) -> DataFrame:
+    """Field-boundary polygons: 64 rectangles + 16 diamonds (convex quads).
+
+    WKT + bbox columns (bbox enables pruning without decoding geometry, per
+    SURVEY.md §1.2). Diamond params (cx, cy, a, b) are carried for the oracle;
+    the Spark join path only ever uses geom_wkt + bbox — closed-form params
+    are never consulted by the engine.
+    """
+    rows = []
+    for i in range(N_RECT):
+        col, row = i % 8, i // 8
+        xmin = col * 4.5e0 + 0.25e0
+        xmax = xmin + 3.5
+        ymin = row * 4e0 + 0.25e0
+        ymax = ymin + 3.25
+        wkt = (
+            f"POLYGON (({xmin!r} {ymin!r}, {xmax!r} {ymin!r}, {xmax!r} {ymax!r}, "
+            f"{xmin!r} {ymax!r}, {xmin!r} {ymin!r}))"
+        )
+        rows.append((i, "rect", wkt, xmin, ymin, xmax, ymax, None, None, None, None))
+    for j in range(N_DIAMOND):
+        cx = 3 + (j % 4) * 8 + 0.125
+        cy = 3 + (j // 4) * 8 + 0.125
+        a, b = 1.5, 2.25
+        wkt = (
+            f"POLYGON (({cx - a!r} {cy!r}, {cx!r} {cy - b!r}, {cx + a!r} {cy!r}, "
+            f"{cx!r} {cy + b!r}, {cx - a!r} {cy!r}))"
+        )
+        rows.append(
+            (100 + j, "diamond", wkt, cx - a, cy - b, cx + a, cy + b, cx, cy, a, b)
+        )
+    return spark.createDataFrame(
+        rows,
+        "parcel_id BIGINT, kind STRING, geom_wkt STRING, xmin DOUBLE, ymin DOUBLE, "
+        "xmax DOUBLE, ymax DOUBLE, cx DOUBLE, cy DOUBLE, a DOUBLE, b DOUBLE",
+    )
+
+
+def raster_tiles(spark: SparkSession, datasets: tuple[tuple[str, int, int], ...] = (
+    ("elevation", 0, 0),
+    ("om", 0, 10),
+    ("om", 10, 30),
+    ("om", 30, 60),
+)) -> DataFrame:
+    """Dense grid tiles table (demeter Raster model: one row per tile,
+    values row-major, NULL = nodata/masked).
+
+    value(ix, iy, depth_lo) = (ix*31 + iy*17 + depth_lo*7) % 97, masked where
+    (ix + iy) % 41 == 0 — closed-form so the DuckDB oracle regenerates it.
+    """
+    n_tiles = (GRID_NX // TILE) * (GRID_NY // TILE)
+    frames = []
+    for ds, dlo, dhi in datasets:
+        frames.append(
+            spark.range(n_tiles).selectExpr(
+                f"'{ds}' AS dataset",
+                f"CAST({dlo} AS INT) AS depth_lo",
+                f"CAST({dhi} AS INT) AS depth_hi",
+                f"CAST(id % {GRID_NX // TILE} AS INT) AS tile_x",
+                f"CAST(id div {GRID_NX // TILE} AS INT) AS tile_y",
+                f"CAST({CELL_DEG} AS DOUBLE) AS res",
+                f"CAST({TILE} AS INT) AS height",
+                f"CAST({TILE} AS INT) AS width",
+                f"""transform(sequence(0, {TILE * TILE - 1}), p ->
+                      CASE WHEN ((id % {GRID_NX // TILE}) * {TILE} + p % {TILE}
+                                 + (id div {GRID_NX // TILE}) * {TILE} + p div {TILE}) % 41 = 0
+                           THEN CAST(NULL AS DOUBLE)
+                           ELSE CAST((((id % {GRID_NX // TILE}) * {TILE} + p % {TILE}) * 31
+                                      + ((id div {GRID_NX // TILE}) * {TILE} + p div {TILE}) * 17
+                                      + {dlo} * 7) % 97 AS DOUBLE) END) AS values""",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def raster_cells(spark: SparkSession, **kw) -> DataFrame:
+    """Exploded cells view of the tiles table: (dataset, depth, ix, iy, cx, cy, value)."""
+    return raster_tiles(spark, **kw).selectExpr(
+        "dataset",
+        "depth_lo",
+        "depth_hi",
+        "tile_x",
+        "tile_y",
+        "posexplode(values) AS (p, value)",
+    ).selectExpr(
+        "dataset",
+        "depth_lo",
+        "depth_hi",
+        f"tile_x * {TILE} + p % {TILE} AS ix",
+        f"tile_y * {TILE} + p div {TILE} AS iy",
+        "value",
+    ).selectExpr(
+        "dataset",
+        "depth_lo",
+        "depth_hi",
+        "ix",
+        "iy",
+        f"ix * {CELL_DEG}e0 + {CELL_DEG / 2}e0 AS cx",
+        f"iy * {CELL_DEG}e0 + {CELL_DEG / 2}e0 AS cy",
+        "value",
+    )
+
+
+def components(spark: SparkSession) -> DataFrame:
+    """SSURGO-style components: 3 per parcel, engineered comppct ties,
+    majcompflag filter column (ssurgo.py:42-57)."""
+    return spark.range(N_COMPONENTS).selectExpr(
+        "id AS component_key",
+        "CASE WHEN id div 3 < 64 THEN id div 3 ELSE 100 + (id div 3 - 64) END AS parcel_id",
+        "CAST(20 + ((id * 7) % 4) * 20 AS INT) AS comppct",
+        "CASE WHEN id % 5 = 0 THEN 'No' ELSE 'Yes' END AS majcompflag",
+        "concat('comp', CAST(id AS STRING)) AS compname",
+        "CASE WHEN id % 3 = 0 THEN 'Series' ELSE 'Taxadjunct' END AS compkind",
+        "CASE id % 4 WHEN 0 THEN 'Well drained' WHEN 1 THEN 'Poorly drained' "
+        "WHEN 2 THEN 'Excessively drained' ELSE NULL END AS drainagecl",
+    )
+
+
+def horizons(spark: SparkSession) -> DataFrame:
+    """Soil horizons: 4 contiguous depth layers per component, NULL-holed
+    properties (null-aware depth-weighted averaging, ssurgo.py:270-301)."""
+    return spark.range(N_HORIZONS).selectExpr(
+        "id AS horizon_key",
+        "id div 4 AS component_key",
+        "CAST(CASE id % 4 WHEN 0 THEN 0 WHEN 1 THEN 10 WHEN 2 THEN 30 ELSE 60 END AS INT) AS top_depth_cm",
+        "CAST(CASE id % 4 WHEN 0 THEN 10 WHEN 1 THEN 30 WHEN 2 THEN 60 ELSE 100 END AS INT) AS bottom_depth_cm",
+        "CASE WHEN id % 11 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST((id * 17) % 100 AS DOUBLE) END AS sand",
+        "CASE WHEN id % 13 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST((id * 19) % 100 AS DOUBLE) END AS clay",
+        "CASE WHEN id % 17 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST((id * 23) % 50 AS DOUBLE) / 10e0 END AS om",
+    )
+
+
+def fragments(spark: SparkSession) -> DataFrame:
+    """Rock fragments: 2 per horizon, nullable kind (ssurgo.py:98-108)."""
+    return spark.range(N_FRAGMENTS).selectExpr(
+        "id AS fragment_id",
+        "id div 2 AS horizon_key",
+        "CAST((id * 3) % 25 AS DOUBLE) AS fragment_pct",
+        "CASE id % 5 WHEN 0 THEN CAST(NULL AS STRING) WHEN 1 THEN 'GR' "
+        "WHEN 2 THEN 'CB' WHEN 3 THEN 'ST' ELSE 'BY' END AS fragment_kind",
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle CTE bodies (must generate the exact same rows)
+# --------------------------------------------------------------------------
+
+ORACLE_TABLES: dict[str, str] = {
+    "gazetteer": f"""
+        SELECT i AS place_id,
+               'loc' || lpad(CAST(i AS VARCHAR), 5, '0') AS place,
+               ((i * 73) % 9000) / 250e0 AS lon,
+               ((i * 131) % 8000) / 250e0 AS lat
+        FROM range({N_PLACES}) t(i)
+    """,
+    "pages": f"""
+        SELECT doc_id,
+               'https://site' || CAST(doc_id % {N_SITES} AS VARCHAR) || '.example/p/'
+                 || CAST(doc_id AS VARCHAR) AS url,
+               TIMESTAMP '2024-09-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+               'page ' || CAST(doc_id AS VARCHAR) || ' visits loc'
+                 || lpad(CAST(CASE WHEN h % 1000 < 250 THEN 0
+                                   WHEN h % 1000 < 400 THEN 1
+                                   WHEN h % 1000 < 500 THEN 2
+                                   ELSE h % {N_PLACES} END AS VARCHAR), 5, '0')
+                 || ' & <tags> escaped.' AS text,
+               CASE WHEN h % 20 = 0 THEN 'de' WHEN h % 20 = 1 THEN 'fr' ELSE 'en' END AS lang
+        FROM (SELECT doc_id, (doc_id * {HASH_MULT}) % 4294967296 AS h FROM documents)
+    """,
+    "page_points": """
+        SELECT p.url, p.doc_id, g.place_id,
+               g.lon + ((h % 211) - 105) / 1000e0 AS lon,
+               g.lat + (((h // 211) % 211) - 105) / 1000e0 AS lat
+        FROM (SELECT url, doc_id, regexp_extract(text, 'loc[0-9]{5}') AS place,
+                     (doc_id * 2654435761) % 4294967296 AS h
+              FROM pages) p
+        JOIN gazetteer g USING (place)
+    """,
+    "parcels": f"""
+        SELECT i AS parcel_id, 'rect' AS kind,
+               (i % 8) * 4.5e0 + 0.25e0 AS xmin, (i // 8) * 4e0 + 0.25e0 AS ymin,
+               (i % 8) * 4.5e0 + 0.25e0 + 3.5e0 AS xmax, (i // 8) * 4e0 + 0.25e0 + 3.25e0 AS ymax,
+               CAST(NULL AS DOUBLE) AS cx, CAST(NULL AS DOUBLE) AS cy,
+               CAST(NULL AS DOUBLE) AS a, CAST(NULL AS DOUBLE) AS b
+        FROM range({N_RECT}) t(i)
+        UNION ALL
+        SELECT 100 + j, 'diamond',
+               3 + (j % 4) * 8 + 0.125e0 - 1.5e0, 3 + (j // 4) * 8 + 0.125e0 - 2.25e0,
+               3 + (j % 4) * 8 + 0.125e0 + 1.5e0, 3 + (j // 4) * 8 + 0.125e0 + 2.25e0,
+               3 + (j % 4) * 8 + 0.125e0, 3 + (j // 4) * 8 + 0.125e0, 1.5e0, 2.25e0
+        FROM range({N_DIAMOND}) t(j)
+    """,
+    # point-in-parcel truth predicate (strict inequalities; synthetic points
+    # never land exactly on boundaries — asserted in tests/test_synth_parity.py)
+    "point_parcel_truth": """
+        SELECT pp.url, pp.doc_id, pp.lon, pp.lat, pa.parcel_id
+        FROM page_points pp
+        JOIN parcels pa
+          ON pp.lon > pa.xmin AND pp.lon < pa.xmax
+         AND pp.lat > pa.ymin AND pp.lat < pa.ymax
+         AND (pa.kind = 'rect'
+              OR abs(pp.lon - pa.cx) * pa.b + abs(pp.lat - pa.cy) * pa.a < pa.a * pa.b)
+    """,
+    "raster_cells": f"""
+        SELECT ds.dataset, ds.depth_lo, ds.depth_hi, x.ix, y.iy,
+               x.ix * {CELL_DEG}e0 + {CELL_DEG / 2}e0 AS cx,
+               y.iy * {CELL_DEG}e0 + {CELL_DEG / 2}e0 AS cy,
+               CASE WHEN (x.ix + y.iy) % 41 = 0 THEN NULL
+                    ELSE CAST((x.ix * 31 + y.iy * 17 + ds.depth_lo * 7) % 97 AS DOUBLE)
+               END AS value
+        FROM range({GRID_NX}) x(ix), range({GRID_NY}) y(iy),
+             (VALUES ('elevation', 0, 0), ('om', 0, 10), ('om', 10, 30), ('om', 30, 60))
+               ds(dataset, depth_lo, depth_hi)
+    """,
+    "components": f"""
+        SELECT i AS component_key,
+               CASE WHEN i // 3 < 64 THEN i // 3 ELSE 100 + (i // 3 - 64) END AS parcel_id,
+               CAST(20 + ((i * 7) % 4) * 20 AS INT) AS comppct,
+               CASE WHEN i % 5 = 0 THEN 'No' ELSE 'Yes' END AS majcompflag,
+               'comp' || CAST(i AS VARCHAR) AS compname,
+               CASE WHEN i % 3 = 0 THEN 'Series' ELSE 'Taxadjunct' END AS compkind,
+               CASE i % 4 WHEN 0 THEN 'Well drained' WHEN 1 THEN 'Poorly drained'
+                    WHEN 2 THEN 'Excessively drained' ELSE NULL END AS drainagecl
+        FROM range({N_COMPONENTS}) t(i)
+    """,
+    "horizons": f"""
+        SELECT i AS horizon_key, i // 4 AS component_key,
+               CAST(CASE i % 4 WHEN 0 THEN 0 WHEN 1 THEN 10 WHEN 2 THEN 30 ELSE 60 END AS INT) AS top_depth_cm,
+               CAST(CASE i % 4 WHEN 0 THEN 10 WHEN 1 THEN 30 WHEN 2 THEN 60 ELSE 100 END AS INT) AS bottom_depth_cm,
+               CASE WHEN i % 11 = 0 THEN NULL ELSE CAST((i * 17) % 100 AS DOUBLE) END AS sand,
+               CASE WHEN i % 13 = 0 THEN NULL ELSE CAST((i * 19) % 100 AS DOUBLE) END AS clay,
+               CASE WHEN i % 17 = 0 THEN NULL ELSE CAST((i * 23) % 50 AS DOUBLE) / 10e0 END AS om
+        FROM range({N_HORIZONS}) t(i)
+    """,
+    "fragments": f"""
+        SELECT i AS fragment_id, i // 2 AS horizon_key,
+               CAST((i * 3) % 25 AS DOUBLE) AS fragment_pct,
+               CASE i % 5 WHEN 0 THEN NULL WHEN 1 THEN 'GR' WHEN 2 THEN 'CB'
+                    WHEN 3 THEN 'ST' ELSE 'BY' END AS fragment_kind
+        FROM range({N_FRAGMENTS}) t(i)
+    """,
+}
+
+# dependency order for WITH-clause assembly
+_ORACLE_ORDER = [
+    "gazetteer",
+    "pages",
+    "page_points",
+    "parcels",
+    "point_parcel_truth",
+    "raster_cells",
+    "components",
+    "horizons",
+    "fragments",
+]
+
+
+def oracle_query(select_sql: str, tables: tuple[str, ...] | None = None) -> str:
+    """Wrap a SELECT in a WITH clause defining the synthetic tables it uses.
+
+    ``tables=None`` includes everything (dependencies are cheap to evaluate).
+    """
+    names = list(tables) if tables else _ORACLE_ORDER
+    # include transitive deps by keeping declaration order and any prerequisite
+    needed: list[str] = []
+    for n in _ORACLE_ORDER:
+        if n in names or any(n in ORACLE_TABLES[m] for m in names):
+            needed.append(n)
+    # second pass for deps-of-deps (pages <- page_points <- truth)
+    changed = True
+    while changed:
+        changed = False
+        for n in _ORACLE_ORDER:
+            if n not in needed and any(f"{n}" in ORACLE_TABLES[m] for m in needed):
+                needed.append(n)
+                changed = True
+    needed = [n for n in _ORACLE_ORDER if n in needed]
+    ctes = ",\n".join(f"{n} AS ({ORACLE_TABLES[n]})" for n in needed)
+    return f"WITH {ctes}\n{select_sql}"

@@ -1,0 +1,96 @@
+"""Unit tests for WKT parsing and vectorized point-in-polygon."""
+
+import numpy as np
+import pytest
+
+from demeter_spark.functions import geom
+
+
+def test_parse_polygon_wkt():
+    rings = geom.parse_wkt_rings("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert len(rings) == 1
+    xs, ys = rings[0]
+    assert xs.tolist() == [0, 4, 4, 0]
+    assert ys.tolist() == [0, 0, 4, 4]
+
+
+def test_parse_multipolygon_wkt():
+    wkt = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))"
+    rings = geom.parse_wkt_rings(wkt)
+    assert len(rings) == 2
+    assert rings[1][0].tolist() == [5, 6, 6]
+
+
+def test_parse_rejects_holes():
+    wkt = "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))"
+    with pytest.raises(ValueError):
+        geom.parse_wkt_rings(wkt)
+
+
+def test_wkt_roundtrip():
+    xs = np.array([0.5, 4.25, 4.25, 0.5])
+    ys = np.array([0.5, 0.5, 4.25, 4.25])
+    rings = geom.parse_wkt_rings(geom.ring_to_wkt(xs, ys))
+    assert np.allclose(rings[0][0], xs) and np.allclose(rings[0][1], ys)
+
+
+def test_pip_square():
+    xs = np.array([0.0, 4.0, 4.0, 0.0])
+    ys = np.array([0.0, 0.0, 4.0, 4.0])
+    px = np.array([2.0, 5.0, -1.0, 3.9, 0.1])
+    py = np.array([2.0, 2.0, 2.0, 3.9, 0.1])
+    assert geom.points_in_ring(px, py, xs, ys).tolist() == [
+        True,
+        False,
+        False,
+        True,
+        True,
+    ]
+
+
+def test_pip_concave_l_shape():
+    xs = np.array([0.0, 4.0, 4.0, 2.0, 2.0, 0.0])
+    ys = np.array([0.0, 0.0, 2.0, 2.0, 4.0, 4.0])
+    px = np.array([3.0, 3.0, 1.0, 2.5])
+    py = np.array([1.0, 3.0, 3.0, 2.5])
+    assert geom.points_in_ring(px, py, xs, ys).tolist() == [True, False, True, False]
+
+
+def test_pip_matches_halfplane_oracle_on_random_convex():
+    """Ray-cast agrees with an independent half-plane test on convex rings."""
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 7))
+        r = rng.uniform(1, 3)
+        cx, cy = rng.uniform(-50, 50, 2)
+        xs = cx + r * np.cos(ang)
+        ys = cy + r * np.sin(ang)  # CCW convex polygon
+        px = cx + rng.uniform(-4, 4, 500)
+        py = cy + rng.uniform(-4, 4, 500)
+        x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
+        cross = (x1 - xs)[None, :] * (py[:, None] - ys[None, :]) - (y1 - ys)[
+            None, :
+        ] * (px[:, None] - xs[None, :])
+        oracle = (cross > 0).all(axis=1)
+        got = geom.points_in_ring(px, py, xs, ys)
+        # ignore points within eps of an edge (boundary semantics differ)
+        dist_ok = np.abs(cross).min(axis=1) > 1e-9
+        assert (got[dist_ok] == oracle[dist_ok]).all()
+
+
+def test_grouped_pip():
+    rings = {
+        1: [(np.array([0.0, 2.0, 2.0, 0.0]), np.array([0.0, 0.0, 2.0, 2.0]))],
+        2: [(np.array([10.0, 12.0, 12.0, 10.0]), np.array([0.0, 0.0, 2.0, 2.0]))],
+    }
+    px = np.array([1.0, 11.0, 1.0, 11.0])
+    py = np.array([1.0, 1.0, 5.0, 5.0])
+    gid = np.array([1, 2, 1, 2])
+    got = geom.points_in_rings_grouped(px, py, gid, rings)
+    assert got.tolist() == [True, True, False, False]
+
+
+def test_polygon_area():
+    xs = np.array([0.0, 4.0, 4.0, 0.0])
+    ys = np.array([0.0, 0.0, 3.0, 3.0])
+    assert geom.polygon_area(xs, ys) == 12.0
