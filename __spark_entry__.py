@@ -84,6 +84,45 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12: raster<->vector zonal stats — cells join parcels through the same
+    cover-join + PIP machinery, then null-skipping aggregates (A15)."""
+    from demeter_spark.operators import zonal
+    from demeter_spark.sources import synth
+
+    cells = synth.raster_cells(spark)
+    par = synth.parcels(spark)
+    return zonal.zonal_stats(cells, par)
+
+
+def _q_zonal_depth_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A7: null-aware depth-weighted mean (om, 0-50 cm) per parcel."""
+    from demeter_spark.operators import zonal
+    from demeter_spark.sources import synth
+    from pyspark.sql import functions as F
+
+    cells = synth.raster_cells(spark).filter(F.col("dataset") == "om")
+    par = synth.parcels(spark)
+    joined = zonal.cells_in_parcels(cells, par)
+    return zonal.depth_weighted_mean(joined, 0, 50)
+
+
+def _q_tile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A11/R3: overlap-resolving merge, all methods in one groupBy."""
+    from demeter_spark.operators import tilemerge
+    from demeter_spark.sources import synth
+
+    return tilemerge.merge_cells(synth.merge_sources(spark))
+
+
+def _q_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: overlap-consistency check — disagreeing overlaps as metrics."""
+    from demeter_spark.operators import tilemerge
+    from demeter_spark.sources import synth
+
+    return tilemerge.overlap_conflicts(synth.merge_sources(spark))
+
+
 def _q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-family smoke: groupBy count over the pages table."""
     from demeter_spark.sources import synth
@@ -104,7 +143,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_compact": _q_spatial_join_compact,
         "knn_kring": _q_knn,
         "lang_counts": _q_lang_counts,
+        "zonal_stats": _q_zonal_stats,
+        "zonal_depth_weighted": _q_zonal_depth_weighted,
+        "tile_merge": _q_tile_merge,
+        "merge_conflicts": _q_merge_conflicts,
     }
+
+
+_CONTAINS = """c.cx > pa.xmin AND c.cx < pa.xmax AND c.cy > pa.ymin AND c.cy < pa.ymax
+         AND (pa.kind = 'rect'
+              OR abs(c.cx - pa.cx) * pa.b + abs(c.cy - pa.cy) * pa.a < pa.a * pa.b)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -136,5 +184,59 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": oracle_query(
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_pages FROM pages GROUP BY lang",
             ("pages",),
+        ),
+        "zonal_stats": oracle_query(
+            f"""
+            SELECT pa.parcel_id, c.dataset, c.depth_lo,
+                   CAST(count(c.value) AS BIGINT) AS n_valid,
+                   avg(c.value) AS mean_value,
+                   min(c.value) AS min_value,
+                   max(c.value) AS max_value,
+                   sum(c.value) AS sum_value
+            FROM raster_cells c JOIN parcels pa ON {_CONTAINS}
+            GROUP BY pa.parcel_id, c.dataset, c.depth_lo
+            """,
+            ("raster_cells", "parcels"),
+        ),
+        "zonal_depth_weighted": oracle_query(
+            f"""
+            SELECT parcel_id,
+                   sum(value * w) / sum(CASE WHEN value IS NOT NULL THEN w END) AS dw_mean,
+                   sum(CASE WHEN value IS NOT NULL THEN w END) AS w_valid
+            FROM (
+              SELECT pa.parcel_id, c.value,
+                     CAST(greatest(0, least(50, c.depth_hi) - greatest(0, c.depth_lo)) AS DOUBLE) AS w
+              FROM raster_cells c JOIN parcels pa ON {_CONTAINS}
+              WHERE c.dataset = 'om'
+            ) WHERE w > 0
+            GROUP BY parcel_id
+            """,
+            ("raster_cells", "parcels"),
+        ),
+        "tile_merge": oracle_query(
+            """
+            SELECT ix, iy,
+                   min_by(value, priority) FILTER (WHERE value IS NOT NULL) AS first_value,
+                   max_by(value, priority) FILTER (WHERE value IS NOT NULL) AS last_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   sum(value) AS sum_value,
+                   CAST(count(value) AS BIGINT) AS count_value,
+                   sum(value) / count(value) AS mean_value,
+                   (sum(value*value) - sum(value)*sum(value)/count(value)) / count(value) AS var_value,
+                   sqrt((sum(value*value) - sum(value)*sum(value)/count(value)) / count(value)) AS stddev_value
+            FROM merge_sources GROUP BY ix, iy
+            """,
+            ("merge_sources",),
+        ),
+        "merge_conflicts": oracle_query(
+            """
+            SELECT ix, iy,
+                   CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+                   CAST(count(value) AS BIGINT) AS n_sources
+            FROM merge_sources WHERE value IS NOT NULL
+            GROUP BY ix, iy HAVING count(DISTINCT value) > 1
+            """,
+            ("merge_sources",),
         ),
     }

@@ -187,8 +187,8 @@ def parcels(spark: SparkSession) -> DataFrame:
         )
         rows.append((i, "rect", wkt, xmin, ymin, xmax, ymax, None, None, None, None))
     for j in range(N_DIAMOND):
-        cx = 3 + (j % 4) * 8 + 0.125
-        cy = 3 + (j // 4) * 8 + 0.125
+        cx = 3 + (j % 4) * 8 + 0.1875
+        cy = 3 + (j // 4) * 8 + 0.1875
         a, b = 1.5, 2.25
         wkt = (
             f"POLYGON (({cx - a!r} {cy!r}, {cx!r} {cy - b!r}, {cx + a!r} {cy!r}, "
@@ -270,6 +270,24 @@ def raster_cells(spark: SparkSession, **kw) -> DataFrame:
         f"iy * {CELL_DEG}e0 + {CELL_DEG / 2}e0 AS cy",
         "value",
     )
+
+
+def merge_sources(spark: SparkSession) -> DataFrame:
+    """Two overlapping raster sources over the elevation grid (ix 64..79
+    overlap): source B disagrees with A where ix % 5 = 0 — exercises the
+    overlap-consistency check (merge.py:353-378) and all merge methods."""
+    cells = raster_cells(spark).filter("dataset = 'elevation'")
+    a = cells.filter("ix < 80").selectExpr(
+        "'A' AS source", "1 AS priority", "ix", "iy", "value"
+    )
+    b = cells.filter("ix >= 64").selectExpr(
+        "'B' AS source",
+        "2 AS priority",
+        "ix",
+        "iy",
+        "CASE WHEN ix % 5 = 0 THEN value + 1 ELSE value END AS value",
+    )
+    return a.unionByName(b)
 
 
 def components(spark: SparkSession) -> DataFrame:
@@ -356,9 +374,9 @@ ORACLE_TABLES: dict[str, str] = {
         FROM range({N_RECT}) t(i)
         UNION ALL
         SELECT 100 + j, 'diamond',
-               3 + (j % 4) * 8 + 0.125e0 - 1.5e0, 3 + (j // 4) * 8 + 0.125e0 - 2.25e0,
-               3 + (j % 4) * 8 + 0.125e0 + 1.5e0, 3 + (j // 4) * 8 + 0.125e0 + 2.25e0,
-               3 + (j % 4) * 8 + 0.125e0, 3 + (j // 4) * 8 + 0.125e0, 1.5e0, 2.25e0
+               3 + (j % 4) * 8 + 0.1875e0 - 1.5e0, 3 + (j // 4) * 8 + 0.1875e0 - 2.25e0,
+               3 + (j % 4) * 8 + 0.1875e0 + 1.5e0, 3 + (j // 4) * 8 + 0.1875e0 + 2.25e0,
+               3 + (j % 4) * 8 + 0.1875e0, 3 + (j // 4) * 8 + 0.1875e0, 1.5e0, 2.25e0
         FROM range({N_DIAMOND}) t(j)
     """,
     # point-in-parcel truth predicate (strict inequalities; synthetic points
@@ -382,6 +400,13 @@ ORACLE_TABLES: dict[str, str] = {
         FROM range({GRID_NX}) x(ix), range({GRID_NY}) y(iy),
              (VALUES ('elevation', 0, 0), ('om', 0, 10), ('om', 10, 30), ('om', 30, 60))
                ds(dataset, depth_lo, depth_hi)
+    """,
+    "merge_sources": """
+        SELECT 'A' AS source, 1 AS priority, ix, iy, value
+        FROM raster_cells WHERE dataset = 'elevation' AND ix < 80
+        UNION ALL
+        SELECT 'B', 2, ix, iy, CASE WHEN ix % 5 = 0 THEN value + 1 ELSE value END
+        FROM raster_cells WHERE dataset = 'elevation' AND ix >= 64
     """,
     "components": f"""
         SELECT i AS component_key,
@@ -420,6 +445,7 @@ _ORACLE_ORDER = [
     "parcels",
     "point_parcel_truth",
     "raster_cells",
+    "merge_sources",
     "components",
     "horizons",
     "fragments",
