@@ -123,6 +123,35 @@ def _q_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tilemerge.overlap_conflicts(synth.merge_sources(spark))
 
 
+def _q_primary_soil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 pipeline: TOP-1-WITH-TIES window, semi-join key propagation,
+    interval range join, null-aware depth-weighted averages, sorted-unique
+    concat (J2-J4, J10-J11, W1-W2, A2-A6)."""
+    from demeter_spark.operators import ssurgo_q
+    from demeter_spark.sources import synth
+
+    return ssurgo_q.primary_soil_components(
+        synth.parcels(spark),
+        synth.components(spark),
+        synth.horizons(spark),
+        synth.fragments(spark),
+        top=0,
+        bottom=50,
+    )
+
+
+def _q_empty_parcels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: anti-join disjointness check — parcels containing no page points."""
+    from demeter_spark.operators import joins
+    from demeter_spark.sources import synth
+    from pyspark.sql import functions as F
+
+    pts = synth.page_points(spark, sf_dir)
+    par = synth.parcels(spark)
+    hits = joins.spatial_join(pts, par, res=8).select("parcel_id").distinct()
+    return par.join(hits, "parcel_id", "left_anti").select("parcel_id", "kind")
+
+
 def _q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-family smoke: groupBy count over the pages table."""
     from demeter_spark.sources import synth
@@ -135,6 +164,76 @@ def _q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash clusters with canonical ids."""
+    from demeter_spark.operators import dedup
+    from demeter_spark.sources import synth
+
+    return dedup.exact_duplicates(synth.dedup_corpus(spark, sf_dir))
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (J >= 0.6)."""
+    from demeter_spark.operators import dedup
+    from demeter_spark.sources import synth
+
+    return dedup.jaccard_pairs(synth.dedup_corpus(spark, sf_dir), 0.6)
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified with exact Jaccard (J >= 0.8) —
+    must equal the exhaustive pairs up to LSH recall (~1-3e-8/pair here)."""
+    from demeter_spark.operators import dedup
+    from demeter_spark.sources import synth
+
+    return dedup.minhash_lsh_pairs(synth.dedup_corpus(spark, sf_dir), 0.8)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (Hamming <= 3); no SQL oracle
+    (xxhash64 is Spark-specific) — rows-only check + pytest completeness."""
+    from demeter_spark.operators import dedup
+    from demeter_spark.sources import synth
+
+    return dedup.simhash_near_pairs(synth.dedup_corpus(spark, sf_dir))
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/type counts, stopword ratio, language guess, quality flag."""
+    from demeter_spark.operators import textstats
+    from demeter_spark.sources import synth
+
+    return textstats.text_stats(synth.documents(spark, sf_dir))
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw + normalized content fingerprints."""
+    from demeter_spark.operators import textstats
+    from demeter_spark.sources import synth
+
+    return textstats.fingerprints(synth.documents(spark, sf_dir))
+
+
+def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (queries: vec_id < 10) — exactness baseline."""
+    from demeter_spark.operators import simsearch
+    from demeter_spark.sources import synth
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return simsearch.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), 5)
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style partition-pruned cosine top-5 within the query's cell."""
+    from demeter_spark.operators import simsearch
+    from demeter_spark.sources import synth
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return simsearch.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), 5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
@@ -143,16 +242,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_compact": _q_spatial_join_compact,
         "knn_kring": _q_knn,
         "lang_counts": _q_lang_counts,
+        "primary_soil_components": _q_primary_soil,
+        "empty_parcels": _q_empty_parcels,
         "zonal_stats": _q_zonal_stats,
         "zonal_depth_weighted": _q_zonal_depth_weighted,
         "tile_merge": _q_tile_merge,
         "merge_conflicts": _q_merge_conflicts,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_minhash": _q_dedup_minhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "text_stats": _q_text_stats,
+        "fingerprints": _q_fingerprints,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_ivf": _q_ann_ivf,
     }
 
 
 _CONTAINS = """c.cx > pa.xmin AND c.cx < pa.xmax AND c.cy > pa.ymin AND c.cy < pa.ymax
          AND (pa.kind = 'rect'
               OR abs(c.cx - pa.cx) * pa.b + abs(c.cy - pa.cy) * pa.a < pa.a * pa.b)"""
+
+
+def _jaccard_oracle_tail(threshold: float) -> str:
+    """Exhaustive word-3-gram Jaccard pairs over dedup_corpus (CTE tail)."""
+    return f"""
+            , sizes AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+                FROM doc_shingles GROUP BY doc_id
+            ),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM doc_shingles a
+                JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes na ON inter.doc_a = na.doc_id
+            JOIN sizes nb ON inter.doc_b = nb.doc_id
+            WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= {threshold}
+    """
+
+
+def _ann_oracle_tail(pruned: bool) -> str:
+    """Cosine top-5 for vec_id < 10 (optionally cell-pruned by label)."""
+    cell = "AND c.label = q.label" if pruned else ""
+    return f"""
+            SELECT query_id, neighbor_id, rnk FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                                  q.embedding::DOUBLE[], c.embedding::DOUBLE[]
+                                ) DESC, c.vec_id
+                     ) AS rnk
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < 10 AND c.vec_id != q.vec_id {cell}
+            ) WHERE rnk <= 5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -184,6 +333,53 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": oracle_query(
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_pages FROM pages GROUP BY lang",
             ("pages",),
+        ),
+        "primary_soil_components": oracle_query(
+            """
+            , prim AS (
+                SELECT * FROM (
+                  SELECT c.*, rank() OVER (PARTITION BY parcel_id ORDER BY comppct DESC) AS rnk
+                  FROM components c WHERE majcompflag = 'Yes'
+                ) WHERE rnk = 1
+            ),
+            hz AS (
+                SELECT h.*,
+                       CAST(least(50, bottom_depth_cm) - greatest(0, top_depth_cm) AS DOUBLE) AS w
+                FROM horizons h
+                WHERE h.component_key IN (SELECT component_key FROM prim)
+                  AND h.bottom_depth_cm > 0 AND h.top_depth_cm < 50
+            ),
+            comp_frag AS (
+                SELECT hz.component_key,
+                       sum(f.fragment_pct) AS total_fragment_pct,
+                       array_to_string(list_sort(list_distinct(
+                           list(f.fragment_kind) FILTER (WHERE f.fragment_kind IS NOT NULL)
+                       )), ', ') AS fragment_kinds
+                FROM fragments f JOIN hz ON f.horizon_key = hz.horizon_key
+                GROUP BY hz.component_key
+            ),
+            props AS (
+                SELECT component_key,
+                       sum(sand*w)/sum(CASE WHEN sand IS NOT NULL THEN w END) AS sand_dw,
+                       sum(clay*w)/sum(CASE WHEN clay IS NOT NULL THEN w END) AS clay_dw,
+                       sum(om*w)/sum(CASE WHEN om IS NOT NULL THEN w END) AS om_dw
+                FROM hz GROUP BY component_key
+            )
+            SELECT p.parcel_id, pa.kind, p.component_key, p.compname, p.comppct,
+                   p.drainagecl, props.sand_dw, props.clay_dw, props.om_dw,
+                   cf.total_fragment_pct, cf.fragment_kinds
+            FROM prim p
+            LEFT JOIN props USING (component_key)
+            LEFT JOIN comp_frag cf USING (component_key)
+            LEFT JOIN parcels pa USING (parcel_id)
+            """,
+            ("components", "horizons", "fragments", "parcels"),
+        ),
+        "empty_parcels": oracle_query(
+            """
+            SELECT parcel_id, kind FROM parcels
+            WHERE parcel_id NOT IN (SELECT parcel_id FROM point_parcel_truth)
+            """
         ),
         "zonal_stats": oracle_query(
             f"""
@@ -229,6 +425,49 @@ def oracle_sql() -> dict[str, str]:
             """,
             ("merge_sources",),
         ),
+        "dedup_exact": oracle_query(
+            """
+            SELECT md5(text) AS content_hash,
+                   CAST(min(doc_id) AS BIGINT) AS canonical_id,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM dedup_corpus GROUP BY md5(text)
+            """,
+            ("dedup_corpus",),
+        ),
+        "dedup_jaccard": oracle_query(_jaccard_oracle_tail(0.6)),
+        "dedup_minhash": oracle_query(_jaccard_oracle_tail(0.8)),
+        "text_stats": oracle_query(
+            """
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars_text,
+                   CAST(len(ws) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(ws)) AS INT) AS n_types,
+                   CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+                   CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a' OR w = 'of'
+                        OR w = 'and' OR w = 'to' OR w = 'in' OR w = 'is')) AS DOUBLE)
+                     / len(ws) AS stop_ratio,
+                   CAST(length(replace(array_to_string(ws, ' '), ' ', '')) AS DOUBLE)
+                     / len(ws) AS mean_word_len,
+                   CASE WHEN CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a' OR w = 'of'
+                        OR w = 'and' OR w = 'to' OR w = 'in' OR w = 'is')) AS DOUBLE)
+                        / len(ws) >= 0.02 THEN 'en' ELSE 'xx' END AS lang_guess,
+                   CAST(CASE WHEN len(ws) >= 20
+                        AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.3
+                        THEN 1 ELSE 0 END AS INT) AS quality_ok
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+            """,
+            (),
+        ),
+        "fingerprints": oracle_query(
+            """
+            SELECT doc_id, md5(text) AS fp_raw,
+                   md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp_norm
+            FROM documents
+            """,
+            (),
+        ),
+        "ann_bruteforce": oracle_query(_ann_oracle_tail(pruned=False)),
+        "ann_ivf": oracle_query(_ann_oracle_tail(pruned=True)),
         "merge_conflicts": oracle_query(
             """
             SELECT ix, iy,

@@ -290,13 +290,28 @@ def merge_sources(spark: SparkSession) -> DataFrame:
     return a.unionByName(b)
 
 
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus engineered near-duplicates: every 4th doc gets a variant
+    with one extra leading token (word-3-gram Jaccard ~ (m-2)/(m-1) ~ 0.97)
+    and every 10th doc an *exact* duplicate — exercises exact/minhash/jaccard
+    dedup honestly."""
+    d = documents(spark, sf_dir).select("doc_id", "text")
+    near = d.filter("doc_id % 4 = 0").selectExpr(
+        "doc_id + 100000 AS doc_id", "concat('v2 ', text) AS text"
+    )
+    exact = d.filter("doc_id % 10 = 0").selectExpr(
+        "doc_id + 200000 AS doc_id", "text"
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
 def components(spark: SparkSession) -> DataFrame:
     """SSURGO-style components: 3 per parcel, engineered comppct ties,
     majcompflag filter column (ssurgo.py:42-57)."""
     return spark.range(N_COMPONENTS).selectExpr(
         "id AS component_key",
         "CASE WHEN id div 3 < 64 THEN id div 3 ELSE 100 + (id div 3 - 64) END AS parcel_id",
-        "CAST(20 + ((id * 7) % 4) * 20 AS INT) AS comppct",
+        "CAST(20 + (id % 2) * 20 AS INT) AS comppct",
         "CASE WHEN id % 5 = 0 THEN 'No' ELSE 'Yes' END AS majcompflag",
         "concat('comp', CAST(id AS STRING)) AS compname",
         "CASE WHEN id % 3 = 0 THEN 'Series' ELSE 'Taxadjunct' END AS compkind",
@@ -315,7 +330,7 @@ def horizons(spark: SparkSession) -> DataFrame:
         "CAST(CASE id % 4 WHEN 0 THEN 10 WHEN 1 THEN 30 WHEN 2 THEN 60 ELSE 100 END AS INT) AS bottom_depth_cm",
         "CASE WHEN id % 11 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST((id * 17) % 100 AS DOUBLE) END AS sand",
         "CASE WHEN id % 13 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST((id * 19) % 100 AS DOUBLE) END AS clay",
-        "CASE WHEN id % 17 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST((id * 23) % 50 AS DOUBLE) / 10e0 END AS om",
+        "CASE WHEN id % 17 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST((id * 23) % 50 AS DOUBLE) / 16e0 END AS om",
     )
 
 
@@ -408,10 +423,22 @@ ORACLE_TABLES: dict[str, str] = {
         SELECT 'B', 2, ix, iy, CASE WHEN ix % 5 = 0 THEN value + 1 ELSE value END
         FROM raster_cells WHERE dataset = 'elevation' AND ix >= 64
     """,
+    "dedup_corpus": """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, 'v2 ' || text FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0
+    """,
+    "doc_shingles": """
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM dedup_corpus) c,
+             UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+    """,
     "components": f"""
         SELECT i AS component_key,
                CASE WHEN i // 3 < 64 THEN i // 3 ELSE 100 + (i // 3 - 64) END AS parcel_id,
-               CAST(20 + ((i * 7) % 4) * 20 AS INT) AS comppct,
+               CAST(20 + (i % 2) * 20 AS INT) AS comppct,
                CASE WHEN i % 5 = 0 THEN 'No' ELSE 'Yes' END AS majcompflag,
                'comp' || CAST(i AS VARCHAR) AS compname,
                CASE WHEN i % 3 = 0 THEN 'Series' ELSE 'Taxadjunct' END AS compkind,
@@ -425,7 +452,7 @@ ORACLE_TABLES: dict[str, str] = {
                CAST(CASE i % 4 WHEN 0 THEN 10 WHEN 1 THEN 30 WHEN 2 THEN 60 ELSE 100 END AS INT) AS bottom_depth_cm,
                CASE WHEN i % 11 = 0 THEN NULL ELSE CAST((i * 17) % 100 AS DOUBLE) END AS sand,
                CASE WHEN i % 13 = 0 THEN NULL ELSE CAST((i * 19) % 100 AS DOUBLE) END AS clay,
-               CASE WHEN i % 17 = 0 THEN NULL ELSE CAST((i * 23) % 50 AS DOUBLE) / 10e0 END AS om
+               CASE WHEN i % 17 = 0 THEN NULL ELSE CAST((i * 23) % 50 AS DOUBLE) / 16e0 END AS om
         FROM range({N_HORIZONS}) t(i)
     """,
     "fragments": f"""
@@ -446,6 +473,8 @@ _ORACLE_ORDER = [
     "point_parcel_truth",
     "raster_cells",
     "merge_sources",
+    "dedup_corpus",
+    "doc_shingles",
     "components",
     "horizons",
     "fragments",
@@ -455,8 +484,11 @@ _ORACLE_ORDER = [
 def oracle_query(select_sql: str, tables: tuple[str, ...] | None = None) -> str:
     """Wrap a SELECT in a WITH clause defining the synthetic tables it uses.
 
-    ``tables=None`` includes everything (dependencies are cheap to evaluate).
+    ``tables=None`` includes everything (dependencies are cheap to evaluate);
+    ``tables=()`` emits no WITH clause (query uses only driver views).
     """
+    if tables is not None and len(tables) == 0:
+        return select_sql
     names = list(tables) if tables else _ORACLE_ORDER
     # include transitive deps by keeping declaration order and any prerequisite
     needed: list[str] = []
@@ -473,4 +505,7 @@ def oracle_query(select_sql: str, tables: tuple[str, ...] | None = None) -> str:
                 changed = True
     needed = [n for n in _ORACLE_ORDER if n in needed]
     ctes = ",\n".join(f"{n} AS ({ORACLE_TABLES[n]})" for n in needed)
+    if select_sql.lstrip().startswith(","):
+        # caller supplies additional CTEs continuing the WITH clause
+        return f"WITH {ctes}{select_sql}"
     return f"WITH {ctes}\n{select_sql}"

@@ -1,0 +1,59 @@
+"""Dedup-operator properties not covered by the SQL oracles."""
+
+import numpy as np
+
+from demeter_spark.operators import dedup
+from demeter_spark.sources import synth
+from tests.conftest import SF_DIR
+
+
+def test_simhash_banding_is_complete(spark):
+    """Pigeonhole guarantee: every pair with Hamming <= 3 shares a 16-bit
+    band, so banded blocking must equal the brute-force pair set."""
+    corpus = synth.dedup_corpus(spark, SF_DIR)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_near_pairs(corpus, max_hamming=3).collect()
+    }
+    sigs = dedup.simhash(corpus).collect()
+    ids = np.array([r["doc_id"] for r in sigs])
+    hs = np.array([r["simhash"] for r in sigs]).astype(np.uint64)
+    x = hs[:, None] ^ hs[None, :]
+    ham = np.zeros_like(x, dtype=np.int64)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    ii, jj = np.where((ham <= 3) & (ids[:, None] < ids[None, :]))
+    want = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])), int(ham[i, j]))
+        for i, j in zip(ii, jj)
+    }
+    assert got == want
+    assert len(want) > 0  # engineered near-dups must actually collide
+
+
+def test_minhash_catches_engineered_near_dups(spark):
+    """Every v2-variant pair (J ~ 0.97) must survive LSH + verification."""
+    corpus = synth.dedup_corpus(spark, SF_DIR)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(corpus, 0.8).collect()
+    }
+    doc_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    expected_variants = {
+        (d, d + 100000) for d in doc_ids if d < 100000 and d % 4 == 0
+    }
+    assert expected_variants <= pairs
+
+
+def test_jaccard_max_df_is_subset(spark):
+    corpus = synth.dedup_corpus(spark, SF_DIR)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(corpus, 0.6).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(corpus, 0.6, max_df=10).collect()
+    }
+    assert capped <= full
