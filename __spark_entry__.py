@@ -164,6 +164,68 @@ def _q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ndvi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/P10/R13/R14: per-(zone, datatake) applyInPandas NDVI kernel with
+    half-resolution cloud masking and dyadic quantization."""
+    from demeter_spark.operators import ndvi
+    from demeter_spark.sources import synth
+
+    return ndvi.ndvi_per_datatake(synth.band_cells(spark))
+
+
+def _q_ndvi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A11: per-cell statistic rasters across datatake passes."""
+    from demeter_spark.operators import ndvi
+    from demeter_spark.sources import synth
+
+    return ndvi.ndvi_statistics(ndvi.ndvi_per_datatake(synth.band_cells(spark)))
+
+
+def _q_point_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 front-end: N-way multi-source join per point (parcel containment,
+    raster value_at, nearest place, primary soil component)."""
+    from demeter_spark.operators import enrich
+    from demeter_spark.sources import synth
+    from pyspark.sql import functions as F
+
+    return enrich.enrich_points(
+        synth.page_points(spark, sf_dir),
+        synth.parcels(spark),
+        synth.raster_cells(spark).filter(F.col("dataset") == "elevation"),
+        synth.gazetteer(spark),
+        synth.components(spark),
+        synth.horizons(spark),
+    )
+
+
+def _q_regrid_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 Resampling.average analogue: factor-4 downsample with kernels."""
+    from demeter_spark.operators import regrid
+    from demeter_spark.sources import synth
+    from pyspark.sql import functions as F
+
+    cells = synth.raster_cells(spark).filter(F.col("dataset") == "elevation")
+    return regrid.coarsen(cells, 4)
+
+
+def _q_regrid_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 Resampling.nearest analogue: factor-2 upsample."""
+    from demeter_spark.operators import regrid
+    from demeter_spark.sources import synth
+    from pyspark.sql import functions as F
+
+    cells = synth.raster_cells(spark).filter(F.col("dataset") == "elevation")
+    return regrid.refine_nearest(cells.select("dataset", "ix", "iy", "value"), 2)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads decoded to typed features in an
+    Arrow mapInPandas kernel (codec stubbed; batch shape real)."""
+    from demeter_spark.sources import multimodal
+
+    return multimodal.decode_features(multimodal.media(spark, sf_dir))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: content-hash clusters with canonical ids."""
     from demeter_spark.operators import dedup
@@ -248,6 +310,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_depth_weighted": _q_zonal_depth_weighted,
         "tile_merge": _q_tile_merge,
         "merge_conflicts": _q_merge_conflicts,
+        "point_enrichment": _q_point_enrichment,
+        "regrid_coarsen": _q_regrid_coarsen,
+        "regrid_refine": _q_regrid_refine,
+        "media_features": _q_media_features,
+        "ndvi_cells": _q_ndvi_cells,
+        "ndvi_stats": _q_ndvi_stats,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash": _q_dedup_minhash,
@@ -305,6 +373,7 @@ def _ann_oracle_tail(pruned: bool) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from demeter_spark.sources.multimodal import MEDIA_ORACLE_SQL as _MEDIA_ORACLE
     from demeter_spark.sources.synth import oracle_query
 
     return {
@@ -424,6 +493,112 @@ def oracle_sql() -> dict[str, str]:
             FROM merge_sources GROUP BY ix, iy
             """,
             ("merge_sources",),
+        ),
+        "point_enrichment": oracle_query(
+            """
+            , hits AS (
+                SELECT url, CAST(min(parcel_id) AS BIGINT) AS parcel_id,
+                       CAST(count(*) AS BIGINT) AS n_parcels
+                FROM point_parcel_truth GROUP BY url
+            ),
+            elev AS (
+                SELECT pp.url, c.value AS elevation
+                FROM page_points pp
+                LEFT JOIN raster_cells c
+                  ON c.dataset = 'elevation'
+                 AND c.ix = CAST(floor(pp.lon / 0.25e0) AS INT)
+                 AND c.iy = CAST(floor(pp.lat / 0.25e0) AS INT)
+            ),
+            nn AS (
+                SELECT url, place_id AS nearest_place_id, dist AS nearest_dist
+                FROM (
+                  SELECT pp.url, g.place_id,
+                         sqrt((pp.lon - g.lon) * (pp.lon - g.lon)
+                              + (pp.lat - g.lat) * (pp.lat - g.lat)) AS dist,
+                         row_number() OVER (
+                           PARTITION BY pp.url
+                           ORDER BY sqrt((pp.lon - g.lon) * (pp.lon - g.lon)
+                                         + (pp.lat - g.lat) * (pp.lat - g.lat)),
+                                    g.place_id
+                         ) AS rn
+                  FROM page_points pp, gazetteer g
+                ) WHERE rn = 1
+            ),
+            prim1 AS (
+                SELECT parcel_id, component_key, compname, comppct FROM (
+                  SELECT c.*, row_number() OVER (
+                           PARTITION BY parcel_id
+                           ORDER BY comppct DESC, component_key
+                         ) AS rn
+                  FROM components c WHERE majcompflag = 'Yes'
+                ) WHERE rn = 1
+            ),
+            hz1 AS (
+                SELECT h.*,
+                       CAST(least(50, bottom_depth_cm) - greatest(0, top_depth_cm) AS DOUBLE) AS w
+                FROM horizons h
+                WHERE h.component_key IN (SELECT component_key FROM prim1)
+                  AND h.bottom_depth_cm > 0 AND h.top_depth_cm < 50
+            ),
+            soil AS (
+                SELECT p.parcel_id, p.compname AS soil_compname,
+                       p.comppct AS soil_comppct, pr.sand_dw AS soil_sand_dw
+                FROM prim1 p LEFT JOIN (
+                  SELECT component_key,
+                         sum(sand*w)/sum(CASE WHEN sand IS NOT NULL THEN w END) AS sand_dw
+                  FROM hz1 GROUP BY component_key
+                ) pr USING (component_key)
+            )
+            SELECT pp.url, pp.doc_id, pp.lon, pp.lat, hits.parcel_id,
+                   hits.n_parcels, elev.elevation, nn.nearest_place_id,
+                   nn.nearest_dist, soil.soil_compname, soil.soil_comppct,
+                   soil.soil_sand_dw
+            FROM page_points pp
+            LEFT JOIN hits USING (url)
+            LEFT JOIN elev USING (url)
+            LEFT JOIN nn USING (url)
+            LEFT JOIN soil ON soil.parcel_id = hits.parcel_id
+            """,
+            ("point_parcel_truth", "raster_cells", "components", "horizons"),
+        ),
+        "regrid_coarsen": oracle_query(
+            """
+            SELECT dataset, CAST(ix // 4 AS INT) AS ix, CAST(iy // 4 AS INT) AS iy,
+                   CAST(count(value) AS BIGINT) AS n_valid,
+                   avg(value) AS mean_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM raster_cells WHERE dataset = 'elevation'
+            GROUP BY dataset, ix // 4, iy // 4
+            """,
+            ("raster_cells",),
+        ),
+        "regrid_refine": oracle_query(
+            """
+            SELECT dataset,
+                   CAST(ix * 2 + k % 2 AS INT) AS ix,
+                   CAST(iy * 2 + k // 2 AS INT) AS iy,
+                   value
+            FROM raster_cells, range(4) t(k) WHERE dataset = 'elevation'
+            """,
+            ("raster_cells",),
+        ),
+        "media_features": _MEDIA_ORACLE,
+        "ndvi_cells": oracle_query(
+            "SELECT * FROM ndvi_cells_oracle", ("ndvi_cells_oracle",)
+        ),
+        "ndvi_stats": oracle_query(
+            """
+            SELECT zone, ix, iy,
+                   CAST(count(ndvi) AS BIGINT) AS n_passes,
+                   sum(ndvi) / count(ndvi) AS ndvi_mean,
+                   min(ndvi) AS ndvi_min,
+                   max(ndvi) AS ndvi_max,
+                   sqrt((sum(ndvi*ndvi) - sum(ndvi)*sum(ndvi)/count(ndvi))
+                        / count(ndvi)) AS ndvi_stddev
+            FROM ndvi_cells_oracle GROUP BY zone, ix, iy
+            """,
+            ("ndvi_cells_oracle",),
         ),
         "dedup_exact": oracle_query(
             """

@@ -175,13 +175,22 @@ def kring(ids: np.ndarray, k: int) -> np.ndarray:
     return (morton | (np.uint64(r) << np.uint64(53))).astype(np.int64)
 
 
-def polyfill(xs: np.ndarray, ys: np.ndarray, res: int) -> np.ndarray:
+def polyfill(
+    xs: np.ndarray, ys: np.ndarray, res: int, classify: bool = False
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Cells intersecting the polygon ring (xs, ys) at resolution ``res``.
 
     Conservative superset: interior cells (center inside, ray-cast PIP) union
     boundary cells (each edge sampled at half-cell spacing, result dilated by
     one ring). Any cell containing a point of the polygon is guaranteed to be
     in the output; false positives are removed later by exact PIP refinement.
+
+    With ``classify=True`` also returns a boolean mask marking cells that are
+    *provably fully inside* the polygon (center inside AND not in the dilated
+    boundary superset — since the boundary set contains every cell touching
+    an edge, such cells cannot intersect the boundary). Fully-inside cells
+    let the cover join accept candidate points without running the PIP
+    refine — the classic filter-refine fast path.
 
     Mirrors (and generalizes) the reference's tile-cover enumeration
     (demeter/raster/utils.py:33-57 ``bounds_snapped_to_grid``).
@@ -226,10 +235,15 @@ def polyfill(xs: np.ndarray, ys: np.ndarray, res: int) -> np.ndarray:
     py = ey0[seg_idx] + (ey1[seg_idx] - ey0[seg_idx]) * t
     bix = np.clip(np.floor((px + 180.0) / lon_sz).astype(np.int64), 0, n - 1)
     biy = np.clip(np.floor((py + 90.0) / lat_sz).astype(np.int64), 0, n - 1)
-    # dilate one ring
+    # dilate one ring (full 3x3 cross product of offsets)
     offs = np.array([-1, 0, 1], dtype=np.int64)
-    dbx = (bix[:, None, None] + offs[None, :, None]).reshape(-1)
-    dby = (biy[:, None, None] + offs[None, None, :]).reshape(-1)
+    shape = (len(bix), 3, 3)
+    dbx = np.broadcast_to(
+        bix[:, None, None] + offs[None, :, None], shape
+    ).reshape(-1)
+    dby = np.broadcast_to(
+        biy[:, None, None] + offs[None, None, :], shape
+    ).reshape(-1)
     ok = (dbx >= 0) & (dbx < n) & (dby >= 0) & (dby < n)
     bx = dbx[ok]
     by = dby[ok]
@@ -237,8 +251,18 @@ def polyfill(xs: np.ndarray, ys: np.ndarray, res: int) -> np.ndarray:
     all_ix = np.concatenate([interior_ix, bx])
     all_iy = np.concatenate([interior_iy, by])
     if len(all_ix) == 0:
+        if classify:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=bool)
         return np.empty(0, dtype=np.int64)
-    return np.unique(encode(all_ix, all_iy, res))
+    cells = np.unique(encode(all_ix, all_iy, res))
+    if not classify:
+        return cells
+    center_inside = np.unique(encode(interior_ix, interior_iy, res))
+    boundary = (
+        np.unique(encode(bx, by, res)) if len(bx) else np.empty(0, dtype=np.int64)
+    )
+    full = np.isin(cells, center_inside) & ~np.isin(cells, boundary)
+    return cells, full
 
 
 def compact(ids: np.ndarray) -> np.ndarray:

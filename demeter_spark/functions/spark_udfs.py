@@ -17,7 +17,39 @@ from demeter_spark.functions import cellgrid as cg
 
 
 def cell_of(lon: Column, lat: Column, res: int) -> Column:
-    """Column expression: point -> cell id at resolution ``res``."""
+    """Column expression: point -> cell id at resolution ``res``.
+
+    Pure Catalyst bit arithmetic (Morton interleave via magic-number spread,
+    same constants as cellgrid._part1by1) — the point side of the cover join
+    stays inside whole-stage codegen with NO Python in the 10^12-row path.
+    Equivalence with the numpy kernel is property-tested.
+    """
+    n = 1 << res
+
+    def _clip(idx: Column) -> Column:
+        return F.least(F.greatest(idx, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    ix = _clip(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))))
+    iy = _clip(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n))))
+
+    def _spread(v: Column) -> Column:
+        # 64-bit part1by1: spread low 32 bits into even positions
+        for shift, mask in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+        return v
+
+    morton = _spread(ix).bitwiseOR(F.shiftleft(_spread(iy), 1))
+    return morton.bitwiseOR(F.lit(res << 53)).cast("long")
+
+
+def cell_of_pandas(lon: Column, lat: Column, res: int) -> Column:
+    """pandas-UDF variant of cell_of (kept for parity testing)."""
 
     @F.pandas_udf(LongType())
     def _cell_of(lo: pd.Series, la: pd.Series) -> pd.Series:

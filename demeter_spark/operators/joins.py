@@ -49,47 +49,47 @@ def parcel_covers(
         for pdf in batches:
             ids: list[int] = []
             cells: list[np.ndarray] = []
+            fulls: list[np.ndarray] = []
             for pid, wkt in zip(pdf["parcel_id"], pdf["geom_wkt"]):
-                acc: list[np.ndarray] = []
-                for xs, ys in geom.parse_wkt_rings(wkt):
-                    acc.append(cg.polyfill(xs, ys, res))
-                cs = np.unique(np.concatenate(acc))
+                rings = geom.parse_wkt_rings(wkt)
+                per_ring = [cg.polyfill(xs, ys, res, classify=True) for xs, ys in rings]
+                cs = np.unique(np.concatenate([c for c, _ in per_ring]))
+                # full in the union if full in any part (multipolygon parts
+                # may overlap a cell another part only touches)
+                full = np.zeros(len(cs), dtype=bool)
+                for c, f in per_ring:
+                    full |= np.isin(cs, c[f])
+                # ...but never full if any part's boundary crosses it
+                for c, f in per_ring:
+                    full &= ~np.isin(cs, c[~f])
                 if compact:
-                    cs = cg.compact(cs)
+                    fc = cg.compact(cs[full])
+                    bc = cs[~full]
+                    cs = np.concatenate([fc, bc])
+                    full = np.concatenate(
+                        [np.ones(len(fc), dtype=bool), np.zeros(len(bc), dtype=bool)]
+                    )
                 ids.extend([pid] * len(cs))
                 cells.append(cs)
+                fulls.append(full)
             if cells:
                 yield pd.DataFrame(
-                    {"parcel_id": np.asarray(ids, dtype=np.int64),
-                     "cell": np.concatenate(cells)}
+                    {
+                        "parcel_id": np.asarray(ids, dtype=np.int64),
+                        "cell": np.concatenate(cells),
+                        "full": np.concatenate(fulls),
+                    }
                 )
 
-    return parcels.select("parcel_id", "geom_wkt").mapInPandas(
-        _covers, "parcel_id BIGINT, cell BIGINT"
+    # spread polygons across tasks: the kernel is per-polygon numpy, so the
+    # dimension-side fill parallelizes embarrassingly
+    spark = parcels.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    return (
+        parcels.select("parcel_id", "geom_wkt")
+        .repartition(n_parts, "parcel_id")
+        .mapInPandas(_covers, "parcel_id BIGINT, cell BIGINT, full BOOLEAN")
     )
-
-
-def _pip_refine_udf(spark, parcels: DataFrame):
-    """Vectorized PIP predicate over (lon, lat, parcel_id) candidate rows.
-
-    Polygon rings travel as a broadcast dict {parcel_id: [(xs, ys), ...]} —
-    the polygon dimension is broadcast-sized by design (strategy flag below
-    covers the huge-dimension case with a grouped refine instead).
-    """
-    rings = {
-        int(r["parcel_id"]): geom.parse_wkt_rings(r["geom_wkt"])
-        for r in parcels.select("parcel_id", "geom_wkt").collect()
-    }
-    bc = spark.sparkContext.broadcast(rings)
-
-    @F.pandas_udf(BooleanType())
-    def _pip(lon: pd.Series, lat: pd.Series, pid: pd.Series) -> pd.Series:
-        out = geom.points_in_rings_grouped(
-            lon.to_numpy(), lat.to_numpy(), pid.to_numpy(), bc.value
-        )
-        return pd.Series(out)
-
-    return _pip
 
 
 def spatial_join(
@@ -100,6 +100,9 @@ def spatial_join(
     broadcast_cover: bool = True,
     lon: str = "lon",
     lat: str = "lat",
+    hot_cells: list[int] | None = None,
+    n_salt: int = 8,
+    covers: DataFrame | None = None,
 ) -> DataFrame:
     """points ⨝ polygons (containment): returns points columns + parcel_id.
 
@@ -107,15 +110,21 @@ def spatial_join(
     (smaller build side, multi-res); otherwise fixed-res equi-join.
     ``broadcast_cover`` hints the cover side broadcast (the common case:
     polygon dimension << points fact table). With it off, Catalyst picks a
-    shuffle join and AQE handles skewed hot cells.
+    shuffle join and AQE handles skewed hot cells; passing ``hot_cells``
+    additionally salts those cells explicitly (plans/skew.py).
     """
     spark = points.sparkSession
-    covers = parcel_covers(parcels, res=res, compact=compact)
+    if covers is None:
+        covers = parcel_covers(parcels, res=res, compact=compact)
     if broadcast_cover:
         covers = F.broadcast(covers)
 
     pts = points.withColumn("_cell", cell_of(F.col(lon), F.col(lat), res))
-    if compact:
+    if hot_cells and not compact:
+        from demeter_spark.plans.skew import salted_cover_join
+
+        cand = salted_cover_join(pts, covers, hot_cells, n_salt=n_salt)
+    elif compact:
         res_min = 0
         pts = pts.withColumn(
             "_anc", ancestors_of(F.col("_cell"), res_min)
@@ -126,11 +135,42 @@ def spatial_join(
     else:
         cand = pts.join(covers, pts["_cell"] == covers["cell"], "inner").drop("cell")
 
-    pip = _pip_refine_udf(spark, parcels)
-    return (
-        cand.filter(pip(F.col(lon), F.col(lat), F.col("parcel_id")))
-        .drop("_cell")
-    )
+    # filter-refine fast path, single pass: candidates in fully-interior
+    # cover cells are exact matches (no boundary can cross them) and are
+    # passed through; only boundary-cell candidates run the vectorized PIP
+    # kernel. One mapInPandas over the candidate stream — the upstream
+    # join/scan executes exactly once (a two-branch filter+union would
+    # recompute it per branch).
+    import numpy as np
+
+    rings = {
+        int(r["parcel_id"]): geom.parse_wkt_rings(r["geom_wkt"])
+        for r in parcels.select("parcel_id", "geom_wkt").collect()
+    }
+    bc = spark.sparkContext.broadcast(rings)
+    drop = {"_cell", "full"}
+    keep_fields = [f for f in cand.schema.fields if f.name not in drop]
+    keep_cols = [f.name for f in keep_fields]
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(keep_fields)
+
+    def _refine(batches):
+        rng = bc.value
+        for pdf in batches:
+            full_mask = pdf["full"].to_numpy(dtype=bool)
+            ok = full_mask.copy()
+            need = ~full_mask
+            if need.any():
+                ok[need] = geom.points_in_rings_grouped(
+                    pdf[lon].to_numpy()[need],
+                    pdf[lat].to_numpy()[need],
+                    pdf["parcel_id"].to_numpy()[need],
+                    rng,
+                )
+            yield pdf.loc[ok, keep_cols]
+
+    return cand.mapInPandas(_refine, out_schema)
 
 
 def knn_join(
@@ -150,67 +190,63 @@ def knn_join(
     escalate to 2r. Final top-k via window rank. Distances are planar-degree
     Euclidean (documented engine semantics; synthetic world is planar).
     """
+    from pyspark.sql import Window
+
+    from demeter_spark.functions.spark_udfs import kring_of
+
     lat_sz = 180.0 / (1 << res)
-    site_cells = sites.withColumn("_scell", cell_of(F.col("lon"), F.col("lat"), res))
     site_cells = F.broadcast(
-        site_cells.select(
+        sites.withColumn("_scell", cell_of(F.col("lon"), F.col("lat"), res)).select(
             F.col(site_id).alias("_sid"),
             F.col("lon").alias("_slon"),
             F.col("lat").alias("_slat"),
             "_scell",
         )
     )
-
     pts = points.select(
         id_col, F.col("lon").alias("_plon"), F.col("lat").alias("_plat")
     ).withColumn("_pcell", cell_of(F.col("_plon"), F.col("_plat"), res))
 
-    from demeter_spark.functions.spark_udfs import kring_of
+    # products, not pow(): Math.pow is only 1-ulp-accurate, products are
+    # exact IEEE ops — keeps distances bit-identical to the SQL oracle
+    dx = F.col("_plon") - F.col("_slon")
+    dy = F.col("_plat") - F.col("_slat")
+    dist = F.sqrt(dx * dx + dy * dy)
+    w = Window.partitionBy(id_col).orderBy("_dist", "_sid")
 
-    resolved_parts: list[DataFrame] = []
-    remaining = pts
-    r = 1
-    while r <= max_ring:
-        cand = (
-            remaining.withColumn("_ring", F.explode(kring_of(F.col("_pcell"), r)))
-            .join(site_cells, F.col("_ring") == F.col("_scell"), "inner")
-            .drop("_ring", "_scell")
-            .dropDuplicates([id_col, "_sid"])
-            .withColumn(
-                "_dist",
-                F.sqrt(
-                    F.pow(F.col("_plon") - F.col("_slon"), 2)
-                    + F.pow(F.col("_plat") - F.col("_slat"), 2)
-                ),
-            )
-        )
-        from pyspark.sql import Window
+    # phase 1: one k-ring candidate pass. A point is final iff its kth
+    # candidate lies within ring_radius (anything outside the ring is
+    # strictly farther than ring_radius, so the top-k cannot change).
+    r = max(1, min(max_ring, 2))
+    ranked = (
+        pts.withColumn("_ring", F.explode(kring_of(F.col("_pcell"), r)))
+        .join(site_cells, F.col("_ring") == F.col("_scell"), "inner")
+        .dropDuplicates([id_col, "_sid"])
+        .withColumn("_dist", dist)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+    )
+    kth_ok = (
+        ranked.groupBy(id_col)
+        .agg(F.max("_rk").alias("_nk"), F.max("_dist").alias("_kth"))
+        .filter((F.col("_nk") == k) & (F.col("_kth") <= r * lat_sz))
+        .select(id_col)
+    )
+    resolved = ranked.join(F.broadcast(kth_ok), id_col, "left_semi")
 
-        w = Window.partitionBy(id_col).orderBy("_dist", "_sid")
-        ranked = cand.withColumn("_rk", F.row_number().over(w))
-        kth = ranked.filter(F.col("_rk") == k).select(
-            id_col, F.col("_dist").alias("_kth")
-        )
-        done_ids = kth.filter(F.col("_kth") <= r * lat_sz).select(id_col)
-        if r * 2 > max_ring:  # last pass: accept whatever we have
-            done_ids = ranked.select(id_col).distinct()
-        resolved = ranked.join(F.broadcast(done_ids), id_col, "left_semi").filter(
-            F.col("_rk") <= k
-        )
-        resolved_parts.append(
-            resolved.select(
-                id_col,
-                F.col("_sid").alias(site_id),
-                F.col("_rk").alias("rank"),
-                F.col("_dist").alias("dist"),
-            )
-        )
-        remaining = remaining.join(F.broadcast(done_ids), id_col, "left_anti")
-        if remaining.isEmpty():
-            break
-        r *= 2
-
-    out = resolved_parts[0]
-    for part in resolved_parts[1:]:
-        out = out.unionByName(part)
-    return out
+    # phase 2: brute-force fallback for the (rare) unresolved stragglers —
+    # exact, and bounded: stragglers are points in sparse regions only.
+    rest = pts.join(F.broadcast(kth_ok), id_col, "left_anti")
+    rest_ranked = (
+        rest.crossJoin(site_cells)
+        .withColumn("_dist", dist)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+    )
+    final_cols = [
+        F.col(id_col),
+        F.col("_sid").alias(site_id),
+        F.col("_rk").alias("rank"),
+        F.col("_dist").alias("dist"),
+    ]
+    return resolved.select(*final_cols).unionByName(rest_ranked.select(*final_cols))

@@ -1,0 +1,102 @@
+"""Per-partition lineage + row-count metrics with resumable commits.
+
+North-rule requirement (BASELINE.json:14): "every stage writes per-partition
+lineage + row-count metrics to a metrics table so any run resumes from the
+last committed snapshot/checkpoint". The reference achieves resumability with
+idempotent multi-level file caches + FileLock (demeter/raster/polaris.py:
+373-431, demeter/raster/usgs/utils.py:18-30, sentinel2/utils/download.py:
+61-76); here the same property is a table-format protocol:
+
+- stage outputs land in a parquet table partitioned by an explicit partition
+  key column (``_part``);
+- a ``_snapshots`` manifest records (stage, part, input fingerprint, row
+  count, snapshot id) per committed partition;
+- a re-run anti-joins its input partitions against the manifest and only
+  computes/writes the missing ones. Partition writes use dynamic partition
+  overwrite, so a crash between data write and manifest append is healed by
+  the retry overwriting the same partition (idempotent task semantics).
+
+The API is deliberately narrow (write_increment / committed_parts / metrics)
+so a real Iceberg/Delta catalog can replace the parquet manifest on a
+cluster without touching call sites.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SNAPSHOT_SCHEMA = (
+    "stage STRING, part BIGINT, fingerprint STRING, n_rows BIGINT, snapshot_id STRING"
+)
+
+
+class LineageLog:
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.manifest_path = os.path.join(base_dir, "_snapshots")
+
+    def snapshots(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.manifest_path)
+        except Exception:
+            return self.spark.createDataFrame([], SNAPSHOT_SCHEMA)
+
+    def committed_parts(self, stage: str, fingerprint: str) -> DataFrame:
+        return (
+            self.snapshots()
+            .filter(
+                (F.col("stage") == stage) & (F.col("fingerprint") == fingerprint)
+            )
+            .select("part")
+            .distinct()
+        )
+
+    def metrics(self) -> DataFrame:
+        """Row-count metrics per (stage, part): the A12/P6-style assertion
+        surface — consumers join this to detect empty/skewed partitions."""
+        return self.snapshots().groupBy("stage", "part").agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.count("*").alias("n_commits"),
+        )
+
+    def write_increment(
+        self,
+        stage: str,
+        df: DataFrame,
+        part_col: str,
+        fingerprint: str,
+    ) -> int:
+        """Write only not-yet-committed partitions of ``df``; returns the
+        number of partitions written. ``df`` must carry ``part_col``
+        (a deterministic bucket, e.g. pmod(xxhash64(url), N))."""
+        done = self.committed_parts(stage, fingerprint)
+        todo = df.withColumn("_part", F.col(part_col).cast("long")).join(
+            F.broadcast(done), F.col("_part") == done["part"], "left_anti"
+        )
+        counts = todo.groupBy("_part").agg(F.count("*").alias("n_rows")).collect()
+        if not counts:
+            return 0
+        out_path = os.path.join(self.base_dir, stage)
+        (
+            todo.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_part")
+            .parquet(out_path)
+        )
+        snap_id = str(uuid.uuid4())
+        rows = [
+            (stage, int(r["_part"]), fingerprint, int(r["n_rows"]), snap_id)
+            for r in counts
+        ]
+        self.spark.createDataFrame(rows, SNAPSHOT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.manifest_path)
+        return len(rows)
+
+    def read_stage(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.base_dir, stage))

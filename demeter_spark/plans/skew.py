@@ -1,0 +1,94 @@
+"""Explicit skew handling for hot cells (dense urban tiles).
+
+North-rule requirement (BASELINE.json:14): "Skewed hot cells (dense urban
+tiles) are salted and handled with AQE skew-join splitting". Two layers:
+
+1. AQE skew-join splitting is enabled globally (session.py) — Spark splits
+   oversized shuffle partitions at runtime;
+2. for the cover join specifically, *hot-cell salting*: detected hot cell ids
+   are exploded with N salt values on the build (cover) side while the probe
+   (points) side draws salt = pmod(xxhash64(row), N) for hot cells and 0
+   otherwise — the join key becomes (cell, salt), splitting each hot cell's
+   probe rows across N tasks without touching cold cells.
+
+The hot-cell list comes from the lineage metrics table of a previous run or
+from a cheap sampled aggregation (``detect_hot_cells``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def detect_hot_cells(
+    points_with_cell: DataFrame,
+    cell_col: str = "_cell",
+    threshold_ratio: float = 0.01,
+    sample_fraction: float | None = None,
+) -> list[int]:
+    """Cells holding more than threshold_ratio of all points (sampled scan)."""
+    df = points_with_cell
+    if sample_fraction:
+        df = df.sample(fraction=sample_fraction, seed=7)
+    counts = df.groupBy(cell_col).agg(F.count("*").alias("n"))
+    total = df.count()
+    hot = counts.filter(F.col("n") > total * threshold_ratio)
+    return [int(r[cell_col]) for r in hot.collect()]
+
+
+def salt_build_side(
+    covers: DataFrame, hot_cells: list[int], n_salt: int, cell_col: str = "cell"
+) -> DataFrame:
+    """Explode hot-cell cover rows into n_salt copies; cold rows get salt 0."""
+    hot = F.array(*[F.lit(c) for c in hot_cells])
+    return covers.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                F.array_contains(hot, F.col(cell_col)),
+                F.expr(f"sequence(0, {n_salt - 1})"),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+
+
+def salt_probe_side(
+    points: DataFrame,
+    hot_cells: list[int],
+    n_salt: int,
+    cell_col: str = "_cell",
+    entropy_cols: tuple[str, ...] = ("lon", "lat"),
+) -> DataFrame:
+    """Deterministic probe salt: pmod(xxhash64(entropy), n_salt) for hot
+    cells, 0 for cold — same row always lands in the same salted task."""
+    hot = F.array(*[F.lit(c) for c in hot_cells])
+    return points.withColumn(
+        "_salt",
+        F.when(
+            F.array_contains(hot, F.col(cell_col)),
+            F.pmod(F.xxhash64(*[F.col(c) for c in entropy_cols]), F.lit(n_salt)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+
+
+def salted_cover_join(
+    points: DataFrame,
+    covers: DataFrame,
+    hot_cells: list[int],
+    n_salt: int = 8,
+    point_cell: str = "_cell",
+    cover_cell: str = "cell",
+) -> DataFrame:
+    """Equi-join on (cell, salt): identical rows to the plain cover join,
+    with hot cells split across n_salt shuffle tasks."""
+    b = salt_build_side(covers, hot_cells, n_salt, cover_cell)
+    p = salt_probe_side(points, hot_cells, n_salt, point_cell)
+    joined = p.join(
+        b,
+        (p[point_cell] == b[cover_cell]) & (p["_salt"] == b["_salt"]),
+        "inner",
+    )
+    return joined.drop(b["_salt"]).drop(p["_salt"]).drop(b[cover_cell])

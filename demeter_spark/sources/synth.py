@@ -145,8 +145,15 @@ def scaled_page_points(spark: SparkSession, sf_dir: str, factor: int) -> DataFra
     """
     base = page_points(spark, sf_dir).select("doc_id", "place_id", "url")
     g = F.broadcast(gazetteer(spark).select("place_id", "lon", "lat"))
+    # The broadcast-joined flagship pipeline is shuffle-free, so downstream
+    # parallelism is inherited from here: spread the generated fact table
+    # across 2x the cores (a real corpus arrives as many files and gets this
+    # from the scan; the synthetic cross join would otherwise stay at the
+    # single-file parquet's 1 partition).
+    n_parts = spark.sparkContext.defaultParallelism * 2
     return (
         base.join(spark.range(factor).withColumnRenamed("id", "rep"))
+        .repartition(n_parts)
         .join(g, "place_id")
         .selectExpr(
             "concat(url, '#', CAST(rep AS STRING)) AS url",
@@ -177,9 +184,9 @@ def parcels(spark: SparkSession) -> DataFrame:
     rows = []
     for i in range(N_RECT):
         col, row = i % 8, i // 8
-        xmin = col * 4.5e0 + 0.25e0
+        xmin = col * 4.5e0 + 0.2505e0
         xmax = xmin + 3.5
-        ymin = row * 4e0 + 0.25e0
+        ymin = row * 4e0 + 0.2505e0
         ymax = ymin + 3.25
         wkt = (
             f"POLYGON (({xmin!r} {ymin!r}, {xmax!r} {ymin!r}, {xmax!r} {ymax!r}, "
@@ -202,6 +209,29 @@ def parcels(spark: SparkSession) -> DataFrame:
         "parcel_id BIGINT, kind STRING, geom_wkt STRING, xmin DOUBLE, ymin DOUBLE, "
         "xmax DOUBLE, ymax DOUBLE, cx DOUBLE, cy DOUBLE, a DOUBLE, b DOUBLE",
     )
+
+
+def circle_parcels(spark: SparkSession, n_vertices: int = 128) -> DataFrame:
+    """Bench-only parcel variant: 80 dense polygons (circle approximations,
+    ``n_vertices`` edges). Same engine machinery as parcels(); the per-
+    candidate PIP cost scales with edge count, making the refine stage
+    compute-dense — representative of real cadastral/field boundaries, which
+    average far more vertices than synthetic rectangles."""
+    import numpy as np
+
+    rows = []
+    for j in range(80):
+        cx = 2.2 + (j % 9) * 3.9
+        cy = 2.3 + (j // 9) * 3.3
+        r = 1.4
+        ang = np.linspace(0.0, 2.0 * np.pi, n_vertices + 1)[:-1]
+        xs = cx + r * np.cos(ang)
+        ys = cy + r * np.sin(ang)
+        pts_s = ", ".join(f"{x!r} {y!r}" for x, y in zip(xs, ys))
+        rows.append(
+            (j, "circle", f"POLYGON (({pts_s}, {xs[0]!r} {ys[0]!r}))")
+        )
+    return spark.createDataFrame(rows, "parcel_id BIGINT, kind STRING, geom_wkt STRING")
 
 
 def raster_tiles(spark: SparkSession, datasets: tuple[tuple[str, int, int], ...] = (
@@ -288,6 +318,26 @@ def merge_sources(spark: SparkSession) -> DataFrame:
         "CASE WHEN ix % 5 = 0 THEN value + 1 ELSE value END AS value",
     )
     return a.unionByName(b)
+
+
+def band_cells(spark: SparkSession) -> DataFrame:
+    """Sentinel-2-style band cells: 3 datatake passes over the grid, two UTM
+    zones, red/nir reflectance ints and an SCL mask at half resolution
+    (R14: scl keyed by (ix//2, iy//2), mirroring 20 m SCL vs 10 m bands)."""
+    n = GRID_NX * GRID_NY * 3
+    return spark.range(n).selectExpr(
+        "CAST(id % 3 AS INT) AS dt",
+        f"CAST((id div 3) % {GRID_NX} AS INT) AS ix",
+        f"CAST((id div 3) div {GRID_NX} AS INT) AS iy",
+    ).selectExpr(
+        f"CAST(CASE WHEN ix < {GRID_NX // 2} THEN 32614 ELSE 32615 END AS INT) AS zone",
+        "dt",
+        "ix",
+        "iy",
+        "CAST((ix * 7 + iy * 3 + dt * 11) % 5000 AS INT) AS red",
+        "CAST((ix * 5 + iy * 13 + dt * 3) % 7000 + 1000 AS INT) AS nir",
+        "CAST(((ix div 2) + (iy div 2) + dt) % 12 AS INT) AS scl",
+    )
 
 
 def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,8 +432,8 @@ ORACLE_TABLES: dict[str, str] = {
     """,
     "parcels": f"""
         SELECT i AS parcel_id, 'rect' AS kind,
-               (i % 8) * 4.5e0 + 0.25e0 AS xmin, (i // 8) * 4e0 + 0.25e0 AS ymin,
-               (i % 8) * 4.5e0 + 0.25e0 + 3.5e0 AS xmax, (i // 8) * 4e0 + 0.25e0 + 3.25e0 AS ymax,
+               (i % 8) * 4.5e0 + 0.2505e0 AS xmin, (i // 8) * 4e0 + 0.2505e0 AS ymin,
+               (i % 8) * 4.5e0 + 0.2505e0 + 3.5e0 AS xmax, (i // 8) * 4e0 + 0.2505e0 + 3.25e0 AS ymax,
                CAST(NULL AS DOUBLE) AS cx, CAST(NULL AS DOUBLE) AS cy,
                CAST(NULL AS DOUBLE) AS a, CAST(NULL AS DOUBLE) AS b
         FROM range({N_RECT}) t(i)
@@ -422,6 +472,22 @@ ORACLE_TABLES: dict[str, str] = {
         UNION ALL
         SELECT 'B', 2, ix, iy, CASE WHEN ix % 5 = 0 THEN value + 1 ELSE value END
         FROM raster_cells WHERE dataset = 'elevation' AND ix >= 64
+    """,
+    "band_cells": f"""
+        SELECT CAST(CASE WHEN ix < {GRID_NX // 2} THEN 32614 ELSE 32615 END AS INT) AS zone,
+               CAST(dt AS INT) AS dt, CAST(ix AS INT) AS ix, CAST(iy AS INT) AS iy,
+               CAST((ix * 7 + iy * 3 + dt * 11) % 5000 AS INT) AS red,
+               CAST((ix * 5 + iy * 13 + dt * 3) % 7000 + 1000 AS INT) AS nir,
+               CAST(((ix // 2) + (iy // 2) + dt) % 12 AS INT) AS scl
+        FROM range(3) d(dt), range({GRID_NX}) x(ix), range({GRID_NY}) y(iy)
+    """,
+    "ndvi_cells_oracle": """
+        SELECT zone, dt, ix, iy,
+               CASE WHEN scl IN (3, 8, 9, 10) THEN NULL
+                    ELSE floor((nir / 10000e0 - red / 10000e0)
+                               / (nir / 10000e0 + red / 10000e0) * 1024e0) / 1024e0
+               END AS ndvi
+        FROM band_cells
     """,
     "dedup_corpus": """
         SELECT doc_id, text FROM documents
@@ -473,6 +539,8 @@ _ORACLE_ORDER = [
     "point_parcel_truth",
     "raster_cells",
     "merge_sources",
+    "band_cells",
+    "ndvi_cells_oracle",
     "dedup_corpus",
     "doc_shingles",
     "components",

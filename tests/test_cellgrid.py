@@ -126,3 +126,23 @@ def test_compact_multilevel_and_coverage_preserved():
     out2 = cg.compact(lvl2[:-1])
     _, _, res = cg.decode(out2)
     assert sorted(res.tolist()) == [7, 7, 7, 8, 8, 8]
+
+
+def test_jvm_cell_of_matches_numpy(spark=None):
+    """The Catalyst bit-op cell_of must equal the numpy kernel everywhere."""
+    import pytest
+    pytest.importorskip("pyspark")
+    from demeter_spark.session import get_spark
+    from demeter_spark.functions.spark_udfs import cell_of, cell_of_pandas
+    from pyspark.sql import functions as F
+
+    s = get_spark(shuffle_partitions=8)
+    pts = s.range(20000).selectExpr(
+        "((id * 2654435761) % 360000) / 1000e0 - 180 AS lon",
+        "((id * 40503) % 180000) / 1000e0 - 90 AS lat",
+    )
+    for res in (0, 5, 10, 20, 26):
+        bad = pts.withColumn("a", cell_of(F.col("lon"), F.col("lat"), res)) \
+                 .withColumn("b", cell_of_pandas(F.col("lon"), F.col("lat"), res)) \
+                 .filter("a != b").count()
+        assert bad == 0, f"res {res}: {bad} mismatches"

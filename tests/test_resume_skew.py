@@ -1,0 +1,97 @@
+"""Resumability (lineage commits), skew salting equivalence, and the
+streaming incremental skin — the north rule's operational requirements."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from demeter_spark.operators import joins
+from demeter_spark.plans.lineage import LineageLog
+from demeter_spark.plans import skew
+from demeter_spark.sources import synth
+from tests.conftest import SF_DIR
+
+
+def test_lineage_resume_skips_committed_parts(spark, tmp_path):
+    base = str(tmp_path / "lineage")
+    log = LineageLog(spark, base)
+    pages = synth.pages(spark, SF_DIR).withColumn(
+        "bucket", F.pmod(F.col("doc_id"), F.lit(8))
+    )
+    fp = "pages-v1"
+
+    # simulated crash: first run only manages parts 0-3
+    partial = pages.filter("bucket < 4")
+    n1 = log.write_increment("geocode", partial, "bucket", fp)
+    assert n1 == 4
+
+    # resumed run over the full input: only the missing 4 parts are written
+    n2 = log.write_increment("geocode", pages, "bucket", fp)
+    assert n2 == 4
+    # third run: nothing to do
+    assert log.write_increment("geocode", pages, "bucket", fp) == 0
+
+    # data is complete and exactly once
+    out = log.read_stage("geocode")
+    assert out.count() == pages.count()
+    assert out.select("doc_id").distinct().count() == pages.count()
+
+    # metrics table carries per-partition row counts
+    m = {r["part"]: r["n_rows"] for r in log.metrics().filter("stage='geocode'").collect()}
+    expected = {
+        r["bucket"]: r["n"]
+        for r in pages.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert m == expected
+
+    # a changed input fingerprint invalidates commits (full recompute)
+    assert log.write_increment("geocode", pages, "bucket", "pages-v2") == 8
+
+
+def test_salted_join_equals_plain_join(spark, ddb):
+    pts = synth.page_points(spark, SF_DIR)
+    par = synth.parcels(spark)
+    plain = {
+        (r["url"], r["parcel_id"])
+        for r in joins.spatial_join(pts, par, res=8).collect()
+    }
+    # detect hot cells honestly from the data (place 0 holds ~25% of pages)
+    from demeter_spark.functions.spark_udfs import cell_of
+
+    with_cell = pts.withColumn("_cell", cell_of(F.col("lon"), F.col("lat"), 8))
+    hot = skew.detect_hot_cells(with_cell, threshold_ratio=0.05)
+    assert hot, "synthetic skew must produce hot cells"
+    salted = {
+        (r["url"], r["parcel_id"])
+        for r in joins.spatial_join(
+            pts, par, res=8, broadcast_cover=False, hot_cells=hot
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_streaming_incremental_exactly_once(spark, tmp_path):
+    from demeter_spark.streaming.incremental import incremental_geocode
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = synth.pages(spark, SF_DIR)
+
+    # batch 1 arrives
+    pages.filter("doc_id % 2 = 0").write.mode("append").parquet(in_dir)
+    incremental_geocode(spark, in_dir, out_dir, ckpt)
+    n1 = spark.read.parquet(out_dir).count()
+
+    # re-run with no new data: nothing reprocessed
+    incremental_geocode(spark, in_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == n1
+
+    # batch 2 arrives: only the new files are processed
+    pages.filter("doc_id % 2 = 1").write.mode("append").parquet(in_dir)
+    incremental_geocode(spark, in_dir, out_dir, ckpt)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == synth.page_points(spark, SF_DIR).count()
+    assert out.select("url").distinct().count() == out.count()

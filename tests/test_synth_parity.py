@@ -107,6 +107,21 @@ def test_soil_tables_parity(spark, ddb):
         _compare(s, d)
 
 
+def test_no_scaled_point_on_rect_boundary(spark):
+    """The bench-scale replication must also avoid boundary-exact points
+    (regression: jitter sums used to land exactly on 0.25-grid rect edges)."""
+    from pyspark.sql import functions as F
+
+    pts = synth.scaled_page_points(spark, SF_DIR, 50)
+    par = synth.parcels(spark).collect()
+    edges_x = [r["xmin"] for r in par] + [r["xmax"] for r in par]
+    edges_y = [r["ymin"] for r in par] + [r["ymax"] for r in par]
+    n = pts.filter(
+        F.col("lon").isin(edges_x) | F.col("lat").isin(edges_y)
+    ).count()
+    assert n == 0
+
+
 def test_no_point_on_parcel_boundary(spark):
     """Strict-vs-inclusive boundary semantics never matter: no synthetic point
     coordinate coincides with any parcel edge coordinate."""
