@@ -296,6 +296,87 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), 5)
 
 
+def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over the events stream table (batch view of
+    the streaming agg; windows via F.window)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-min inactivity gap per user (lag + cumulative
+    sum window frames, W3)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w_user)
+    )
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def _q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (classic partial+final agg)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_users_vs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 set ops: event users intersect / except customer keys."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("uid")
+    ).distinct()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("bigint").alias("uid")
+    ).distinct()
+    both = ev.intersect(cust).withColumn("tag", F.lit("both"))
+    only_ev = ev.exceptAll(cust).withColumn("tag", F.lit("events_only"))
+    return both.unionByName(only_ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
@@ -324,6 +405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
+        "events_tumbling": _q_events_tumbling,
+        "events_sessions": _q_events_sessions,
+        "tpch_pricing": _q_tpch_pricing,
+        "users_vs_customers": _q_users_vs_customers,
     }
 
 
@@ -643,6 +728,69 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_bruteforce": oracle_query(_ann_oracle_tail(pruned=False)),
         "ann_ivf": oracle_query(_ann_oracle_tail(pruned=True)),
+        "events_tumbling": oracle_query(
+            """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+            """,
+            (),
+        ),
+        "events_sessions": oracle_query(
+            """
+            SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM (
+              SELECT user_id, ts,
+                     CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS session_id
+              FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                 OR date_diff('second',
+                                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                      ts) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+              )
+            ) GROUP BY user_id, session_id
+            """,
+            (),
+        ),
+        "tpch_pricing": oracle_query(
+            """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            """,
+            (),
+        ),
+        "users_vs_customers": oracle_query(
+            """
+            SELECT uid, 'both' AS tag FROM (
+              SELECT DISTINCT user_id AS uid FROM events
+              INTERSECT
+              SELECT DISTINCT CAST(c_custkey AS BIGINT) FROM customer
+            )
+            UNION ALL
+            SELECT uid, 'events_only' FROM (
+              SELECT DISTINCT user_id AS uid FROM events
+              EXCEPT
+              SELECT DISTINCT CAST(c_custkey AS BIGINT) FROM customer
+            )
+            """,
+            (),
+        ),
         "merge_conflicts": oracle_query(
             """
             SELECT ix, iy,
