@@ -81,20 +81,26 @@ def points_in_ring(
     boundary may land either way — synthetic fixtures avoid boundary-exact
     points (see sources/synth.py) so results are oracle-stable.
 
-    O(n_points * n_edges) with full broadcasting; candidate batches arrive
-    pre-grouped by polygon from the cover join so n_edges stays small.
+    O(n_points * n_edges) but looped over edges with vectorized point
+    arrays: temporaries stay O(n_points) (cache-resident) instead of
+    materializing an (n_points, n_edges) matrix — arithmetic-bound rather
+    than memory-bandwidth-bound for many-vertex polygons.
     """
-    px = np.asarray(px, dtype=np.float64)[:, None]
-    py = np.asarray(py, dtype=np.float64)[:, None]
-    x0 = np.asarray(xs, dtype=np.float64)[None, :]
-    y0 = np.asarray(ys, dtype=np.float64)[None, :]
-    x1 = np.roll(xs, -1)[None, :]
-    y1 = np.roll(ys, -1)[None, :]
-    straddles = (y0 > py) != (y1 > py)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    x1 = np.roll(xs, -1)
+    y1 = np.roll(ys, -1)
+    inside = np.zeros(len(px), dtype=bool)
     with np.errstate(divide="ignore", invalid="ignore"):
-        xcross = (x1 - x0) * (py - y0) / (y1 - y0) + x0
-    hits = straddles & (px < xcross)
-    return (hits.sum(axis=1) % 2).astype(bool)
+        for j in range(len(xs)):
+            straddle = (ys[j] > py) != (y1[j] > py)
+            if not straddle.any():
+                continue
+            xcross = (x1[j] - xs[j]) * (py - ys[j]) / (y1[j] - ys[j]) + xs[j]
+            inside ^= straddle & (px < xcross)
+    return inside
 
 
 def points_in_rings_grouped(

@@ -136,41 +136,35 @@ def spatial_join(
         cand = pts.join(covers, pts["_cell"] == covers["cell"], "inner").drop("cell")
 
     # filter-refine fast path, single pass: candidates in fully-interior
-    # cover cells are exact matches (no boundary can cross them) and are
-    # passed through; only boundary-cell candidates run the vectorized PIP
-    # kernel. One mapInPandas over the candidate stream — the upstream
-    # join/scan executes exactly once (a two-branch filter+union would
-    # recompute it per branch).
-    import numpy as np
-
+    # cover cells are exact matches (no boundary can cross them); only
+    # boundary-cell candidates run the vectorized PIP kernel. One boolean
+    # pandas UDF over FOUR narrow columns — the upstream join executes once
+    # (no branch-and-union recompute) and wide row payloads (urls, html)
+    # never cross the Arrow boundary.
     rings = {
         int(r["parcel_id"]): geom.parse_wkt_rings(r["geom_wkt"])
         for r in parcels.select("parcel_id", "geom_wkt").collect()
     }
     bc = spark.sparkContext.broadcast(rings)
-    drop = {"_cell", "full"}
-    keep_fields = [f for f in cand.schema.fields if f.name not in drop]
-    keep_cols = [f.name for f in keep_fields]
-    from pyspark.sql.types import StructType
 
-    out_schema = StructType(keep_fields)
+    @F.pandas_udf(BooleanType())
+    def _keep(
+        plon: pd.Series, plat: pd.Series, pid: pd.Series, full: pd.Series
+    ) -> pd.Series:
+        ok = full.to_numpy(dtype=bool).copy()
+        need = ~ok
+        if need.any():
+            ok[need] = geom.points_in_rings_grouped(
+                plon.to_numpy()[need],
+                plat.to_numpy()[need],
+                pid.to_numpy()[need],
+                bc.value,
+            )
+        return pd.Series(ok)
 
-    def _refine(batches):
-        rng = bc.value
-        for pdf in batches:
-            full_mask = pdf["full"].to_numpy(dtype=bool)
-            ok = full_mask.copy()
-            need = ~full_mask
-            if need.any():
-                ok[need] = geom.points_in_rings_grouped(
-                    pdf[lon].to_numpy()[need],
-                    pdf[lat].to_numpy()[need],
-                    pdf["parcel_id"].to_numpy()[need],
-                    rng,
-                )
-            yield pdf.loc[ok, keep_cols]
-
-    return cand.mapInPandas(_refine, out_schema)
+    return cand.filter(
+        _keep(F.col(lon), F.col(lat), F.col("parcel_id"), F.col("full"))
+    ).drop("_cell", "full")
 
 
 def knn_join(
