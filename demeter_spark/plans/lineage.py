@@ -100,3 +100,19 @@ class LineageLog:
 
     def read_stage(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.base_dir, stage))
+
+
+def observe_stage(df: DataFrame, name: str):
+    """Attach a zero-cost row-count/metric observation to a stage.
+
+    Returns (df, Observation); after any action on df, ``obs.get`` yields
+    {'n_rows': ...} — per-stage metrics without a second pass (the
+    Observation API rides the existing action). Feed the result into
+    LineageLog or assertions (the reference's validated-merge / disjointness
+    checks, SURVEY.md J5/P6, become observations here).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("n_rows")), obs

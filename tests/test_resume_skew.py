@@ -95,3 +95,43 @@ def test_streaming_incremental_exactly_once(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == synth.page_points(spark, SF_DIR).count()
     assert out.select("url").distinct().count() == out.count()
+
+
+def test_observe_stage_metrics(spark):
+    from demeter_spark.plans.lineage import observe_stage
+
+    pts = synth.page_points(spark, SF_DIR)
+    df, obs = observe_stage(pts, "geocode")
+    n = df.count()
+    assert obs.get["n_rows"] == n > 0
+
+
+def test_streaming_windowed_watermark(spark, tmp_path):
+    """Watermarked tumbling windows emit exactly once; late-arriving batches
+    past the watermark do not duplicate already-emitted windows."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.streaming.windowed import windowed_event_counts
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # batch 1: first half of the timeline
+    lohi = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = lohi["lo"] + (lohi["hi"] - lohi["lo"]) / 2
+    ev.filter(F.col("ts") <= F.lit(mid)).write.mode("append").parquet(in_dir)
+    windowed_event_counts(spark, in_dir, out_dir, ckpt)
+    n1 = spark.read.parquet(out_dir).count()
+
+    # batch 2: the rest arrives; watermark advances, more windows close
+    ev.filter(F.col("ts") > F.lit(mid)).write.mode("append").parquet(in_dir)
+    windowed_event_counts(spark, in_dir, out_dir, ckpt)
+    out = spark.read.parquet(out_dir)
+    n2 = out.count()
+    assert n2 >= n1
+    # no window/event_type pair emitted twice
+    assert (
+        out.groupBy("window_start", "event_type").count().filter("count > 1").count()
+        == 0
+    )
