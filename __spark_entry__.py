@@ -381,6 +381,62 @@ def _q_users_vs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only_ev)
 
 
+def _q_remap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 + A13: pixel value -> catchment id via broadcast dim lookup (miss
+    -> NULL) + pixel-count histogram per catchment."""
+    from demeter_spark.sources import synth
+    from pyspark.sql import functions as F
+
+    cells = synth.raster_cells(spark).filter(F.col("dataset") == "elevation")
+    dim = spark.range(10).selectExpr(
+        "id AS vid", "1000 + id * 7 AS catchment_id"
+    )
+    return (
+        cells.withColumn("vid", (F.col("value").cast("bigint") % 13))
+        .join(F.broadcast(dim), "vid", "left")
+        .groupBy("catchment_id")
+        .agg(F.count("*").alias("n_cells"))
+    )
+
+
+def _q_parcel_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: bounds aggregate (total_bounds analogue) per parcel kind."""
+    from demeter_spark.sources import synth
+    from pyspark.sql import functions as F
+
+    return synth.parcels(spark).groupBy("kind").agg(
+        F.min("xmin").alias("bx0"),
+        F.min("ymin").alias("by0"),
+        F.max("xmax").alias("bx1"),
+        F.max("ymax").alias("by1"),
+    )
+
+
+def _q_site_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13/O4/O5: startswith filter + distinct + sort + limit."""
+    from demeter_spark.sources import synth
+    from pyspark.sql import functions as F
+
+    return (
+        synth.pages(spark, sf_dir)
+        .filter(F.col("url").startswith("https://site1"))
+        .select(F.substring("url", 1, 14).alias("site_prefix"))
+        .distinct()
+        .orderBy("site_prefix")
+        .limit(20)
+    )
+
+
+def _q_merge_var_around_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: per-cell variance of sources around a given mean raster."""
+    from demeter_spark.operators import tilemerge
+    from demeter_spark.sources import synth
+
+    src = synth.merge_sources(spark)
+    mean_cells = tilemerge.merge_cells(src).select("ix", "iy", "mean_value")
+    return tilemerge.merge_variance_around_mean(src, mean_cells)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
@@ -409,6 +465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
+        "remap_histogram": _q_remap_histogram,
+        "parcel_bounds": _q_parcel_bounds,
+        "site_prefixes": _q_site_prefixes,
+        "merge_var_around_mean": _q_merge_var_around_mean,
         "events_tumbling": _q_events_tumbling,
         "events_sessions": _q_events_sessions,
         "tpch_pricing": _q_tpch_pricing,
@@ -732,6 +792,46 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_bruteforce": oracle_query(_ann_oracle_tail(pruned=False)),
         "ann_ivf": oracle_query(_ann_oracle_tail(pruned=True)),
+        "remap_histogram": oracle_query(
+            """
+            SELECT CASE WHEN CAST(value AS BIGINT) % 13 < 10
+                        THEN 1000 + (CAST(value AS BIGINT) % 13) * 7 END AS catchment_id,
+                   CAST(count(*) AS BIGINT) AS n_cells
+            FROM raster_cells WHERE dataset = 'elevation'
+            GROUP BY 1
+            """,
+            ("raster_cells",),
+        ),
+        "parcel_bounds": oracle_query(
+            """
+            SELECT kind, min(xmin) AS bx0, min(ymin) AS by0,
+                   max(xmax) AS bx1, max(ymax) AS by1
+            FROM parcels GROUP BY kind
+            """,
+            ("parcels",),
+        ),
+        "site_prefixes": oracle_query(
+            """
+            SELECT DISTINCT substr(url, 1, 14) AS site_prefix FROM pages
+            WHERE url LIKE 'https://site1%'
+            ORDER BY site_prefix LIMIT 20
+            """,
+            ("pages",),
+        ),
+        "merge_var_around_mean": oracle_query(
+            """
+            , m AS (
+              SELECT ix, iy, sum(value) / count(value) AS mean_value
+              FROM merge_sources GROUP BY ix, iy
+            )
+            SELECT s.ix, s.iy,
+                   sum((s.value - m.mean_value) * (s.value - m.mean_value))
+                     / count(s.value) AS var_around_mean
+            FROM merge_sources s JOIN m USING (ix, iy)
+            GROUP BY s.ix, s.iy
+            """,
+            ("merge_sources",),
+        ),
         "events_tumbling": oracle_query(
             """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) for the numpy cores — randomized
+invariants beyond the reference's example-based strategy (SURVEY.md §5)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from demeter_spark.functions import cellgrid as cg
+from demeter_spark.functions import geom
+
+lons = st.floats(min_value=-180.0, max_value=179.999999, allow_nan=False)
+lats = st.floats(min_value=-90.0, max_value=89.999999, allow_nan=False)
+resolutions = st.integers(min_value=0, max_value=26)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lons, lat=lats, res=resolutions)
+def test_cell_contains_its_point(lon, lat, res):
+    cell = cg.cell_of(np.array([lon]), np.array([lat]), res)
+    x0, y0, x1, y1 = cg.cell_bounds(cell)
+    assert x0[0] - 1e-9 <= lon <= x1[0] + 1e-9
+    assert y0[0] - 1e-9 <= lat <= y1[0] + 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon=lons, lat=lats, res=st.integers(min_value=1, max_value=26))
+def test_parent_is_cell_at_coarser_res(lon, lat, res):
+    fine = cg.cell_of(np.array([lon]), np.array([lat]), res)
+    coarse = cg.cell_of(np.array([lon]), np.array([lat]), res - 1)
+    assert cg.parent(fine)[0] == coarse[0]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    lon=lons,
+    lat=lats,
+    res=st.integers(min_value=2, max_value=24),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_kring_symmetry(lon, lat, res, k):
+    """If b is in kring(a, k) then a is in kring(b, k) (away from poles,
+    where clamping breaks symmetry by design)."""
+    _, iy, _ = cg.decode(cg.cell_of(np.array([lon]), np.array([lat]), res))
+    n = 1 << res
+    if iy[0] < k or iy[0] >= n - k:
+        return  # clamped latitude band: symmetry intentionally broken
+    a = cg.cell_of(np.array([lon]), np.array([lat]), res)
+    ring = cg.kring(a, k)[0]
+    for b in np.unique(ring):
+        _, biy, _ = cg.decode(np.array([b]))
+        if biy[0] < k or biy[0] >= n - k:
+            continue
+        back = set(cg.kring(np.array([b]), k)[0].tolist())
+        assert int(a[0]) in back
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.data(),
+    res=st.integers(min_value=4, max_value=9),
+)
+def test_polyfill_conservative_on_random_convex(data, res):
+    """Every point inside a random convex polygon falls in a polyfill cell."""
+    n_vert = data.draw(st.integers(min_value=3, max_value=12))
+    cx = data.draw(st.floats(min_value=-100, max_value=100))
+    cy = data.draw(st.floats(min_value=-60, max_value=60))
+    r = data.draw(st.floats(min_value=0.01, max_value=15.0))
+    ang = np.sort(
+        np.array(
+            data.draw(
+                st.lists(
+                    st.floats(min_value=0, max_value=2 * np.pi),
+                    min_size=n_vert,
+                    max_size=n_vert,
+                    unique=True,
+                )
+            )
+        )
+    )
+    xs = np.clip(cx + r * np.cos(ang), -179.9, 179.9)
+    ys = np.clip(cy + r * np.sin(ang), -89.9, 89.9)
+    if geom.polygon_area(xs, ys) <= 0:
+        return
+    cover = set(cg.polyfill(xs, ys, res).tolist())
+    rng = np.random.default_rng(0)
+    px = rng.uniform(xs.min(), xs.max(), 300)
+    py = rng.uniform(ys.min(), ys.max(), 300)
+    inside = geom.points_in_ring(px, py, xs, ys)
+    cells = cg.cell_of(px[inside], py[inside], res)
+    assert all(int(c) in cover for c in cells)
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=st.data())
+def test_compact_preserves_point_membership(data):
+    """compact() covers exactly the same points: a point's ancestor chain
+    hits the compacted set iff its cell was in the original set."""
+    res = data.draw(st.integers(min_value=3, max_value=8))
+    n = 1 << res
+    cells = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n - 1),
+                st.integers(min_value=0, max_value=n - 1),
+            ),
+            min_size=1,
+            max_size=40,
+            unique=True,
+        )
+    )
+    ix = np.array([c[0] for c in cells])
+    iy = np.array([c[1] for c in cells])
+    original = set(cg.encode(ix, iy, res).tolist())
+    compacted = set(cg.compact(np.array(sorted(original))).tolist())
+    # sample points in every original cell and some outside cells
+    all_ix = np.concatenate([ix, (ix + n // 2) % n])
+    all_iy = np.concatenate([iy, iy])
+    lon = -180.0 + (all_ix + 0.5) * (360.0 / n)
+    lat = -90.0 + (all_iy + 0.5) * (180.0 / n)
+    pc = cg.cell_of(lon, lat, res)
+    anc = cg.ancestors(pc, 0)
+    for j in range(len(lon)):
+        in_original = int(pc[j]) in original
+        in_compacted = any(int(a) in compacted for a in anc[j])
+        assert in_original == in_compacted
