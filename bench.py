@@ -74,6 +74,15 @@ def main() -> None:
     timings["q1_spatial_join"] = best
 
     if mode != "scaling":
+        # q4: raster<->vector tiling/zonal stats (the "tiling" half of the
+        # headline metric): cells -> cover join -> per-parcel aggregates
+        from demeter_spark.operators import zonal
+
+        t0 = time.time()
+        z = zonal.zonal_stats(synth.raster_cells(spark), synth.parcels(spark))
+        rows["q4_zonal"] = z.count()
+        timings["q4_zonal"] = time.time() - t0
+
         t0 = time.time()
         pages = synth.pages(spark, sf_dir)
         rows["q2_extract_text"] = pages.selectExpr(

@@ -1,0 +1,37 @@
+"""Bucketed co-located join must be exchange-free at query time."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from demeter_spark.functions.spark_udfs import cell_of
+from demeter_spark.operators import joins
+from demeter_spark.plans import bucketing
+from demeter_spark.sources import synth
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_cover_join_has_no_shuffle(spark, tmp_path):
+    pts = synth.page_points(spark, SF_DIR).withColumn(
+        "cell", cell_of(F.col("lon"), F.col("lat"), 8)
+    )
+    covers = joins.parcel_covers(synth.parcels(spark), res=8)
+
+    bucketing.write_bucketed(pts, "pts_b", "cell", n_buckets=8)
+    bucketing.write_bucketed(covers, "covers_b", "cell", n_buckets=8)
+
+    joined = bucketing.colocated_join(spark, "pts_b", "covers_b", "cell")
+    # disable broadcast so the join would normally shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and it still produces the right candidate multiset
+        expected = (
+            pts.join(covers, "cell").count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS pts_b")
+        spark.sql("DROP TABLE IF EXISTS covers_b")
