@@ -1,0 +1,95 @@
+"""Custom stateful streaming operator: per-user session aggregation with
+``applyInPandasWithState``.
+
+The reference has no streaming state (SURVEY.md §2.10); this supplies the
+task-mandated custom stateful operator class: sessions are accumulated in
+GroupState across micro-batches (count + span) and emitted exactly once when
+a later event proves the gap was exceeded (NoTimeout: with AvailableNow
+triggers a processing-time timeout would keep the query alive waiting to
+fire; the trailing open session stays in state for the next increment). The same 30-minute gap semantics as the
+batch sessionizer (__spark_entry__._q_events_sessions) — one logical
+operator, batch and streaming flavors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from demeter_spark.streaming.windowed import EVENTS_SCHEMA
+
+SESSION_GAP_S = 1800
+OUT_SCHEMA = (
+    "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, n_events BIGINT"
+)
+STATE_SCHEMA = "start BIGINT, end BIGINT, n BIGINT"  # microseconds
+
+
+def _sessionize(
+    key: Tuple[Any], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's events into the user's open session; emit
+    every session that closes (gap exceeded). State = (start, end, n)."""
+    (user_id,) = key
+    ts = (
+        pd.concat([b["ts"] for b in batches])
+        .sort_values()
+        .astype("int64")
+        .to_numpy()
+        // 1000  # ns -> us (integers: no float precision loss)
+    )
+    closed = []
+    if state.exists:
+        cur_s, cur_e, cur_n = state.get
+    else:
+        cur_s = cur_e = int(ts[0])
+        cur_n = 0
+        ts_iter_start = 0
+    for t in ts:
+        if cur_n > 0 and t - cur_e > SESSION_GAP_S * 1_000_000:
+            closed.append((cur_s, cur_e, cur_n))
+            cur_s, cur_e, cur_n = int(t), int(t), 1
+        else:
+            cur_e = int(t)
+            cur_n += 1
+            if cur_n == 1:
+                cur_s = int(t)
+    state.update((cur_s, cur_e, cur_n))
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [n for _, _, n in closed],
+            }
+        )
+
+
+def streaming_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Run the stateful sessionizer incrementally (AvailableNow)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

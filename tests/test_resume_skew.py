@@ -135,3 +135,36 @@ def test_streaming_windowed_watermark(spark, tmp_path):
         out.groupBy("window_start", "event_type").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_stateful_streaming_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions closed by a later batch
+    must match the batch sessionizer's gap semantics."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.streaming.stateful import streaming_sessions
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lohi = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = lohi["lo"] + (lohi["hi"] - lohi["lo"]) / 2
+
+    ev.filter(F.col("ts") <= F.lit(mid)).write.mode("append").parquet(in_dir)
+    streaming_sessions(spark, in_dir, out_dir, ckpt)
+    ev.filter(F.col("ts") > F.lit(mid)).write.mode("append").parquet(in_dir)
+    streaming_sessions(spark, in_dir, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() > 0
+    # closed sessions must be a subset of the batch sessionizer's sessions
+    import __spark_entry__ as m
+
+    batch = m.queries()["events_sessions"](spark, SF_DIR).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    missing = got.join(
+        batch, ["user_id", "session_start", "session_end", "n_events"], "left_anti"
+    )
+    assert missing.count() == 0, missing.limit(5).collect()
