@@ -300,6 +300,26 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), 5)
 
 
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.999 — engineered exact dups)."""
+    from demeter_spark.operators import simsearch
+    from demeter_spark.sources import synth
+
+    return simsearch.embedding_near_dup_pairs(synth.emb_corpus(spark, sf_dir))
+
+
+def _q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-IVF ANN: nearest-centroid assignment + multi-probe search;
+    approximate, so rows-only driver check + pytest recall vs brute force."""
+    from demeter_spark.operators import simsearch
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return simsearch.ivf_multiprobe_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_probe=3
+    )
+
+
 def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows over the events stream table (batch view of
     the streaming agg; windows via F.window)."""
@@ -465,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_multiprobe": _q_ann_ivf_multiprobe,
+        "dedup_embedding": _q_dedup_embedding,
         "remap_histogram": _q_remap_histogram,
         "parcel_bounds": _q_parcel_bounds,
         "site_prefixes": _q_site_prefixes,
@@ -831,6 +853,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.ix, s.iy
             """,
             ("merge_sources",),
+        ),
+        "dedup_embedding": oracle_query(
+            """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM emb_corpus a, emb_corpus b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.999
+            """,
+            ("emb_corpus",),
         ),
         "events_tumbling": oracle_query(
             """

@@ -355,6 +355,18 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(near).unionByName(exact)
 
 
+def emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus exact duplicates of every 5th vector — the embedding-
+    cosine near-dup fixture (cos = 1 pairs by construction)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dups = emb.filter("vec_id % 5 = 0").selectExpr(
+        "vec_id + 10000 AS vec_id", "embedding"
+    )
+    return emb.unionByName(dups)
+
+
 def components(spark: SparkSession) -> DataFrame:
     """SSURGO-style components: 3 per parcel, engineered comppct ties,
     majcompflag filter column (ssurgo.py:42-57)."""
@@ -501,6 +513,11 @@ ORACLE_TABLES: dict[str, str] = {
         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM dedup_corpus) c,
              UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
     """,
+    "emb_corpus": """
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 5 = 0
+    """,
     "components": f"""
         SELECT i AS component_key,
                CASE WHEN i // 3 < 64 THEN i // 3 ELSE 100 + (i // 3 - 64) END AS parcel_id,
@@ -543,6 +560,7 @@ _ORACLE_ORDER = [
     "ndvi_cells_oracle",
     "dedup_corpus",
     "doc_shingles",
+    "emb_corpus",
     "components",
     "horizons",
     "fragments",

@@ -57,3 +57,31 @@ def test_jaccard_max_df_is_subset(spark):
         for r in dedup.jaccard_pairs(corpus, 0.6, max_df=10).collect()
     }
     assert capped <= full
+
+
+def test_ivf_multiprobe_recall(spark):
+    """Multi-probe IVF recall vs brute force must beat the single-cell share
+    (evidence the probing works), and every result must appear in the
+    brute-force universe."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.operators import simsearch
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch.brute_force_topk(emb, q, 5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch.ivf_multiprobe_topk(emb, q, 5, n_probe=3).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.35, recall  # 3/10 cells probed; must beat random-ish floor
+    # full probe = exhaustive: recall 1.0
+    got_all = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch.ivf_multiprobe_topk(emb, q, 5, n_probe=10).collect()
+    }
+    assert got_all == truth
