@@ -500,7 +500,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _CONTAINS = """c.cx > pa.xmin AND c.cx < pa.xmax AND c.cy > pa.ymin AND c.cy < pa.ymax
          AND (pa.kind = 'rect'
-              OR abs(c.cx - pa.cx) * pa.b + abs(c.cy - pa.cy) * pa.a < pa.a * pa.b)"""
+              OR (pa.kind = 'diamond' AND
+                  abs(c.cx - pa.cx) * pa.b + abs(c.cy - pa.cy) * pa.a < pa.a * pa.b)
+              OR (pa.kind = 'holed' AND NOT (c.cx > pa.cx AND c.cx < pa.a
+                                             AND c.cy > pa.cy AND c.cy < pa.b)))"""
 
 
 def _jaccard_oracle_tail(threshold: float) -> str:

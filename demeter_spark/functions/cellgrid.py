@@ -195,18 +195,31 @@ def polyfill(
     Mirrors (and generalizes) the reference's tile-cover enumeration
     (demeter/raster/utils.py:33-57 ``bounds_snapped_to_grid``).
     """
+    return polyfill_part([(np.asarray(xs), np.asarray(ys))], res, classify=classify)
+
+
+def polyfill_part(
+    rings: list[tuple[np.ndarray, np.ndarray]], res: int, classify: bool = False
+):
+    """polyfill for one polygon part with holes: rings[0] = outer boundary,
+    rings[1:] = holes. Interior = even-odd (center inside an odd number of
+    rings); boundary supercover samples every ring (hole boundaries count),
+    so 'full' cells are provably clear of outer AND hole edges.
+    """
     from demeter_spark.functions import geom as _geom
 
-    xs = np.asarray(xs, dtype=np.float64)
-    ys = np.asarray(ys, dtype=np.float64)
+    outer_xs, outer_ys = (
+        np.asarray(rings[0][0], dtype=np.float64),
+        np.asarray(rings[0][1], dtype=np.float64),
+    )
     n = 1 << res
     lon_sz = 360.0 / n
     lat_sz = 180.0 / n
 
-    ix0 = max(int(np.floor((xs.min() + 180.0) / lon_sz)) - 1, 0)
-    ix1 = min(int(np.floor((xs.max() + 180.0) / lon_sz)) + 1, n - 1)
-    iy0 = max(int(np.floor((ys.min() + 90.0) / lat_sz)) - 1, 0)
-    iy1 = min(int(np.floor((ys.max() + 90.0) / lat_sz)) + 1, n - 1)
+    ix0 = max(int(np.floor((outer_xs.min() + 180.0) / lon_sz)) - 1, 0)
+    ix1 = min(int(np.floor((outer_xs.max() + 180.0) / lon_sz)) + 1, n - 1)
+    iy0 = max(int(np.floor((outer_ys.min() + 90.0) / lat_sz)) - 1, 0)
+    iy1 = min(int(np.floor((outer_ys.max() + 90.0) / lat_sz)) + 1, n - 1)
 
     gx = np.arange(ix0, ix1 + 1, dtype=np.int64)
     gy = np.arange(iy0, iy1 + 1, dtype=np.int64)
@@ -214,16 +227,28 @@ def polyfill(
     cy = -90.0 + (gy + 0.5) * lat_sz
     mx, my = np.meshgrid(cx, cy, indexing="ij")
     mix, miy = np.meshgrid(gx, gy, indexing="ij")
-    inside = _geom.points_in_ring(mx.ravel(), my.ravel(), xs, ys)
+    inside = np.zeros(mx.size, dtype=bool)
+    for rxs, rys in rings:
+        inside ^= _geom.points_in_ring(
+            mx.ravel(), my.ravel(), np.asarray(rxs), np.asarray(rys)
+        )
     interior_ix = mix.ravel()[inside]
     interior_iy = miy.ravel()[inside]
 
-    # Boundary supercover: sample each edge densely (<= half min cell size),
-    # then dilate one ring — guarantees every boundary-touching cell appears.
+    # Boundary supercover: sample each edge of EVERY ring densely (<= half
+    # min cell size), then dilate one ring of cells — guarantees every
+    # boundary-touching cell appears.
     step = 0.5 * min(lon_sz, lat_sz)
-    ex0, ey0 = xs, ys
-    ex1 = np.roll(xs, -1)
-    ey1 = np.roll(ys, -1)
+    xs = np.concatenate([np.asarray(r[0], dtype=np.float64) for r in rings])
+    ex0 = xs
+    ey0 = np.concatenate([np.asarray(r[1], dtype=np.float64) for r in rings])
+    ys = ey0
+    ex1 = np.concatenate(
+        [np.roll(np.asarray(r[0], dtype=np.float64), -1) for r in rings]
+    )
+    ey1 = np.concatenate(
+        [np.roll(np.asarray(r[1], dtype=np.float64), -1) for r in rings]
+    )
     seg_len = np.hypot(ex1 - ex0, ey1 - ey0)
     n_samp = np.maximum((seg_len / step).astype(np.int64) + 2, 2)
     total = int(n_samp.sum())

@@ -18,11 +18,15 @@ import numpy as np
 _NUM = re.compile(r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?")
 
 
-def parse_wkt_rings(wkt: str) -> list[tuple[np.ndarray, np.ndarray]]:
-    """POLYGON/MULTIPOLYGON WKT -> list of outer rings as (xs, ys) arrays.
+Ring = tuple[np.ndarray, np.ndarray]
 
-    Each MULTIPOLYGON part contributes its first (outer) ring; interior rings
-    (holes) are not supported and raise.
+
+def parse_wkt_polygons(wkt: str) -> list[list[Ring]]:
+    """POLYGON/MULTIPOLYGON WKT -> list of parts, each a list of rings
+    (first ring = outer boundary, remaining rings = holes).
+
+    Point-in-polygon uses even-odd semantics per part (outer xor holes),
+    OR'd across multipolygon parts.
     """
     wkt = wkt.strip()
     upper = wkt.upper()
@@ -33,18 +37,29 @@ def parse_wkt_rings(wkt: str) -> list[tuple[np.ndarray, np.ndarray]]:
         groups = _split_top_level(body)
     else:
         raise ValueError(f"unsupported WKT type: {wkt[:30]}")
-    rings: list[tuple[np.ndarray, np.ndarray]] = []
+    parts: list[list[Ring]] = []
     for g in groups:
         ring_strs = _split_top_level(g[g.index("(") + 1 : g.rindex(")")])
-        if len(ring_strs) > 1:
-            raise ValueError("polygon holes are not supported")
-        nums = np.array(_NUM.findall(ring_strs[0]), dtype=np.float64)
-        xs = nums[0::2]
-        ys = nums[1::2]
-        if xs[0] == xs[-1] and ys[0] == ys[-1]:
-            xs, ys = xs[:-1], ys[:-1]  # drop closing vertex
-        rings.append((xs, ys))
-    return rings
+        rings: list[Ring] = []
+        for rs in ring_strs:
+            nums = np.array(_NUM.findall(rs), dtype=np.float64)
+            xs = nums[0::2]
+            ys = nums[1::2]
+            if xs[0] == xs[-1] and ys[0] == ys[-1]:
+                xs, ys = xs[:-1], ys[:-1]  # drop closing vertex
+            rings.append((xs, ys))
+        parts.append(rings)
+    return parts
+
+
+def parse_wkt_rings(wkt: str) -> list[Ring]:
+    """Flattened ring list (back-compat); raises if any part has holes —
+    callers that support holes use parse_wkt_polygons."""
+    parts = parse_wkt_polygons(wkt)
+    for p in parts:
+        if len(p) > 1:
+            raise ValueError("polygon holes are not supported by this caller")
+    return [p[0] for p in parts]
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -103,16 +118,17 @@ def points_in_ring(
     return inside
 
 
-def points_in_rings_grouped(
+def points_in_polygons_grouped(
     px: np.ndarray,
     py: np.ndarray,
     group_ids: np.ndarray,
-    rings: dict[int, list[tuple[np.ndarray, np.ndarray]]],
+    polygons: dict[int, list[list[Ring]]],
 ) -> np.ndarray:
-    """PIP for candidate pairs: point i is tested against rings[group_ids[i]].
+    """PIP for candidate pairs: point i is tested against
+    polygons[group_ids[i]] (list of parts, each outer + holes).
 
-    Vectorizes per group (one broadcasted kernel per distinct polygon in the
-    batch); a point is inside a multipolygon iff inside any part.
+    Vectorizes per group; even-odd within a part (xor over its rings — holes
+    punch out), OR across multipolygon parts.
     """
     out = np.zeros(len(px), dtype=bool)
     order = np.argsort(group_ids, kind="stable")
@@ -123,14 +139,29 @@ def points_in_rings_grouped(
     for s, e in zip(starts, ends):
         idx = order[s:e]
         gid = int(sorted_gid[s])
-        parts = rings.get(gid)
+        parts = polygons.get(gid)
         if not parts:
             continue
         inside = np.zeros(e - s, dtype=bool)
-        for xs, ys in parts:
-            inside |= points_in_ring(px[idx], py[idx], xs, ys)
+        for rings in parts:
+            part_in = np.zeros(e - s, dtype=bool)
+            for xs, ys in rings:
+                part_in ^= points_in_ring(px[idx], py[idx], xs, ys)
+            inside |= part_in
         out[idx] = inside
     return out
+
+
+def points_in_rings_grouped(
+    px: np.ndarray,
+    py: np.ndarray,
+    group_ids: np.ndarray,
+    rings: dict[int, list[Ring]],
+) -> np.ndarray:
+    """Back-compat wrapper: hole-free ring lists treated as one-ring parts."""
+    return points_in_polygons_grouped(
+        px, py, group_ids, {k: [[r] for r in v] for k, v in rings.items()}
+    )
 
 
 def polygon_area(xs: np.ndarray, ys: np.ndarray) -> float:

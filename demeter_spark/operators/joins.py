@@ -51,8 +51,8 @@ def parcel_covers(
             cells: list[np.ndarray] = []
             fulls: list[np.ndarray] = []
             for pid, wkt in zip(pdf["parcel_id"], pdf["geom_wkt"]):
-                rings = geom.parse_wkt_rings(wkt)
-                per_ring = [cg.polyfill(xs, ys, res, classify=True) for xs, ys in rings]
+                parts = geom.parse_wkt_polygons(wkt)
+                per_ring = [cg.polyfill_part(p_, res, classify=True) for p_ in parts]
                 cs = np.unique(np.concatenate([c for c, _ in per_ring]))
                 # full in the union if full in any part (multipolygon parts
                 # may overlap a cell another part only touches)
@@ -141,11 +141,11 @@ def spatial_join(
     # pandas UDF over FOUR narrow columns — the upstream join executes once
     # (no branch-and-union recompute) and wide row payloads (urls, html)
     # never cross the Arrow boundary.
-    rings = {
-        int(r["parcel_id"]): geom.parse_wkt_rings(r["geom_wkt"])
+    polys = {
+        int(r["parcel_id"]): geom.parse_wkt_polygons(r["geom_wkt"])
         for r in parcels.select("parcel_id", "geom_wkt").collect()
     }
-    bc = spark.sparkContext.broadcast(rings)
+    bc = spark.sparkContext.broadcast(polys)
 
     @F.pandas_udf(BooleanType())
     def _keep(
@@ -154,7 +154,7 @@ def spatial_join(
         ok = full.to_numpy(dtype=bool).copy()
         need = ~ok
         if need.any():
-            ok[need] = geom.points_in_rings_grouped(
+            ok[need] = geom.points_in_polygons_grouped(
                 plon.to_numpy()[need],
                 plat.to_numpy()[need],
                 pid.to_numpy()[need],

@@ -204,6 +204,17 @@ def parcels(spark: SparkSession) -> DataFrame:
         rows.append(
             (100 + j, "diamond", wkt, cx - a, cy - b, cx + a, cy + b, cx, cy, a, b)
         )
+    # one parcel with a hole (even-odd semantics end-to-end); the hole box
+    # is carried in (cx, cy, a, b) = (hx0, hy0, hx1, hy1) for the oracle
+    ox0, oy0, ox1, oy1 = 10.2505, 10.2505, 20.7505, 18.5005
+    hx0, hy0, hx1, hy1 = 13.2505, 12.2505, 16.7505, 15.5005
+    wkt = (
+        f"POLYGON (({ox0!r} {oy0!r}, {ox1!r} {oy0!r}, {ox1!r} {oy1!r}, "
+        f"{ox0!r} {oy1!r}, {ox0!r} {oy0!r}), "
+        f"({hx0!r} {hy0!r}, {hx1!r} {hy0!r}, {hx1!r} {hy1!r}, "
+        f"{hx0!r} {hy1!r}, {hx0!r} {hy0!r}))"
+    )
+    rows.append((200, "holed", wkt, ox0, oy0, ox1, oy1, hx0, hy0, hx1, hy1))
     return spark.createDataFrame(
         rows,
         "parcel_id BIGINT, kind STRING, geom_wkt STRING, xmin DOUBLE, ymin DOUBLE, "
@@ -455,6 +466,9 @@ ORACLE_TABLES: dict[str, str] = {
                3 + (j % 4) * 8 + 0.1875e0 + 1.5e0, 3 + (j // 4) * 8 + 0.1875e0 + 2.25e0,
                3 + (j % 4) * 8 + 0.1875e0, 3 + (j // 4) * 8 + 0.1875e0, 1.5e0, 2.25e0
         FROM range({N_DIAMOND}) t(j)
+        UNION ALL
+        SELECT 200, 'holed', 10.2505e0, 10.2505e0, 20.7505e0, 18.5005e0,
+               13.2505e0, 12.2505e0, 16.7505e0, 15.5005e0
     """,
     # point-in-parcel truth predicate (strict inequalities; synthetic points
     # never land exactly on boundaries — asserted in tests/test_synth_parity.py)
@@ -465,7 +479,10 @@ ORACLE_TABLES: dict[str, str] = {
           ON pp.lon > pa.xmin AND pp.lon < pa.xmax
          AND pp.lat > pa.ymin AND pp.lat < pa.ymax
          AND (pa.kind = 'rect'
-              OR abs(pp.lon - pa.cx) * pa.b + abs(pp.lat - pa.cy) * pa.a < pa.a * pa.b)
+              OR (pa.kind = 'diamond' AND
+                  abs(pp.lon - pa.cx) * pa.b + abs(pp.lat - pa.cy) * pa.a < pa.a * pa.b)
+              OR (pa.kind = 'holed' AND NOT (pp.lon > pa.cx AND pp.lon < pa.a
+                                             AND pp.lat > pa.cy AND pp.lat < pa.b)))
     """,
     "raster_cells": f"""
         SELECT ds.dataset, ds.depth_lo, ds.depth_hi, x.ix, y.iy,

@@ -21,10 +21,24 @@ def test_parse_multipolygon_wkt():
     assert rings[1][0].tolist() == [5, 6, 6]
 
 
-def test_parse_rejects_holes():
+def test_parse_rejects_holes_in_flat_api():
     wkt = "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))"
     with pytest.raises(ValueError):
         geom.parse_wkt_rings(wkt)
+
+
+def test_holes_even_odd_semantics():
+    wkt = "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 5 2, 5 5, 2 5, 2 2))"
+    parts = geom.parse_wkt_polygons(wkt)
+    assert len(parts) == 1 and len(parts[0]) == 2
+    import numpy as np
+
+    px = np.array([1.0, 3.0, 8.0, 10.0])
+    py = np.array([1.0, 3.0, 8.0, 1.0])
+    got = geom.points_in_polygons_grouped(
+        px, py, np.zeros(4, dtype=int), {0: parts}
+    )
+    assert got.tolist() == [True, False, True, False]  # hole punches out
 
 
 def test_wkt_roundtrip():
