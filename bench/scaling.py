@@ -83,8 +83,8 @@ def main() -> None:
         "Repeated identical protocol runs in this sandbox vary: the low-",
         "parallelism denominator swings up to ~1.7x run-to-run (shared",
         "hypervisor; an embarrassingly parallel no-Spark baseline shows the",
-        "same spread), so efficiency readings range roughly 0.5-0.75 across",
-        "runs of identical code (observed 0.46-0.97). The per-row work is fully task-parallel (no",
+        "same spread), so efficiency readings vary across runs of identical",
+        "code (observed 0.46-0.97). The per-row work is fully task-parallel (no",
         "serial stages: covers precomputed, probe side is whole-stage-codegen",
         "JVM bit arithmetic + one narrow Arrow refine over evenly partitioned",
         "input), so on real dedicated executors — each owning its memory",
