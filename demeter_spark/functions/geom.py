@@ -152,6 +152,41 @@ def points_in_polygons_grouped(
     return out
 
 
+def points_in_packed_grouped(
+    px: np.ndarray,
+    py: np.ndarray,
+    group_ids: np.ndarray,
+    packed: np.ndarray,
+) -> np.ndarray:
+    """PIP for candidate pairs whose geometry rides the rows: ``packed[i]``
+    is the pack_polygons-encoded geometry for point i's candidate parcel
+    (same value for every row of one parcel — decoded once per group).
+
+    This is the distributed-refine kernel: no dict of all polygons exists
+    anywhere; each Arrow batch carries exactly the geometry it tests.
+    """
+    out = np.zeros(len(px), dtype=bool)
+    order = np.argsort(group_ids, kind="stable")
+    sorted_gid = group_ids[order]
+    boundaries = np.flatnonzero(np.diff(sorted_gid)) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(sorted_gid)]])
+    for s, e in zip(starts, ends):
+        idx = order[s:e]
+        flat = packed[idx[0]]
+        if flat is None:
+            continue
+        parts = unpack_polygons(np.asarray(flat, dtype=np.float64))
+        inside = np.zeros(e - s, dtype=bool)
+        for rings in parts:
+            part_in = np.zeros(e - s, dtype=bool)
+            for xs, ys in rings:
+                part_in ^= points_in_ring(px[idx], py[idx], xs, ys)
+            inside |= part_in
+        out[idx] = inside
+    return out
+
+
 def points_in_rings_grouped(
     px: np.ndarray,
     py: np.ndarray,
@@ -162,6 +197,42 @@ def points_in_rings_grouped(
     return points_in_polygons_grouped(
         px, py, group_ids, {k: [[r] for r in v] for k, v in rings.items()}
     )
+
+
+def pack_polygons(parts: list[list[Ring]]) -> np.ndarray:
+    """Flat-encode a (multi)polygon as one float64 array so geometry can ride
+    DataFrame rows (array<double> column) through joins and Arrow batches —
+    the distributed alternative to collecting WKT to the driver.
+
+    Layout: [n_parts, then per part: n_rings, then per ring:
+    n_pts, x0..x{n-1}, y0..y{n-1}]. Counts are exact in float64 (< 2^53).
+    """
+    out: list[np.ndarray] = [np.array([float(len(parts))])]
+    for rings in parts:
+        out.append(np.array([float(len(rings))]))
+        for xs, ys in rings:
+            out.append(np.array([float(len(xs))]))
+            out.append(np.asarray(xs, dtype=np.float64))
+            out.append(np.asarray(ys, dtype=np.float64))
+    return np.concatenate(out)
+
+
+def unpack_polygons(flat: np.ndarray) -> list[list[Ring]]:
+    """Inverse of pack_polygons."""
+    flat = np.asarray(flat, dtype=np.float64)
+    pos = 0
+    n_parts = int(flat[pos]); pos += 1
+    parts: list[list[Ring]] = []
+    for _ in range(n_parts):
+        n_rings = int(flat[pos]); pos += 1
+        rings: list[Ring] = []
+        for _ in range(n_rings):
+            n = int(flat[pos]); pos += 1
+            xs = flat[pos : pos + n]; pos += n
+            ys = flat[pos : pos + n]; pos += n
+            rings.append((xs, ys))
+        parts.append(rings)
+    return parts
 
 
 def polygon_area(xs: np.ndarray, ys: np.ndarray) -> float:

@@ -11,9 +11,15 @@ Here the same filter-refine pattern is Spark-native:
 2. points -> cell id at R (one vectorized UDF);
 3. **equi-join on cell id** — plain Catalyst join, so broadcast/SMJ selection,
    AQE skew-splitting and partition pruning all apply unmodified;
-4. exact PIP refine in a vectorized pandas UDF (polygon rings shipped via a
-   Spark broadcast variable, grouped evaluation per polygon inside each Arrow
-   batch).
+4. exact PIP refine in a vectorized pandas UDF. Geometry travels WITH the
+   data: boundary cover rows carry the parcel's packed ring coordinates as an
+   ``array<double>`` column, so the refine reads per-batch geometry — no
+   driver-side collect/broadcast of the polygon dimension anywhere. Interior
+   (fully-covered) cells carry NULL geometry and skip the kernel entirely.
+
+Scale posture: the polygon dimension may exceed driver memory (continental
+parcel sets); every stage here is executor-side and keyed, so the build side
+scales with the cluster, not the driver.
 
 Compact covers (H3 compact analogue) shrink the build side for large
 polygons: the point side then explodes each point cell into its ancestor
@@ -36,13 +42,22 @@ DEFAULT_RES = 7  # ~2.8 x 1.4 deg cells; tuned per dataset via argument
 
 
 def parcel_covers(
-    parcels: DataFrame, res: int = DEFAULT_RES, compact: bool = False
+    parcels: DataFrame,
+    res: int = DEFAULT_RES,
+    compact: bool = False,
+    with_rings: bool = True,
 ) -> DataFrame:
-    """(parcel_id, geom_wkt) -> exploded (parcel_id, cell) cover table.
+    """(parcel_id, geom_wkt) -> exploded (parcel_id, cell, full, rings) cover.
 
     Runs as mapInPandas over the polygon dimension: per-polygon WKT parse +
     vectorized polyfill. Polygon count is the *dimension* cardinality (small
     relative to pages), and each polygon's fill is a numpy kernel.
+
+    ``with_rings``: boundary cells (full=false) carry the parcel's packed
+    ring coordinates (geom.pack_polygons layout) so the downstream PIP refine
+    never needs the polygon dimension on the driver; interior cells carry
+    NULL (they need no refinement). Disable to get the narrow 3-column cover
+    for plan-shape tests / bucketed storage.
     """
 
     def _covers(batches):
@@ -50,6 +65,7 @@ def parcel_covers(
             ids: list[int] = []
             cells: list[np.ndarray] = []
             fulls: list[np.ndarray] = []
+            rings: list = []
             for pid, wkt in zip(pdf["parcel_id"], pdf["geom_wkt"]):
                 parts = geom.parse_wkt_polygons(wkt)
                 per_ring = [cg.polyfill_part(p_, res, classify=True) for p_ in parts]
@@ -72,15 +88,22 @@ def parcel_covers(
                 ids.extend([pid] * len(cs))
                 cells.append(cs)
                 fulls.append(full)
+                if with_rings:
+                    packed = geom.pack_polygons(parts)
+                    rings.extend(packed if not f else None for f in full)
             if cells:
-                yield pd.DataFrame(
-                    {
-                        "parcel_id": np.asarray(ids, dtype=np.int64),
-                        "cell": np.concatenate(cells),
-                        "full": np.concatenate(fulls),
-                    }
-                )
+                out = {
+                    "parcel_id": np.asarray(ids, dtype=np.int64),
+                    "cell": np.concatenate(cells),
+                    "full": np.concatenate(fulls),
+                }
+                if with_rings:
+                    out["rings"] = pd.Series(rings, dtype=object)
+                yield pd.DataFrame(out)
 
+    schema = "parcel_id BIGINT, cell BIGINT, full BOOLEAN"
+    if with_rings:
+        schema += ", rings ARRAY<DOUBLE>"
     # spread polygons across tasks: the kernel is per-polygon numpy, so the
     # dimension-side fill parallelizes embarrassingly
     spark = parcels.sparkSession
@@ -88,7 +111,7 @@ def parcel_covers(
     return (
         parcels.select("parcel_id", "geom_wkt")
         .repartition(n_parts, "parcel_id")
-        .mapInPandas(_covers, "parcel_id BIGINT, cell BIGINT, full BOOLEAN")
+        .mapInPandas(_covers, schema)
     )
 
 
@@ -113,9 +136,9 @@ def spatial_join(
     shuffle join and AQE handles skewed hot cells; passing ``hot_cells``
     additionally salts those cells explicitly (plans/skew.py).
     """
-    spark = points.sparkSession
     if covers is None:
-        covers = parcel_covers(parcels, res=res, compact=compact)
+        covers = parcel_covers(parcels, res=res, compact=compact, with_rings=True)
+    has_rings = "rings" in covers.columns
     if broadcast_cover:
         covers = F.broadcast(covers)
 
@@ -138,33 +161,72 @@ def spatial_join(
     # filter-refine fast path, single pass: candidates in fully-interior
     # cover cells are exact matches (no boundary can cross them); only
     # boundary-cell candidates run the vectorized PIP kernel. One boolean
-    # pandas UDF over FOUR narrow columns — the upstream join executes once
-    # (no branch-and-union recompute) and wide row payloads (urls, html)
-    # never cross the Arrow boundary.
-    polys = {
-        int(r["parcel_id"]): geom.parse_wkt_polygons(r["geom_wkt"])
-        for r in parcels.select("parcel_id", "geom_wkt").collect()
-    }
-    bc = spark.sparkContext.broadcast(polys)
+    # pandas UDF — the upstream join executes once (no branch-and-union
+    # recompute) and wide row payloads (urls, html) never cross the Arrow
+    # boundary. Geometry arrives as a per-row packed array (NULL on interior
+    # rows), so no driver materialization of the polygon dimension exists in
+    # this pipeline at any scale.
+    if not has_rings:
+        # covers supplied without geometry (e.g. narrow bucketed cover
+        # tables): attach it per boundary candidate via an equi-join on
+        # parcel_id with the `full` flag as an extra join predicate —
+        # interior rows keep NULL geometry, the dimension never hits the
+        # driver, and the join distributes on parcel_id.
+        geom_dim = pack_geometry(parcels)
+        if broadcast_cover:
+            geom_dim = F.broadcast(geom_dim)
+        cand = cand.join(
+            geom_dim,
+            (cand["parcel_id"] == geom_dim["_gpid"]) & (~cand["full"]),
+            "left",
+        ).drop("_gpid")
 
     @F.pandas_udf(BooleanType())
     def _keep(
-        plon: pd.Series, plat: pd.Series, pid: pd.Series, full: pd.Series
+        plon: pd.Series, plat: pd.Series, pid: pd.Series, full: pd.Series,
+        rings: pd.Series,
     ) -> pd.Series:
         ok = full.to_numpy(dtype=bool).copy()
         need = ~ok
         if need.any():
-            ok[need] = geom.points_in_polygons_grouped(
+            ok[need] = geom.points_in_packed_grouped(
                 plon.to_numpy()[need],
                 plat.to_numpy()[need],
                 pid.to_numpy()[need],
-                bc.value,
+                rings.to_numpy()[need],
             )
         return pd.Series(ok)
 
     return cand.filter(
-        _keep(F.col(lon), F.col(lat), F.col("parcel_id"), F.col("full"))
-    ).drop("_cell", "full")
+        _keep(
+            F.col(lon), F.col(lat), F.col("parcel_id"), F.col("full"),
+            F.col("rings"),
+        )
+    ).drop("_cell", "full", "rings")
+
+
+def pack_geometry(parcels: DataFrame) -> DataFrame:
+    """(parcel_id, geom_wkt) -> (_gpid, rings packed array<double>) dimension
+    for attaching geometry to candidate rows executor-side."""
+
+    def _pack(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "_gpid": pdf["parcel_id"].astype("int64"),
+                    "rings": pd.Series(
+                        [
+                            geom.pack_polygons(geom.parse_wkt_polygons(w))
+                            for w in pdf["geom_wkt"]
+                        ],
+                        dtype=object,
+                    ),
+                }
+            )
+
+    return parcels.select("parcel_id", "geom_wkt").mapInPandas(
+        _pack, "_gpid BIGINT, rings ARRAY<DOUBLE>"
+    )
 
 
 def knn_join(
@@ -175,14 +237,20 @@ def knn_join(
     id_col: str = "url",
     site_id: str = "place_id",
     max_ring: int = 64,
+    start_ring: int = 2,
+    brute_threshold: int = 10_000,
 ) -> DataFrame:
     """k nearest ``sites`` per point via k-ring expansion (north_rule J12).
 
-    Iterative doubling: at ring radius r, a point is *resolved* when it has
-    >= k candidates with distance <= r * lat_cell_size (anything outside the
-    ring is strictly farther, so its top-k is final). Unresolved points
-    escalate to 2r. Final top-k via window rank. Distances are planar-degree
-    Euclidean (documented engine semantics; synthetic world is planar).
+    True iterative doubling: at ring radius r, a point is *resolved* when it
+    has >= k candidates with distance strictly < r * lat_cell_size (every
+    site outside the ring is strictly farther than that bound, so the top-k
+    cannot change — strict to be safe under distance ties at the bound).
+    Unresolved points escalate to 2r, up to ``max_ring``; only points still
+    unresolved at max_ring fall back to an exact scan, so the crossJoin never
+    touches more than the deep-sparse-region stragglers. Final top-k via
+    window rank. Distances are planar-degree Euclidean (documented engine
+    semantics; synthetic world is planar).
     """
     from pyspark.sql import Window
 
@@ -206,36 +274,9 @@ def knn_join(
     dx = F.col("_plon") - F.col("_slon")
     dy = F.col("_plat") - F.col("_slat")
     dist = F.sqrt(dx * dx + dy * dy)
-    w = Window.partitionBy(id_col).orderBy("_dist", "_sid")
-
-    # phase 1: one k-ring candidate pass. A point is final iff its kth
-    # candidate lies within ring_radius (anything outside the ring is
-    # strictly farther than ring_radius, so the top-k cannot change).
-    r = max(1, min(max_ring, 2))
-    ranked = (
-        pts.withColumn("_ring", F.explode(kring_of(F.col("_pcell"), r)))
-        .join(site_cells, F.col("_ring") == F.col("_scell"), "inner")
-        .dropDuplicates([id_col, "_sid"])
-        .withColumn("_dist", dist)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-    )
-    kth_ok = (
-        ranked.groupBy(id_col)
-        .agg(F.max("_rk").alias("_nk"), F.max("_dist").alias("_kth"))
-        .filter((F.col("_nk") == k) & (F.col("_kth") <= r * lat_sz))
-        .select(id_col)
-    )
-    resolved = ranked.join(F.broadcast(kth_ok), id_col, "left_semi")
-
-    # phase 2: brute-force fallback for the (rare) unresolved stragglers —
-    # exact, and bounded: stragglers are points in sparse regions only.
-    rest = pts.join(F.broadcast(kth_ok), id_col, "left_anti")
-    rest_ranked = (
-        rest.crossJoin(site_cells)
-        .withColumn("_dist", dist)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
+    # nulls LAST: the sentinel row (no site) must rank after real candidates
+    w = Window.partitionBy(id_col).orderBy(
+        F.asc_nulls_last("_dist"), F.asc_nulls_last("_sid")
     )
     final_cols = [
         F.col(id_col),
@@ -243,4 +284,86 @@ def knn_join(
         F.col("_rk").alias("rank"),
         F.col("_dist").alias("dist"),
     ]
-    return resolved.select(*final_cols).unionByName(rest_ranked.select(*final_cols))
+
+    wp = Window.partitionBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    resolved_parts: list[DataFrame] = []
+    remaining = pts
+    r = max(1, min(start_ring, max_ring))
+    while True:
+        # array_distinct: kring clamps at the lat poles by repeating the
+        # center cell — dedup per-point JVM-side (no shuffle) so a site can
+        # never appear twice among one point's candidates. LEFT join keeps
+        # zero-candidate points visible (they must escalate too). The
+        # resolution test (count + kth distance) rides the SAME window
+        # partitioning as the rank — one shuffle per level. Each level's
+        # top-k is persisted (<= k narrow rows per frontier point), so
+        # candidate generation per level runs exactly once: the termination
+        # probe, the next frontier and the final union all read the cache.
+        # each point explodes its ring cells PLUS one NULL sentinel cell;
+        # after the (map-side, broadcast) left join, unmatched *ring* rows
+        # are dropped and the sentinel survives — exactly one null row per
+        # zero/short-candidate point reaches the window shuffle, so every
+        # frontier point stays visible at matches + 1 rows, not (2r+1)^2
+        ranked = (
+            remaining.withColumn(
+                "_ring",
+                F.explode(
+                    F.concat(
+                        F.array_distinct(kring_of(F.col("_pcell"), r)),
+                        F.array(F.lit(None).cast("long")),
+                    )
+                ),
+            )
+            .join(site_cells, F.col("_ring") == F.col("_scell"), "left")
+            .filter(F.col("_sid").isNotNull() | F.col("_ring").isNull())
+            .withColumn("_dist", dist)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .withColumn("_nk", F.count("_sid").over(wp))
+            .withColumn("_kth", F.max("_dist").over(wp))
+            .persist()
+        )
+        # resolved iff the kth candidate is strictly inside the ring's
+        # guaranteed-exclusion radius (strict: a site just outside the ring
+        # is strictly farther than r*lat_sz, so ties at the bound are safe)
+        ok = (F.col("_nk") == k) & (F.col("_kth") < r * lat_sz)
+        resolved_parts.append(ranked.filter(ok).select(*final_cols))
+        # next frontier = the unresolved residue, read straight off the
+        # level cache (the sentinel guarantees every frontier point has a
+        # row there) — no join back against the full point table, so the
+        # source is scanned exactly once no matter how many levels run
+        remaining = (
+            ranked.filter(~ok)
+            .select(id_col, "_plon", "_plat", "_pcell")
+            .dropDuplicates([id_col])
+        )
+        if r >= max_ring:
+            break
+        n_left = remaining.count()  # cheap: reads the level cache
+        if n_left == 0:
+            remaining = None
+            break
+        if n_left <= brute_threshold:
+            # the residue is small enough that an exact scan against the
+            # (broadcast) site table is cheaper than more doubling rounds —
+            # the crossJoin is bounded by brute_threshold * |sites per task|
+            break
+        r = min(r * 2, max_ring)
+
+    if remaining is not None and not remaining.isEmpty():
+        # stragglers past max_ring (deep sparse regions / k > total sites in
+        # any ring): exact scan, bounded to this residue only
+        rest_ranked = (
+            remaining.crossJoin(site_cells)
+            .withColumn("_dist", dist)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+        )
+        resolved_parts.append(rest_ranked.select(*final_cols))
+
+    out = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        out = out.unionByName(part)
+    return out

@@ -33,9 +33,12 @@ def coarsen(
 ) -> DataFrame:
     """Factor-f downsample with average/min/max/count kernels (null-skipping,
     masked semantics preserved: all-null blocks yield NULL mean)."""
+    # floor semantics (not truncate-toward-zero): floor keeps negative
+    # indices in their own parent block — trunc(-1/4)=0 would silently merge
+    # blocks across the origin (ADVICE round 1)
     gb = [F.col(k) for k in keys] + [
-        (F.col("ix") / factor).cast("int").alias("ix"),
-        (F.col("iy") / factor).cast("int").alias("iy"),
+        F.floor(F.col("ix") / F.lit(factor)).cast("bigint").alias("ix"),
+        F.floor(F.col("iy") / F.lit(factor)).cast("bigint").alias("iy"),
     ]
     v = F.col(value)
     return cells.groupBy(*gb).agg(

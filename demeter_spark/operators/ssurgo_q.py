@@ -25,7 +25,18 @@ from pyspark.sql import functions as F
 
 
 def primary_components(components: DataFrame) -> DataFrame:
-    """TOP 1 WITH TIES by comppct per parcel among major components (A2/W2)."""
+    """Top component(s) by comppct per parcel among major components (A2/W2).
+
+    Intentional semantic deviation from the reference: demeter's query is
+    ``SELECT TOP 1 ... ORDER BY comppct_r DESC`` per map unit
+    (demeter/vector/usda/ssurgo.py:43-57), which returns exactly ONE
+    component with ties broken arbitrarily by the remote engine. Arbitrary
+    tie-breaks are not reproducible across engines/runs, so this engine uses
+    ``rank()`` and keeps all tied components — a deterministic superset of
+    every answer the reference could return. (A row_number() variant would
+    mirror the single-row shape but would have to invent a tiebreak column
+    the reference doesn't specify.)
+    """
     w = Window.partitionBy("parcel_id").orderBy(F.desc("comppct"))
     return (
         components.filter(F.col("majcompflag") == "Yes")

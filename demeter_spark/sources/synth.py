@@ -222,6 +222,39 @@ def parcels(spark: SparkSession) -> DataFrame:
     )
 
 
+def many_parcels(spark: SparkSession, n: int = 50_000) -> DataFrame:
+    """Large parcel dimension (n small rectangles on a dense lattice),
+    generated DISTRIBUTED (spark.range + SQL string templating — no driver
+    loop, no driver WKT list). Exists to prove the flagship join's build side
+    scales past anything a driver could hold: rectangles admit a closed-form
+    containment truth (bbox test) so correctness stays checkable at any n.
+
+    Grid: 250 columns x ceil(n/250) rows; each parcel is a 0.5 x 0.3 deg
+    rect offset +0.0505 off the jitter lattice (boundary-exactness rule,
+    FIXTURES.md)."""
+    side = 250
+    return spark.range(n).selectExpr(
+        "id AS parcel_id",
+        "'rect' AS kind",
+        f"(id % {side}) * 0.72e0 + 0.0505e0 AS xmin",
+        f"CAST(id div {side} AS DOUBLE) * 0.44e0 + 0.0505e0 AS ymin",
+    ).selectExpr(
+        "parcel_id",
+        "kind",
+        "xmin",
+        "ymin",
+        "xmin + 0.5e0 AS xmax",
+        "ymin + 0.3e0 AS ymax",
+    ).selectExpr(
+        "parcel_id",
+        "kind",
+        "concat('POLYGON ((', xmin, ' ', ymin, ', ', xmax, ' ', ymin, ', ',"
+        " xmax, ' ', ymax, ', ', xmin, ' ', ymax, ', ', xmin, ' ', ymin, '))')"
+        " AS geom_wkt",
+        "xmin", "ymin", "xmax", "ymax",
+    )
+
+
 def circle_parcels(spark: SparkSession, n_vertices: int = 128) -> DataFrame:
     """Bench-only parcel variant: 80 dense polygons (circle approximations,
     ``n_vertices`` edges). Same engine machinery as parcels(); the per-

@@ -53,10 +53,17 @@ def _sessionize(
             closed.append((cur_s, cur_e, cur_n))
             cur_s, cur_e, cur_n = int(t), int(t), 1
         else:
-            cur_e = int(t)
+            # max/min, not assignment: a late event from a previous
+            # micro-batch (t < cur_e) must extend/backfill the open session,
+            # never regress its end — a regressed end would fake a gap and
+            # split one session in two (batch twin fully sorts, so only the
+            # streaming path can see cross-batch disorder)
+            if cur_n == 0:
+                cur_s = cur_e = int(t)
+            else:
+                cur_e = max(cur_e, int(t))
+                cur_s = min(cur_s, int(t))
             cur_n += 1
-            if cur_n == 1:
-                cur_s = int(t)
     state.update((cur_s, cur_e, cur_n))
     if closed:
         yield pd.DataFrame(

@@ -108,3 +108,36 @@ def test_polygon_area():
     xs = np.array([0.0, 4.0, 4.0, 0.0])
     ys = np.array([0.0, 0.0, 3.0, 3.0])
     assert geom.polygon_area(xs, ys) == 12.0
+
+
+def test_pack_unpack_roundtrip():
+    wkt = (
+        "MULTIPOLYGON (((0 0, 4 0, 4 3, 0 3, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1)), "
+        "((10 10, 12 10, 11 13, 10 10)))"
+    )
+    parts = geom.parse_wkt_polygons(wkt)
+    flat = geom.pack_polygons(parts)
+    back = geom.unpack_polygons(flat)
+    assert len(back) == len(parts)
+    for p0, p1 in zip(parts, back):
+        assert len(p0) == len(p1)
+        for (x0, y0), (x1, y1) in zip(p0, p1):
+            assert np.array_equal(x0, x1) and np.array_equal(y0, y1)
+
+
+def test_points_in_packed_grouped_matches_dict_kernel():
+    wkt_a = "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    wkt_b = "POLYGON ((10 0, 12 0, 11 3, 10 0))"
+    pa = geom.parse_wkt_polygons(wkt_a)
+    pb = geom.parse_wkt_polygons(wkt_b)
+    px = np.array([0.5, 1.5, 11.0, 10.1, 3.5])
+    py = np.array([0.5, 1.5, 0.5, 2.5, 2.9])
+    gid = np.array([1, 1, 2, 2, 1])
+    packed = np.empty(5, dtype=object)
+    for i, g in enumerate(gid):
+        packed[i] = geom.pack_polygons(pa if g == 1 else pb)
+    got = geom.points_in_packed_grouped(px, py, gid, packed)
+    want = geom.points_in_polygons_grouped(px, py, gid, {1: pa, 2: pb})
+    assert got.tolist() == want.tolist()
+    # hole punched out
+    assert got[1] == False  # noqa: E712

@@ -73,3 +73,18 @@ def test_media_decode_plumbing(spark):
     assert row["kind"] == "audio"
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(med)
+
+def test_coarsen_negative_indices_floor(spark):
+    """Floor (not trunc-toward-zero) parent indexing: cells at ix=-1 and ix=0
+    belong to different factor-4 parent blocks."""
+    from demeter_spark.operators.regrid import coarsen
+
+    df = spark.createDataFrame(
+        [("d", -1, -1, 1.0), ("d", 0, 0, 3.0), ("d", -4, -4, 5.0)],
+        "dataset STRING, ix BIGINT, iy BIGINT, value DOUBLE",
+    )
+    got = {
+        (r["ix"], r["iy"]): r["mean_value"]
+        for r in coarsen(df, 4).collect()
+    }
+    assert got == {(-1, -1): 3.0, (0, 0): 3.0}

@@ -168,3 +168,42 @@ def test_stateful_streaming_sessions(spark, tmp_path):
         batch, ["user_id", "session_start", "session_end", "n_events"], "left_anti"
     )
     assert missing.count() == 0, missing.limit(5).collect()
+
+
+def test_stateful_sessions_out_of_order_batches(spark, tmp_path):
+    """A late event (earlier ts than the open session's end, arriving in a
+    later micro-batch) must backfill the open session, not regress its end
+    and fake a session split (ADVICE round 1)."""
+    from demeter_spark.streaming.stateful import streaming_sessions
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+
+    def ev(eid, sec):
+        from datetime import datetime, timezone
+
+        return (eid, datetime.fromtimestamp(sec, tz=timezone.utc), 7, "c", 1.0, "{}")
+
+    # batch 1: t=0 and t=200 (open session end=200)
+    spark.createDataFrame([ev(1, 0), ev(2, 200)], schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+    streaming_sessions(spark, in_dir, out_dir, ckpt)
+    # batch 2: t=100 arrives LATE (inside the open session), then t=10000
+    # exceeds the 1800s gap vs end=200 and closes the session
+    spark.createDataFrame([ev(3, 100), ev(4, 10_000)], schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+    streaming_sessions(spark, in_dir, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_events"] == 3
+    assert r["session_start"].timestamp() == 0
+    assert r["session_end"].timestamp() == 200

@@ -41,6 +41,91 @@ def test_spatial_join_shuffle_strategy(spark, ddb):
     assert got_set == _truth(ddb)
 
 
+def test_spatial_join_large_build_side(spark):
+    """50k parcels: the build side is far past what a driver-side dict could
+    plausibly hold per-task; geometry must flow through the join as packed
+    cover-row columns. broadcast_cover=False exercises the shuffle path.
+    Rectangles admit a closed-form containment truth (pure SQL, no join)."""
+    par = synth.many_parcels(spark, 50_000)
+    pts = spark.range(20_000).selectExpr(
+        "concat('p', CAST(id AS STRING)) AS url",
+        "((id * 37) % 17900) / 100e0 + 0.03e0 AS lon",
+        "((id * 53) % 8700) / 100e0 + 0.03e0 AS lat",
+    )
+    got = joins.spatial_join(pts, par, res=9, broadcast_cover=False).select(
+        "url", "parcel_id"
+    )
+    expected = (
+        pts.selectExpr(
+            "url",
+            "CAST(floor((lon - 0.0505e0) / 0.72e0) AS BIGINT) AS col",
+            "CAST(floor((lat - 0.0505e0) / 0.44e0) AS BIGINT) AS row",
+            "lon",
+            "lat",
+        )
+        .selectExpr(
+            "url",
+            "row * 250 + col AS parcel_id",
+            "lon - (col * 0.72e0 + 0.0505e0) AS dx",
+            "lat - (row * 0.44e0 + 0.0505e0) AS dy",
+        )
+        .filter(
+            "dx > 0 AND dx < 0.5e0 AND dy > 0 AND dy < 0.3e0"
+            " AND parcel_id >= 0 AND parcel_id < 50000"
+        )
+        .select("url", "parcel_id")
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_no_driver_geometry_collect():
+    """Regression guard for the round-1 scale defect: the join module must
+    not materialize the polygon dimension on the driver."""
+    import inspect
+
+    from demeter_spark.operators import joins as joins_mod
+
+    src = inspect.getsource(joins_mod)
+    assert ".collect()" not in src
+    assert "sparkContext.broadcast" not in src
+
+
+def test_knn_ring_doubling_sparse(spark):
+    """Sparse sites: most points are unresolved at ring 2 and must escalate
+    by doubling — and the plan must stay equi-join-only (no Cartesian /
+    nested-loop fallback) because every point resolves within max_ring."""
+    import numpy as np
+
+    pts = synth.page_points(spark, SF_DIR)
+    gaz = synth.gazetteer(spark).filter("place_id % 50 = 1")  # 4 sparse sites
+    got = joins.knn_join(pts, gaz, k=2, res=6, brute_threshold=0)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+    # sanity that this fixture actually exercises escalation: >10% of points
+    # have their 2nd-nearest site beyond the ring-2 exclusion radius
+    P = pts.select("url", "lon", "lat").collect()
+    S = gaz.select("place_id", "lon", "lat").collect()
+    px = np.array([r["lon"] for r in P])
+    py = np.array([r["lat"] for r in P])
+    sx = np.array([r["lon"] for r in S])
+    sy = np.array([r["lat"] for r in S])
+    sid = np.array([r["place_id"] for r in S])
+    d2 = (px[:, None] - sx[None, :]) ** 2 + (py[:, None] - sy[None, :]) ** 2
+    lat_sz = 180.0 / (1 << 6)
+    kth = np.sort(np.sqrt(d2), axis=1)[:, 1]
+    assert (kth >= 2 * lat_sz).mean() > 0.10
+
+    truth = set()
+    order = np.lexsort((np.broadcast_to(sid, d2.shape), d2), axis=1)
+    for i, r in enumerate(P):
+        for rk in range(2):
+            truth.add((r["url"], int(sid[order[i, rk]]), rk + 1))
+    got_rows = {(g["url"], g["place_id"], g["rank"]) for g in got.collect()}
+    assert got_rows == truth
+
+
 def test_knn_join_matches_bruteforce(spark, ddb):
     pts = synth.page_points(spark, SF_DIR).limit(40)
     gaz = synth.gazetteer(spark)
