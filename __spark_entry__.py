@@ -239,11 +239,14 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (J >= 0.6)."""
+    """Word-3-gram Jaccard near-dup pairs (J >= 0.6) with the document-
+    frequency cap engaged (max_df=32): ultra-common shingles are dropped
+    BEFORE the self-join — the bounded path is the wired path, and the
+    oracle applies the identical cap so the hash match proves equivalence."""
     from demeter_spark.operators import dedup
     from demeter_spark.sources import synth
 
-    return dedup.jaccard_pairs(synth.dedup_corpus(spark, sf_dir), 0.6)
+    return dedup.jaccard_pairs(synth.dedup_corpus(spark, sf_dir), 0.6, max_df=32)
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,11 +304,15 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos >= 0.999 — engineered exact dups)."""
+    """Embedding-cosine near-dup pairs (cos >= 0.999 — engineered exact dups).
+
+    Wired through centroid blocking (the 100 TB path: inverted-list self-join,
+    n_probe=2); the oracle is the exhaustive pair scan, so the hash match
+    proves blocking loses none of the qualifying pairs."""
     from demeter_spark.operators import simsearch
     from demeter_spark.sources import synth
 
-    return simsearch.embedding_near_dup_pairs(synth.emb_corpus(spark, sf_dir))
+    return simsearch.embedding_near_dup_blocked(synth.emb_corpus(spark, sf_dir))
 
 
 def _q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,17 +513,29 @@ _CONTAINS = """c.cx > pa.xmin AND c.cx < pa.xmax AND c.cy > pa.ymin AND c.cy < p
                                              AND c.cy > pa.cy AND c.cy < pa.b)))"""
 
 
-def _jaccard_oracle_tail(threshold: float) -> str:
-    """Exhaustive word-3-gram Jaccard pairs over dedup_corpus (CTE tail)."""
-    return f"""
+def _jaccard_oracle_tail(threshold: float, max_df: int | None = None) -> str:
+    """Exhaustive word-3-gram Jaccard pairs over dedup_corpus (CTE tail).
+    ``max_df`` mirrors jaccard_pairs' shingle document-frequency cap."""
+    src = "doc_shingles"
+    cap = ""
+    if max_df is not None:
+        src = "capped_shingles"
+        cap = f"""
+            , capped_shingles AS (
+                SELECT s.doc_id, s.shingle FROM doc_shingles s
+                JOIN (SELECT shingle FROM doc_shingles
+                      GROUP BY shingle HAVING count(*) <= {max_df}) f
+                USING (shingle)
+            )"""
+    return f"""{cap}
             , sizes AS (
                 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
-                FROM doc_shingles GROUP BY doc_id
+                FROM {src} GROUP BY doc_id
             ),
             inter AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-                FROM doc_shingles a
-                JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                FROM {src} a
+                JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id
             )
             SELECT doc_a, doc_b,
@@ -783,7 +802,7 @@ def oracle_sql() -> dict[str, str]:
             """,
             ("dedup_corpus",),
         ),
-        "dedup_jaccard": oracle_query(_jaccard_oracle_tail(0.6)),
+        "dedup_jaccard": oracle_query(_jaccard_oracle_tail(0.6, max_df=32)),
         "dedup_minhash": oracle_query(_jaccard_oracle_tail(0.8)),
         "text_stats": oracle_query(
             """

@@ -64,13 +64,15 @@ def jaccard_pairs(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= t).
 
     Self-join on shingle -> |A∩B| counts, then J = inter / (|A| + |B| - inter).
     ``max_df`` drops shingles occurring in more than max_df docs before the
-    join (candidate-pair explosion control at corpus scale).
+    join: a shingle shared by d docs yields O(d^2) candidate pairs, so the
+    cap is what keeps the self-join bounded at corpus scale — it defaults ON
+    (pass None only for oracle-exact testing on small fixtures).
     """
     sh = shingles(docs, id_col, text_col)
     if max_df is not None:

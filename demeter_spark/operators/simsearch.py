@@ -88,6 +88,25 @@ def centroids(
     )
 
 
+def assign_to_centroids(
+    df: DataFrame, cents: DataFrame, ident: str, top: int
+) -> DataFrame:
+    """Assign each row's ``_v`` vector to its ``top`` nearest centroids
+    (broadcast codebook crossJoin + window rank — the codebook is tiny, the
+    fan-out is |df| x n_centroids within each task, never a shuffle)."""
+    sim = F.expr(DOT.format(a="_v", b="centroid")) / (
+        F.expr(NORM.format(a="_v")) * F.expr(NORM.format(a="centroid"))
+    )
+    w = Window.partitionBy(ident).orderBy(F.desc("_csim"), F.asc("centroid_id"))
+    return (
+        df.crossJoin(cents)
+        .withColumn("_csim", sim)
+        .withColumn("_crk", F.row_number().over(w))
+        .filter(F.col("_crk") <= top)
+        .drop("_csim", "_crk", "centroid")
+    )
+
+
 def ivf_multiprobe_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -106,30 +125,17 @@ def ivf_multiprobe_topk(
     """
     cents = F.broadcast(centroids(embeddings, cell_col, vec_col))
 
-    def assign(df: DataFrame, ident: str, top: int) -> DataFrame:
-        sim = F.expr(DOT.format(a="_v", b="centroid")) / (
-            F.expr(NORM.format(a="_v")) * F.expr(NORM.format(a="centroid"))
-        )
-        w = Window.partitionBy(ident).orderBy(
-            F.desc("_csim"), F.asc("centroid_id")
-        )
-        return (
-            df.crossJoin(cents)
-            .withColumn("_csim", sim)
-            .withColumn("_crk", F.row_number().over(w))
-            .filter(F.col("_crk") <= top)
-            .drop("_csim", "_crk", "centroid")
-        )
-
-    vecs = assign(
+    vecs = assign_to_centroids(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
         ),
+        cents,
         "neighbor_id",
         1,
     ).withColumnRenamed("_v", "_cv")
-    qs = assign(
+    qs = assign_to_centroids(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v")),
+        cents,
         "query_id",
         n_probe,
     ).withColumnRenamed("_v", "_qv")
@@ -155,8 +161,8 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos >= t).
 
-    Brute-force within the corpus (the exactness baseline; centroid blocking
-    via ivf_multiprobe_topk is the scale path)."""
+    Brute-force within the corpus — the exactness baseline / test oracle
+    ONLY; the wired scale path is embedding_near_dup_blocked."""
     a = embeddings.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va")
     )
@@ -166,6 +172,63 @@ def embedding_near_dup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos",
+            F.expr(DOT.format(a="_va", b="_vb"))
+            / (F.expr(NORM.format(a="_va")) * F.expr(NORM.format(a="_vb"))),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+
+
+def near_dup_candidates(
+    embeddings: DataFrame,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Centroid-blocked candidate pairs (vec_a < vec_b sharing >= 1 probed
+    centroid) with both vectors attached — the bounded candidate generator
+    behind embedding_near_dup_blocked, exposed for candidate-count tests."""
+    cents = F.broadcast(centroids(embeddings, cell_col, vec_col))
+    assigned = assign_to_centroids(
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        cents,
+        "_id",
+        n_probe,
+    )
+    a = assigned.select(
+        F.col("_id").alias("vec_a"), F.col("_v").alias("_va"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"), "centroid_id"
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+def embedding_near_dup_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.999,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via centroid blocking — the 100 TB
+    path: every vector probes its ``n_probe`` nearest centroids, candidate
+    pairs must share a probed centroid (inverted-list self-join, work bounded
+    per list), and exact cosine verifies each candidate. Near-identical
+    vectors (cos >= ~0.999) agree on their nearest centroids, so recall at
+    the dedup threshold is total in practice and is asserted against the
+    brute-force baseline in tests."""
+    return (
+        near_dup_candidates(embeddings, n_probe, id_col, vec_col, cell_col)
         .withColumn(
             "cos",
             F.expr(DOT.format(a="_va", b="_vb"))

@@ -401,12 +401,13 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings plus exact duplicates of every 5th vector — the embedding-
-    cosine near-dup fixture (cos = 1 pairs by construction)."""
+    cosine near-dup fixture (cos = 1 pairs by construction). ``label`` rides
+    along as the coarse-quantizer seed for centroid blocking."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
+        "vec_id", "embedding", "label"
     )
     dups = emb.filter("vec_id % 5 = 0").selectExpr(
-        "vec_id + 10000 AS vec_id", "embedding"
+        "vec_id + 10000 AS vec_id", "embedding", "label"
     )
     return emb.unionByName(dups)
 

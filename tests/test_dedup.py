@@ -85,3 +85,32 @@ def test_ivf_multiprobe_recall(spark):
         for r in simsearch.ivf_multiprobe_topk(emb, q, 5, n_probe=10).collect()
     }
     assert got_all == truth
+
+
+def test_embedding_blocked_matches_bruteforce_with_fewer_candidates(spark):
+    """Centroid-blocked near-dup must (a) return exactly the brute-force
+    pairs on the engineered fixture and (b) examine strictly fewer candidate
+    pairs than the O(n^2) scan — the 100 TB posture in one assertion."""
+    from demeter_spark.operators import simsearch
+    from demeter_spark.sources import synth
+    from tests.conftest import SF_DIR
+
+    corpus = synth.emb_corpus(spark, SF_DIR)
+    n = corpus.count()
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in simsearch.embedding_near_dup_pairs(corpus).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"])
+        for r in simsearch.embedding_near_dup_blocked(corpus).collect()
+    }
+    assert blocked == brute and len(brute) > 0
+    # reduction scales ~ n_lists/probe^2; the fixture codebook is tiny
+    # (one centroid per label), so assert the shape, not a huge constant:
+    # probe-1 candidates ~ pairs/n_lists, probe-2 ~ 4x that, both << all-pairs
+    all_pairs = n * (n - 1) // 2
+    n1 = simsearch.near_dup_candidates(corpus, n_probe=1).count()
+    n2 = simsearch.near_dup_candidates(corpus).count()
+    assert n1 < all_pairs / 5, (n1, all_pairs)
+    assert n2 < all_pairs / 2, (n2, all_pairs)
