@@ -464,10 +464,107 @@ def _q_merge_var_around_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tilemerge.merge_variance_around_mean(src, mean_cells)
 
 
+_SRC_GRID = dict(ox=0.0, oy=0.0, rx=0.25, ry=0.25, nx=144, ny=128)
+_DST_GRID = dict(ox=-32.0, oy=-16.0, rx=6.0, ry=4.0, nx=96, ny=64)
+_WARP_AFFINE = (1.0 / 64.0, 0.5, 1.0 / 16.0, 1.0)  # dst meters -> src degrees
+
+
+def _warp_setup(spark: SparkSession):
+    from demeter_spark.operators import reproject as rp
+    from demeter_spark.sources import synth
+
+    src = synth.raster_cells(spark).filter("dataset = 'elevation'")
+    return (
+        src,
+        rp.Grid(**_SRC_GRID),
+        rp.Grid(**_DST_GRID),
+        rp.affine_transform(*_WARP_AFFINE),
+    )
+
+
+def _q_reproject_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 general case: cross-CRS warp (affine synthetic CRS, dyadic coeffs),
+    nearest resampling — destination-driven equi-join, zero Python."""
+    from demeter_spark.operators import reproject as rp
+
+    src, sg, dg, t = _warp_setup(spark)
+    return rp.reproject_nearest(src, sg, dg, t, broadcast_src=True)
+
+
+def _q_reproject_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6: cross-CRS warp with null-aware bilinear resampling (masked corners
+    renormalize out) — corner explode + one join + fixed-order combine."""
+    from demeter_spark.operators import reproject as rp
+
+    src, sg, dg, t = _warp_setup(spark)
+    return rp.reproject_bilinear(src, sg, dg, t, broadcast_src=True)
+
+
+def _q_carbon_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8+A9 variance algebra (demeter/utils.py:59-103): per-layer sigma from
+    p5/p95, squared-weight layer averaging of variances, depth-weighted
+    means, then Var(XY) product combination per cell. Layers are pivoted so
+    every float combine is one fixed-order expression — bit-reproducible by
+    the SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.operators import statistics as st
+    from demeter_spark.sources import synth
+
+    om = synth.raster_cells(spark).filter("dataset = 'om'")
+    piv = om.groupBy("ix", "iy").agg(
+        *[
+            F.max(F.when(F.col("depth_lo") == d, F.col("value"))).alias(f"v{d}")
+            for d in (0, 10, 30)
+        ]
+    )
+
+    def soc_var(v):
+        s = st.stddev_from_p5_p95(v * F.lit(0.75), v * F.lit(1.25))
+        return s * s
+
+    def bd_mean(v):
+        return v / F.lit(16.0) + F.lit(1.0)
+
+    def bd_var(v):
+        m = bd_mean(v)
+        s = st.stddev_from_p5_p95(m * F.lit(0.875), m * F.lit(1.125))
+        return s * s
+
+    v0, v10, v30 = F.col("v0"), F.col("v10"), F.col("v30")
+    socm = (v0 * F.lit(10.0) + v10 * F.lit(20.0) + v30 * F.lit(30.0)) / F.lit(60.0)
+    socv = (
+        soc_var(v0) * F.lit(100.0)
+        + soc_var(v10) * F.lit(400.0)
+        + soc_var(v30) * F.lit(900.0)
+    ) / F.lit(1400.0)
+    bdm = (
+        bd_mean(v0) * F.lit(10.0)
+        + bd_mean(v10) * F.lit(20.0)
+        + bd_mean(v30) * F.lit(30.0)
+    ) / F.lit(60.0)
+    bdv = (
+        bd_var(v0) * F.lit(100.0)
+        + bd_var(v10) * F.lit(400.0)
+        + bd_var(v30) * F.lit(900.0)
+    ) / F.lit(1400.0)
+    return piv.select(
+        "ix",
+        "iy",
+        st.carbon_stock_mean(socm, bdm).alias("stock_mean"),
+        st.carbon_stock_stddev(socm, F.sqrt(socv), bdm, F.sqrt(bdv)).alias(
+            "stock_stddev"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
         "geocode_points": _q_geocode,
+        "reproject_nearest": _q_reproject_nearest,
+        "reproject_bilinear": _q_reproject_bilinear,
+        "carbon_stock_stats": _q_carbon_stock,
         "spatial_join": _q_spatial_join,
         "spatial_join_compact": _q_spatial_join_compact,
         "knn_kring": _q_knn,
@@ -572,6 +669,101 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_text": oracle_query("SELECT url, text FROM pages", ("pages",)),
         "geocode_points": oracle_query("SELECT * FROM page_points"),
+        "reproject_nearest": oracle_query(
+            """
+            SELECT d.ix, d.iy, s.value
+            FROM (
+              SELECT x.ix, y.iy,
+                     CAST(floor((0.015625e0 * (-32e0 + (x.ix + 0.5e0) * 6e0)
+                                 + 0.5e0) / 0.25e0) AS BIGINT) AS six,
+                     CAST(floor((0.0625e0 * (-16e0 + (y.iy + 0.5e0) * 4e0)
+                                 + 1e0) / 0.25e0) AS BIGINT) AS siy
+              FROM range(96) x(ix), range(64) y(iy)) d
+            LEFT JOIN (SELECT ix, iy, value FROM raster_cells
+                       WHERE dataset = 'elevation') s
+              ON s.ix = d.six AND s.iy = d.siy
+            """,
+            ("raster_cells",),
+        ),
+        "carbon_stock_stats": oracle_query(
+            """
+            , om3 AS (
+              SELECT ix, iy,
+                     max(CASE WHEN depth_lo = 0 THEN value END) AS v0,
+                     max(CASE WHEN depth_lo = 10 THEN value END) AS v10,
+                     max(CASE WHEN depth_lo = 30 THEN value END) AS v30
+              FROM raster_cells WHERE dataset = 'om' GROUP BY ix, iy),
+            lay AS (
+              SELECT ix, iy,
+                (v0 * 10e0 + v10 * 20e0 + v30 * 30e0) / 60e0 AS socm,
+                (((v0 * 0.75e0 - v0 * 1.25e0) / 3.29e0)
+                   * ((v0 * 0.75e0 - v0 * 1.25e0) / 3.29e0) * 100e0
+                 + ((v10 * 0.75e0 - v10 * 1.25e0) / 3.29e0)
+                   * ((v10 * 0.75e0 - v10 * 1.25e0) / 3.29e0) * 400e0
+                 + ((v30 * 0.75e0 - v30 * 1.25e0) / 3.29e0)
+                   * ((v30 * 0.75e0 - v30 * 1.25e0) / 3.29e0) * 900e0
+                ) / 1400e0 AS socv,
+                ((v0 / 16e0 + 1e0) * 10e0 + (v10 / 16e0 + 1e0) * 20e0
+                 + (v30 / 16e0 + 1e0) * 30e0) / 60e0 AS bdm,
+                ((((v0 / 16e0 + 1e0) * 0.875e0 - (v0 / 16e0 + 1e0) * 1.125e0)
+                    / 3.29e0)
+                   * (((v0 / 16e0 + 1e0) * 0.875e0 - (v0 / 16e0 + 1e0) * 1.125e0)
+                      / 3.29e0) * 100e0
+                 + (((v10 / 16e0 + 1e0) * 0.875e0 - (v10 / 16e0 + 1e0) * 1.125e0)
+                      / 3.29e0)
+                   * (((v10 / 16e0 + 1e0) * 0.875e0 - (v10 / 16e0 + 1e0) * 1.125e0)
+                      / 3.29e0) * 400e0
+                 + (((v30 / 16e0 + 1e0) * 0.875e0 - (v30 / 16e0 + 1e0) * 1.125e0)
+                      / 3.29e0)
+                   * (((v30 / 16e0 + 1e0) * 0.875e0 - (v30 / 16e0 + 1e0) * 1.125e0)
+                      / 3.29e0) * 900e0
+                ) / 1400e0 AS bdv
+              FROM om3)
+            SELECT ix, iy,
+                   socm * bdm AS stock_mean,
+                   sqrt(sqrt(socv) * sqrt(socv) * (sqrt(bdv) * sqrt(bdv))
+                        + sqrt(socv) * sqrt(socv) * (bdm * bdm)
+                        + sqrt(bdv) * sqrt(bdv) * (socm * socm)) AS stock_stddev
+            FROM lay
+            """,
+            ("raster_cells",),
+        ),
+        "reproject_bilinear": oracle_query(
+            """
+            , dstb AS (
+              SELECT x.ix, y.iy,
+                     (0.015625e0 * (-32e0 + (x.ix + 0.5e0) * 6e0) + 0.5e0)
+                       / 0.25e0 - 0.5e0 AS gx,
+                     (0.0625e0 * (-16e0 + (y.iy + 0.5e0) * 4e0) + 1e0)
+                       / 0.25e0 - 0.5e0 AS gy
+              FROM range(96) x(ix), range(64) y(iy)),
+            corner AS (
+              SELECT ix, iy, gx - floor(gx) AS fx, gy - floor(gy) AS fy,
+                     CAST(floor(gx) AS BIGINT) AS i0,
+                     CAST(floor(gy) AS BIGINT) AS j0
+              FROM dstb),
+            ev AS (SELECT ix, iy, value FROM raster_cells
+                   WHERE dataset = 'elevation'),
+            combined AS (
+              SELECT c.ix, c.iy,
+                coalesce((1e0-fx)*(1e0-fy) * v00.value, 0e0)
+                  + coalesce(fx*(1e0-fy) * v10.value, 0e0)
+                  + coalesce((1e0-fx)*fy * v01.value, 0e0)
+                  + coalesce(fx*fy * v11.value, 0e0) AS num,
+                (CASE WHEN v00.value IS NOT NULL THEN (1e0-fx)*(1e0-fy) ELSE 0e0 END)
+                  + (CASE WHEN v10.value IS NOT NULL THEN fx*(1e0-fy) ELSE 0e0 END)
+                  + (CASE WHEN v01.value IS NOT NULL THEN (1e0-fx)*fy ELSE 0e0 END)
+                  + (CASE WHEN v11.value IS NOT NULL THEN fx*fy ELSE 0e0 END) AS den
+              FROM corner c
+              LEFT JOIN ev v00 ON v00.ix = c.i0     AND v00.iy = c.j0
+              LEFT JOIN ev v10 ON v10.ix = c.i0 + 1 AND v10.iy = c.j0
+              LEFT JOIN ev v01 ON v01.ix = c.i0     AND v01.iy = c.j0 + 1
+              LEFT JOIN ev v11 ON v11.ix = c.i0 + 1 AND v11.iy = c.j0 + 1)
+            SELECT ix, iy, CASE WHEN den > 0 THEN num / den END AS value
+            FROM combined
+            """,
+            ("raster_cells",),
+        ),
         "spatial_join": oracle_query(
             "SELECT url, parcel_id FROM point_parcel_truth"
         ),

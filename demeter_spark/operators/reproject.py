@@ -1,0 +1,316 @@
+"""Cross-CRS raster reprojection / warping (SURVEY.md §2.9 R6 general case).
+
+Capability parity with the reference's rasterio.warp wrapper
+(demeter/raster/utils/reprojection.py:15-112): warp a raster between
+coordinate reference systems with nearest / bilinear / average resampling,
+optionally snapping the output onto another raster's pixel grid
+(_align_transform + _calculate_min_offset, reprojection.py:251-272).
+
+Spark shape — the warp is a JOIN, not a kernel:
+
+- rasters are cell tables (ix, iy, value) on an affine ``Grid`` (origin +
+  resolution); NULL value = masked pixel (numpy.ma parity);
+- **nearest / bilinear are destination-driven**: enumerate destination cells,
+  inverse-transform their centers into source coordinates (pure Catalyst
+  column arithmetic — the CRS transform is a pluggable pair of Column
+  functions), compute integer source indices, and equi-join against the
+  source cells. Bilinear explodes the 4 corner neighbors, joins once, pivots
+  back (max-of-singleton per corner) and combines with a FIXED-ORDER weighted
+  expression — deterministic float results across engines, null-aware weight
+  renormalization (masked corners drop out of numerator and denominator);
+- **average is source-driven**: forward-transform source cell centers, index
+  into the destination grid, groupBy mean (partial aggregation map-side) —
+  the GDAL "average" downsampling analogue;
+- everything is whole-stage-codegen Catalyst except nothing: there is NO
+  Python in any of these paths.
+
+Scale: one equi-join + one hash aggregate per warp; the source side shuffles
+on (ix, iy) only when too big to broadcast — the same cover-join posture as
+the flagship spatial join.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Transform = Callable[[Column, Column], tuple[Column, Column]]
+
+
+@dataclass(frozen=True)
+class Grid:
+    """Affine pixel grid: cell (ix, iy) spans
+    [ox + ix*rx, ox + (ix+1)*rx) x [oy + iy*ry, oy + (iy+1)*ry),
+    center at (ox + (ix+0.5)*rx, oy + (iy+0.5)*ry). y-up axis order."""
+
+    ox: float
+    oy: float
+    rx: float
+    ry: float
+    nx: int
+    ny: int
+
+    def center_x(self, ix: Column) -> Column:
+        return F.lit(self.ox) + (ix + F.lit(0.5)) * F.lit(self.rx)
+
+    def center_y(self, iy: Column) -> Column:
+        return F.lit(self.oy) + (iy + F.lit(0.5)) * F.lit(self.ry)
+
+    def index_x(self, x: Column) -> Column:
+        return F.floor((x - F.lit(self.ox)) / F.lit(self.rx)).cast("bigint")
+
+    def index_y(self, y: Column) -> Column:
+        return F.floor((y - F.lit(self.oy)) / F.lit(self.ry)).cast("bigint")
+
+
+def identity_transform(x: Column, y: Column) -> tuple[Column, Column]:
+    return x, y
+
+
+def affine_transform(ax: float, bx: float, ay: float, by: float) -> Transform:
+    """(X, Y) -> (ax*X + bx, ay*Y + by) — the synthetic cross-CRS family used
+    by the oracle queries (dyadic coefficients keep every engine bit-equal)."""
+
+    def t(x: Column, y: Column) -> tuple[Column, Column]:
+        return F.lit(ax) * x + F.lit(bx), F.lit(ay) * y + F.lit(by)
+
+    return t
+
+
+def grid_cells(spark: SparkSession, grid: Grid) -> DataFrame:
+    """Enumerate a grid's cells DISTRIBUTED: (ix, iy) over nx x ny."""
+    return spark.range(grid.nx * grid.ny).selectExpr(
+        f"CAST(id % {grid.nx} AS BIGINT) AS ix",
+        f"CAST(id div {grid.nx} AS BIGINT) AS iy",
+    )
+
+
+def _src_prepped(src_cells: DataFrame, value_col: str, broadcast: bool) -> DataFrame:
+    s = src_cells.select(
+        F.col("ix").alias("_six"),
+        F.col("iy").alias("_siy"),
+        F.col(value_col).alias("_sv"),
+    )
+    return F.broadcast(s) if broadcast else s
+
+
+def reproject_nearest(
+    src_cells: DataFrame,
+    src_grid: Grid,
+    dst_grid: Grid,
+    to_src: Transform = identity_transform,
+    value_col: str = "value",
+    broadcast_src: bool = False,
+) -> DataFrame:
+    """Nearest-neighbor warp: each destination cell takes the value of the
+    source pixel containing its (inverse-transformed) center; NULL outside
+    the source extent or where the source is masked."""
+    spark = src_cells.sparkSession
+    dst = grid_cells(spark, dst_grid)
+    sx, sy = to_src(dst_grid.center_x(F.col("ix")), dst_grid.center_y(F.col("iy")))
+    dst = dst.withColumn("_six", src_grid.index_x(sx)).withColumn(
+        "_siy", src_grid.index_y(sy)
+    )
+    s = _src_prepped(src_cells, value_col, broadcast_src)
+    return (
+        dst.join(s, ["_six", "_siy"], "left")
+        .select("ix", "iy", F.col("_sv").alias("value"))
+    )
+
+
+def reproject_bilinear(
+    src_cells: DataFrame,
+    src_grid: Grid,
+    dst_grid: Grid,
+    to_src: Transform = identity_transform,
+    value_col: str = "value",
+    broadcast_src: bool = False,
+) -> DataFrame:
+    """Bilinear warp: interpolate the 4 source pixels around each destination
+    center, renormalizing weights over unmasked pixels (all-masked -> NULL).
+
+    The combine is ONE fixed-order arithmetic expression over the pivoted
+    corner values — float-deterministic (no order-dependent aggregation of
+    the weighted terms), so a SQL oracle evaluating the same expression text
+    reproduces it bit-for-bit on dyadic grids.
+    """
+    spark = src_cells.sparkSession
+    dst = grid_cells(spark, dst_grid)
+    sx, sy = to_src(dst_grid.center_x(F.col("ix")), dst_grid.center_y(F.col("iy")))
+    # fractional position in source-center coordinates
+    gx = (sx - F.lit(src_grid.ox)) / F.lit(src_grid.rx) - F.lit(0.5)
+    gy = (sy - F.lit(src_grid.oy)) / F.lit(src_grid.ry) - F.lit(0.5)
+    dst = (
+        dst.withColumn("_i0", F.floor(gx).cast("bigint"))
+        .withColumn("_j0", F.floor(gy).cast("bigint"))
+        .withColumn("_fx", gx - F.floor(gx))
+        .withColumn("_fy", gy - F.floor(gy))
+    )
+    corners = F.explode(
+        F.array(*[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+                  for di in (0, 1) for dj in (0, 1)])
+    )
+    cand = (
+        dst.withColumn("_c", corners)
+        .withColumn("_six", F.col("_i0") + F.col("_c.di"))
+        .withColumn("_siy", F.col("_j0") + F.col("_c.dj"))
+    )
+    s = _src_prepped(src_cells, value_col, broadcast_src)
+    joined = cand.join(s, ["_six", "_siy"], "left")
+
+    def corner_val(di: int, dj: int) -> Column:
+        return F.max(
+            F.when((F.col("_c.di") == di) & (F.col("_c.dj") == dj), F.col("_sv"))
+        )
+
+    agg = joined.groupBy("ix", "iy").agg(
+        F.max("_fx").alias("_fx"),
+        F.max("_fy").alias("_fy"),
+        corner_val(0, 0).alias("_v00"),
+        corner_val(1, 0).alias("_v10"),
+        corner_val(0, 1).alias("_v01"),
+        corner_val(1, 1).alias("_v11"),
+    )
+    one = F.lit(1.0)
+    w00 = (one - F.col("_fx")) * (one - F.col("_fy"))
+    w10 = F.col("_fx") * (one - F.col("_fy"))
+    w01 = (one - F.col("_fx")) * F.col("_fy")
+    w11 = F.col("_fx") * F.col("_fy")
+
+    def term(w: Column, v: str) -> Column:
+        return F.coalesce(w * F.col(v), F.lit(0.0))
+
+    def wterm(w: Column, v: str) -> Column:
+        return F.when(F.col(v).isNotNull(), w).otherwise(F.lit(0.0))
+
+    num = term(w00, "_v00") + term(w10, "_v10") + term(w01, "_v01") + term(w11, "_v11")
+    den = (
+        wterm(w00, "_v00") + wterm(w10, "_v10")
+        + wterm(w01, "_v01") + wterm(w11, "_v11")
+    )
+    return agg.select(
+        "ix",
+        "iy",
+        F.when(den > 0, num / den).alias("value"),
+    )
+
+
+def reproject_average(
+    src_cells: DataFrame,
+    src_grid: Grid,
+    dst_grid: Grid,
+    to_dst: Transform = identity_transform,
+    value_col: str = "value",
+) -> DataFrame:
+    """Average warp (downsampling): each destination cell averages the source
+    pixels whose forward-transformed centers land in it (null-skipping —
+    masked pixels leave numerator and denominator, numpy.ma semantics)."""
+    dx, dy = to_dst(
+        src_grid.center_x(F.col("ix")), src_grid.center_y(F.col("iy"))
+    )
+    return (
+        src_cells.select(
+            dst_grid.index_x(dx).alias("ix"),
+            dst_grid.index_y(dy).alias("iy"),
+            F.col(value_col).alias("_sv"),
+        )
+        .filter(
+            (F.col("ix") >= 0) & (F.col("ix") < dst_grid.nx)
+            & (F.col("iy") >= 0) & (F.col("iy") < dst_grid.ny)
+        )
+        .groupBy("ix", "iy")
+        .agg(F.avg("_sv").alias("value"), F.count("_sv").alias("n_valid"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# R8: transform-offset alignment (reprojection.py:251-272)
+
+
+def calculate_min_offset(distance: float, resolution: float) -> float:
+    """Minimal sub-resolution shift with |offset| <= res/2 — the reference's
+    _calculate_min_offset arithmetic (reprojection.py:266-272)."""
+    if distance == 0.0:
+        return 0.0
+    offset = math.fmod(distance, math.copysign(resolution, distance))
+    if abs(offset) > resolution / 2:
+        offset -= math.copysign(resolution, offset)
+    assert abs(offset) <= resolution / 2
+    return offset
+
+
+def align_grid(grid: Grid, to: Grid) -> Grid:
+    """Snap ``grid``'s origin onto ``to``'s pixel lattice (same resolution
+    required) — the reference's _align_transform (reprojection.py:251-264)."""
+    if (grid.rx, grid.ry) != (to.rx, to.ry):
+        raise ValueError("Transforms must have the same resolution")
+    xoff = calculate_min_offset(to.ox - grid.ox, grid.rx)
+    yoff = calculate_min_offset(to.oy - grid.oy, grid.ry)
+    return Grid(grid.ox + xoff, grid.oy + yoff, grid.rx, grid.ry, grid.nx, grid.ny)
+
+
+def align_cells(
+    src_cells: DataFrame,
+    src_grid: Grid,
+    to: Grid,
+    resampling: str = "nearest",
+    value_col: str = "value",
+) -> tuple[DataFrame, Grid]:
+    """R7/R8 composition: snap the source grid onto ``to``'s lattice, then
+    resample the cells onto the snapped grid. Returns (cells, snapped_grid)
+    ready for overlap-merge (operators/tilemerge.py)."""
+    snapped = align_grid(src_grid, to)
+    fn = reproject_nearest if resampling == "nearest" else reproject_bilinear
+    out = fn(src_cells, src_grid, snapped, identity_transform, value_col)
+    return out, snapped
+
+
+# ---------------------------------------------------------------------------
+# UTM-like spherical transverse-mercator transform (pytest-verified path; the
+# reference reprojects 4326 <-> UTM via pyproj/rasterio: api.py:132-151)
+
+EARTH_R = 6_371_000.0
+DEG = math.pi / 180.0
+
+
+def utm_zone(lon: Column) -> Column:
+    """Closed-form UTM zone number: floor((lon+180)/6) + 1 (tiles.py:102-133
+    groups sentinel tiles per zone; this is the standard formula)."""
+    return (F.floor((lon + F.lit(180.0)) / F.lit(6.0)) + F.lit(1)).cast("int")
+
+
+def utm_central_meridian(zone: Column) -> Column:
+    return zone.cast("double") * F.lit(6.0) - F.lit(183.0)
+
+
+def lonlat_to_tm(lon0: float, k0: float = 0.9996) -> Transform:
+    """Spherical transverse Mercator forward: (lon, lat) degrees -> meters.
+    x = k0*R*atanh(cos(lat)*sin(lon-lon0)); y = k0*R*atan2(tan(lat), cos(lon-lon0)).
+    Pure Catalyst trig — vectorized, no UDF."""
+
+    def t(lon: Column, lat: Column) -> tuple[Column, Column]:
+        lam = (lon - F.lit(lon0)) * F.lit(DEG)
+        phi = lat * F.lit(DEG)
+        b = F.cos(phi) * F.sin(lam)
+        x = F.lit(0.5 * k0 * EARTH_R) * F.log((F.lit(1.0) + b) / (F.lit(1.0) - b))
+        y = F.lit(k0 * EARTH_R) * F.atan2(F.tan(phi), F.cos(lam))
+        return x, y
+
+    return t
+
+
+def tm_to_lonlat(lon0: float, k0: float = 0.9996) -> Transform:
+    """Spherical transverse Mercator inverse: meters -> (lon, lat) degrees."""
+
+    def t(x: Column, y: Column) -> tuple[Column, Column]:
+        xn = x / F.lit(k0 * EARTH_R)
+        d = y / F.lit(k0 * EARTH_R)
+        lat = F.asin(F.sin(d) / F.cosh(xn)) / F.lit(DEG)
+        lon = F.lit(lon0) + F.atan2(F.sinh(xn), F.cos(d)) / F.lit(DEG)
+        return lon, lat
+
+    return t

@@ -1,0 +1,166 @@
+"""Cross-CRS warp invariants mirroring the reference's reprojection tests
+(/root/reference/tests/raster/utils/test_reprojection.py:19-101) plus the
+R8 transform-offset alignment arithmetic (reprojection.py:251-272)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from demeter_spark.operators import reproject as rp
+from demeter_spark.sources import synth
+
+SRC = rp.Grid(0.0, 0.0, 0.25, 0.25, 144, 128)
+
+
+def _elev(spark):
+    return synth.raster_cells(spark).filter("dataset = 'elevation'")
+
+
+def test_reproject_average_preserves_mean(spark):
+    """test_reproject parity: warp to a coarser synthetic CRS with 'average'
+    — the rounded mean is invariant (masked pixels drop out both sides)."""
+    src = _elev(spark)
+    dst_grid = rp.Grid(0.0, 0.0, 1.0, 1.0, 36, 32)
+    out = rp.reproject_average(src, SRC, dst_grid)
+    src_mean = src.agg(F.avg("value")).first()[0]
+    dst_mean = out.agg(F.avg("value")).first()[0]
+    assert round(src_mean) == round(dst_mean)
+    assert out.count() == 36 * 32
+
+
+def test_bilinear_identity_grid_is_identity(spark):
+    """On the source grid itself (fx=fy=0) bilinear must return the source
+    raster exactly, with masked pixels staying NULL (den=0)."""
+    src = _elev(spark)
+    out = rp.reproject_bilinear(src, SRC, SRC).withColumnRenamed("value", "got")
+    joined = out.join(src.select("ix", "iy", "value"), ["ix", "iy"])
+    n_bad = joined.filter(
+        ~(
+            (F.col("got").isNull() & F.col("value").isNull())
+            | (F.col("got") == F.col("value"))
+        )
+    ).count()
+    assert n_bad == 0
+    assert out.count() == src.count()
+
+
+def test_nearest_roundtrip_refines(spark):
+    """Warping to a 2x finer grid with nearest then averaging 2x2 blocks back
+    reproduces the source exactly (each child carries the parent value)."""
+    src = _elev(spark)
+    fine = rp.Grid(0.0, 0.0, 0.125, 0.125, 288, 256)
+    up = rp.reproject_nearest(src, SRC, fine)
+    back = rp.reproject_average(up, fine, SRC)
+    joined = back.join(src.select("ix", "iy", F.col("value").alias("want")),
+                       ["ix", "iy"], "right")
+    n_bad = joined.filter(
+        ~(
+            (F.col("value").isNull() & F.col("want").isNull())
+            | (F.col("value") == F.col("want"))
+        )
+    ).count()
+    assert n_bad == 0
+
+
+def test_calculate_min_offset_matches_reference_arithmetic():
+    """Mirror _calculate_min_offset (reprojection.py:266-272) numerically."""
+
+    def ref(distance, resolution):
+        if distance == 0.0:
+            return 0.0
+        offset = distance % math.copysign(resolution, distance)
+        if abs(offset) > resolution / 2:
+            offset -= math.copysign(resolution, offset)
+        return offset
+
+    for d in (0.0, 0.3, 0.7, 3.7, -0.3, -0.7, -3.7, 12.49, -12.51, 0.5, -0.5):
+        for r in (1.0, 0.25, 10.0):
+            got = rp.calculate_min_offset(d, r)
+            want = ref(d, r)
+            assert got == want, (d, r, got, want)
+            assert abs(got) <= r / 2
+
+
+def test_align_grid_snaps_origin(spark):
+    g = rp.Grid(0.7, 10.1, 1.0, 1.0, 4, 4)
+    to = rp.Grid(0.0, 10.0, 1.0, 1.0, 4, 4)
+    snapped = rp.align_grid(g, to)
+    assert snapped.ox == pytest.approx(1.0)
+    assert snapped.oy == pytest.approx(10.0)
+    # snapped origin sits on `to`'s lattice, shift <= res/2
+    assert abs(snapped.ox - g.ox) <= 0.5 and abs(snapped.oy - g.oy) <= 0.5
+    assert (snapped.ox - to.ox) % 1.0 == pytest.approx(0.0)
+    with pytest.raises(ValueError):
+        rp.align_grid(g, rp.Grid(0.0, 0.0, 2.0, 1.0, 4, 4))
+
+
+def test_align_cells_then_merge_shape(spark):
+    """R7 composition: a deliberately offset grid snaps onto the reference
+    lattice and resamples; rounded mean preserved (align_and_merge parity)."""
+    src = _elev(spark)
+    # same resolution, origin off by (0.1, -0.07) — sub-pixel misalignment
+    off = rp.Grid(0.1, -0.07, 0.25, 0.25, 144, 128)
+    out, snapped = rp.align_cells(src, off, SRC, resampling="nearest")
+    assert (snapped.ox - SRC.ox) % 0.25 == pytest.approx(0.0)
+    assert (snapped.oy - SRC.oy) % 0.25 == pytest.approx(0.0, abs=1e-12)
+    src_mean = src.agg(F.avg("value")).first()[0]
+    out_mean = out.agg(F.avg("value")).first()[0]
+    assert round(src_mean) == round(out_mean)
+
+
+def test_utm_zone_closed_form(spark):
+    df = spark.createDataFrame(
+        [(-180.0,), (-174.001,), (0.0,), (3.0,), (35.9,), (179.9,)], "lon DOUBLE"
+    )
+    got = [r[0] for r in df.select(rp.utm_zone(F.col("lon"))).collect()]
+    assert got == [1, 1, 31, 31, 36, 60]
+    cm = [
+        r[0]
+        for r in df.select(
+            rp.utm_central_meridian(rp.utm_zone(F.col("lon")))
+        ).collect()
+    ]
+    assert cm == [-177.0, -177.0, 3.0, 3.0, 33.0, 177.0]
+
+
+def test_tm_transform_roundtrip(spark):
+    """Spherical transverse Mercator fwd/inv are mutual inverses to <1e-9 deg
+    (~0.1 mm) across the zone — the vectorized lon/lat <-> meters path."""
+    df = spark.range(200).selectExpr(
+        "((id * 37) % 600) / 100e0 AS lon",  # 0..6 deg around lon0=3
+        "((id * 53) % 7000) / 100e0 - 35e0 AS lat",  # -35..35
+    )
+    fwd = rp.lonlat_to_tm(3.0)
+    inv = rp.tm_to_lonlat(3.0)
+    x, y = fwd(F.col("lon"), F.col("lat"))
+    lon2, lat2 = inv(x, y)
+    bad = (
+        df.select(
+            (F.abs(lon2 - F.col("lon")) > 1e-9).alias("bx"),
+            (F.abs(lat2 - F.col("lat")) > 1e-9).alias("by"),
+        )
+        .filter("bx OR by")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_tm_warp_preserves_mean(spark):
+    """Warp the degree raster into TM meters with nearest onto a fine metric
+    grid: rounded mean invariant (reference test_reproject parity for the
+    trig CRS path, where exact-hash oracles don't apply)."""
+    src = _elev(spark)
+    fwd = rp.lonlat_to_tm(18.0)  # central meridian mid-raster
+    inv = rp.tm_to_lonlat(18.0)
+    # raster spans [0,36)x[0,32) deg; TM meters extent ~ +-2.0e6 x 3.6e6
+    dst = rp.Grid(-2.1e6, -0.1e6, 10_000.0, 10_000.0, 420, 370)
+    out = rp.reproject_nearest(src, SRC, dst, to_src=inv).filter(
+        "value IS NOT NULL"
+    )
+    src_mean = src.agg(F.avg("value")).first()[0]
+    out_mean = out.agg(F.avg("value")).first()[0]
+    # nearest resampling onto a uniform metric grid oversamples high-latitude
+    # rows slightly; the fixture's value field is hash-noise (mean ~48), so
+    # the rounded means stay within 1 unit
+    assert abs(src_mean - out_mean) < 1.0
