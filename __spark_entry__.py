@@ -259,12 +259,16 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (Hamming <= 3); no SQL oracle
-    (xxhash64 is Spark-specific) — rows-only check + pytest completeness."""
+    """SimHash banded near-dup pairs (Hamming <= 3), md5-derived token hashes
+    so the ENTIRE pipeline (hash -> vote fold -> banding -> popcount verify)
+    is oracle-checked: by pigeonhole, Hamming<=3 pairs always share a 16-bit
+    band, so the blocked result must equal DuckDB's exhaustive pair scan."""
     from demeter_spark.operators import dedup
     from demeter_spark.sources import synth
 
-    return dedup.simhash_near_pairs(synth.dedup_corpus(spark, sf_dir))
+    return dedup.simhash_near_pairs(
+        synth.dedup_corpus(spark, sf_dir), token_hash=dedup.TOKEN_HASH_MD5
+    )
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,6 +1000,86 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_jaccard": oracle_query(_jaccard_oracle_tail(0.6, max_df=32)),
         "dedup_minhash": oracle_query(_jaccard_oracle_tail(0.8)),
+        "simhash_pairs": oracle_query(
+            """
+            , toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM dedup_corpus),
+            votes AS (
+              SELECT doc_id, r.b,
+                 sum(CASE WHEN ((strpos('0123456789abcdef',
+                        substr(md5(t), 16 - (r.b // 4), 1)) - 1)
+                        >> (r.b % 4)) & 1 = 1
+                     THEN 1 ELSE -1 END) AS v
+              FROM toks, range(64) r(b) GROUP BY doc_id, r.b),
+            bands AS (
+              SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 AND b // 16 = 0
+                          THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS b0,
+                 CAST(sum(CASE WHEN v > 0 AND b // 16 = 1
+                          THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS b1,
+                 CAST(sum(CASE WHEN v > 0 AND b // 16 = 2
+                          THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS b2,
+                 CAST(sum(CASE WHEN v > 0 AND b // 16 = 3
+                          THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS b3
+              FROM votes GROUP BY doc_id)
+            SELECT doc_a, doc_b, hamming FROM (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                     CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+                          AS INT) AS hamming
+              FROM bands x, bands y
+              WHERE x.doc_id < y.doc_id)
+            WHERE hamming <= 3
+            """,
+        ),
+        "ann_ivf_multiprobe": oracle_query(
+            """
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding)::DOUBLE AS x
+              FROM embeddings),
+            cents AS (
+              SELECT centroid_id, list(m ORDER BY dim) AS centroid FROM (
+                SELECT label AS centroid_id, dim, avg(x) AS m
+                FROM dims GROUP BY label, dim)
+              GROUP BY centroid_id),
+            vass AS (
+              SELECT neighbor_id, emb, centroid_id FROM (
+                SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS emb,
+                       c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                          (list_dot_product(e.embedding::DOUBLE[], c.centroid)
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(c.centroid, c.centroid))))
+                          DESC, c.centroid_id) AS rk
+                FROM embeddings e, cents c) WHERE rk <= 1),
+            qass AS (
+              SELECT query_id, qemb, centroid_id FROM (
+                SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qemb,
+                       c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                          (list_dot_product(e.embedding::DOUBLE[], c.centroid)
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(c.centroid, c.centroid))))
+                          DESC, c.centroid_id) AS rk
+                FROM embeddings e, cents c WHERE e.vec_id < 10) WHERE rk <= 3)
+            SELECT query_id, neighbor_id, rnk FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM (SELECT DISTINCT q.query_id, v.neighbor_id,
+                      list_dot_product(q.qemb, v.emb)
+                        / (sqrt(list_dot_product(q.qemb, q.qemb))
+                           * sqrt(list_dot_product(v.emb, v.emb))) AS cos
+                    FROM qass q JOIN vass v USING (centroid_id)
+                    WHERE q.query_id != v.neighbor_id))
+            WHERE rnk <= 5
+            """,
+            (),
+        ),
         "text_stats": oracle_query(
             """
             SELECT doc_id,

@@ -11,6 +11,7 @@ Polygons/MultiPolygons; multiparts are exploded as in demeter/utils.py:44-46).
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -197,6 +198,74 @@ def points_in_rings_grouped(
     return points_in_polygons_grouped(
         px, py, group_ids, {k: [[r] for r in v] for k, v in rings.items()}
     )
+
+
+def multipolygon_wkt(parts: list[list[Ring]]) -> str:
+    """Parts (each outer + holes) -> MULTIPOLYGON WKT, parts sorted by
+    (min x, min y) so output is deterministic across partition orders."""
+
+    def ring_str(xs: np.ndarray, ys: np.ndarray) -> str:
+        pts = ", ".join(f"{x!r} {y!r}" for x, y in zip(xs, ys))
+        return f"({pts}, {xs[0]!r} {ys[0]!r})"
+
+    keyed = sorted(
+        parts, key=lambda rings: (float(rings[0][0].min()), float(rings[0][1].min()))
+    )
+    bodies = [
+        "(" + ", ".join(ring_str(xs, ys) for xs, ys in rings) + ")"
+        for rings in keyed
+    ]
+    return "MULTIPOLYGON (" + ", ".join(bodies) + ")"
+
+
+def part_area(rings: list[Ring]) -> float:
+    """Area of one polygon part: outer ring minus holes (even-odd)."""
+    outer = polygon_area(*rings[0])
+    return outer - math.fsum(polygon_area(xs, ys) for xs, ys in rings[1:])
+
+
+def parts_area(parts: list[list[Ring]]) -> float:
+    """Total area of a (multi)polygon — non-overlapping parts assumed (the
+    reference's map-unit partition semantics)."""
+    return math.fsum(part_area(p) for p in parts)
+
+
+def signed_ring_area(xs: np.ndarray, ys: np.ndarray) -> float:
+    x1 = np.roll(xs, -1)
+    y1 = np.roll(ys, -1)
+    return float(np.sum(xs * y1 - x1 * ys)) * 0.5
+
+
+def buffer_convex(xs: np.ndarray, ys: np.ndarray, dist: float) -> Ring:
+    """Planar miter buffer of a CONVEX ring: offset every edge outward by
+    ``dist`` and intersect consecutive offset lines.
+
+    Capability parity with the reference's swath buffering before the
+    tiles x orbits sjoin (demeter/raster/sentinel2/tiles.py:70-75) — a
+    conservative pre-join dilation (miter corners strictly contain the true
+    round-cornered buffer, so the filter-refine contract still never misses).
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if signed_ring_area(xs, ys) < 0:  # normalize to CCW
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+    ex = np.roll(xs, -1) - xs
+    ey = np.roll(ys, -1) - ys
+    ln = np.sqrt(ex * ex + ey * ey)
+    # outward normal of a CCW edge is (dy, -dx)/|e|
+    nx = ey / ln * dist
+    ny = -ex / ln * dist
+    # offset edge i passes through (xs+n) with direction (ex, ey);
+    # new vertex i = intersection of offset edges i-1 and i
+    px = xs + nx
+    py = ys + ny
+    qx = np.roll(px, 1)
+    qy = np.roll(py, 1)
+    dx1 = np.roll(ex, 1)
+    dy1 = np.roll(ey, 1)
+    denom = dx1 * ey - dy1 * ex
+    t = ((px - qx) * ey - (py - qy) * ex) / denom
+    return qx + t * dx1, qy + t * dy1
 
 
 def pack_polygons(parts: list[list[Ring]]) -> np.ndarray:

@@ -177,11 +177,26 @@ def _simhash64(hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document from token xxhash64s."""
+# token-hash SQL fragments (64-bit): xxhash64 is the cheap scale default;
+# the md5 variant is engine-portable (DuckDB computes identical hex), which
+# makes the whole SimHash pipeline oracle-checkable end-to-end
+TOKEN_HASH_XX = "xxhash64(t)"
+TOKEN_HASH_MD5 = (
+    "(shiftleft(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), 32)"
+    " | CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT))"
+)
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: str = TOKEN_HASH_XX,
+) -> DataFrame:
+    """64-bit SimHash per document from 64-bit token hashes (vote fold)."""
     toks = docs.select(
         id_col,
-        F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))").alias("_h"),
+        F.expr(f"transform(split({text_col}, ' '), t -> {token_hash})").alias("_h"),
     )
     return toks.select(id_col, _simhash64(F.col("_h")).alias("simhash"))
 
@@ -191,13 +206,14 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_hash: str = TOKEN_HASH_XX,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Blocked by 16-bit bands (4 bands: any pair within Hamming 3 shares at
     least one exact band — pigeonhole), then exact popcount verify.
     """
-    sig = simhash(docs, id_col, text_col)
+    sig = simhash(docs, id_col, text_col, token_hash)
     banded = sig.select(
         id_col,
         "simhash",

@@ -73,21 +73,43 @@ class LineageLog:
     ) -> int:
         """Write only not-yet-committed partitions of ``df``; returns the
         number of partitions written. ``df`` must carry ``part_col``
-        (a deterministic bucket, e.g. pmod(xxhash64(url), N))."""
+        (a deterministic bucket, e.g. pmod(xxhash64(url), N)).
+
+        A fingerprint identifies one input snapshot; resuming the same
+        fingerprint is incremental and crash-healing. A NEW fingerprint over
+        a SHRUNKEN input (partitions vanished) should use a fresh stage path
+        — stale on-disk partitions from the old fingerprint are not deleted
+        by dynamic overwrite (the usual snapshot-table rule)."""
         done = self.committed_parts(stage, fingerprint)
         todo = df.withColumn("_part", F.col(part_col).cast("long")).join(
             F.broadcast(done), F.col("_part") == done["part"], "left_anti"
         )
-        counts = todo.groupBy("_part").agg(F.count("*").alias("n_rows")).collect()
-        if not counts:
-            return 0
         out_path = os.path.join(self.base_dir, stage)
+        # SINGLE pass over the data: write first, then derive the manifest's
+        # per-partition counts from the written files — selecting only the
+        # partition column makes the count job metadata-cheap (parquet
+        # footers, zero data columns). This also heals partitions written by
+        # a run that crashed before its manifest append: they show up here
+        # as written-but-uncommitted and get committed now.
         (
             todo.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_part")
             .parquet(out_path)
         )
+        try:
+            written = self.spark.read.parquet(out_path)
+        except Exception:
+            return 0  # nothing ever written for this stage
+        counts = (
+            written.select("_part")
+            .groupBy("_part")
+            .agg(F.count("*").alias("n_rows"))
+            .join(F.broadcast(done), F.col("_part") == done["part"], "left_anti")
+            .collect()
+        )
+        if not counts:
+            return 0
         snap_id = str(uuid.uuid4())
         rows = [
             (stage, int(r["_part"]), fingerprint, int(r["n_rows"]), snap_id)
