@@ -562,6 +562,62 @@ def _q_carbon_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geojson_parcels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 GeoJSON ingestion end-to-end: closed-form Feature strings (Polygon
+    with holes every 10th, MultiPolygon every 7th) -> from_json coordinate
+    parse -> WKT assembly (pure Catalyst) -> P11 type guard -> vectorized
+    bbox derivation. Output is numeric (dyadic coords round-trip exactly
+    through JSON text), so the oracle recomputes bboxes closed-form."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.sources import geojson
+
+    n = 500
+    feats = spark.range(n).selectExpr(
+        "id AS fid",
+        "CAST(id AS DOUBLE) * 0.5e0 AS x0",
+        "CAST(id % 16 AS DOUBLE) * 0.25e0 AS y0",
+    ).selectExpr(
+        "fid",
+        """CASE
+           WHEN fid % 7 = 0 THEN concat(
+             '{"type": "Feature", "properties": {"name": "f', CAST(fid AS STRING),
+             '"}, "geometry": {"type": "MultiPolygon", "coordinates": [[[',
+             '[', CAST(x0 AS STRING), ', ', CAST(y0 AS STRING), '], ',
+             '[', CAST(x0 + 0.5e0 AS STRING), ', ', CAST(y0 AS STRING), '], ',
+             '[', CAST(x0 + 0.5e0 AS STRING), ', ', CAST(y0 + 0.25e0 AS STRING), '], ',
+             '[', CAST(x0 AS STRING), ', ', CAST(y0 AS STRING), ']]], [[',
+             '[', CAST(x0 + 100e0 AS STRING), ', ', CAST(y0 AS STRING), '], ',
+             '[', CAST(x0 + 100.5e0 AS STRING), ', ', CAST(y0 AS STRING), '], ',
+             '[', CAST(x0 + 100.5e0 AS STRING), ', ', CAST(y0 + 0.25e0 AS STRING), '], ',
+             '[', CAST(x0 + 100e0 AS STRING), ', ', CAST(y0 AS STRING), ']]]]}}')
+           WHEN fid % 10 = 0 THEN concat(
+             '{"type": "Feature", "properties": {"name": "f', CAST(fid AS STRING),
+             '"}, "geometry": {"type": "Polygon", "coordinates": [[',
+             '[', CAST(x0 AS STRING), ', ', CAST(y0 AS STRING), '], ',
+             '[', CAST(x0 + 0.5e0 AS STRING), ', ', CAST(y0 AS STRING), '], ',
+             '[', CAST(x0 + 0.5e0 AS STRING), ', ', CAST(y0 + 0.25e0 AS STRING), '], ',
+             '[', CAST(x0 AS STRING), ', ', CAST(y0 AS STRING), ']], [',
+             '[', CAST(x0 + 0.125e0 AS STRING), ', ', CAST(y0 + 0.0625e0 AS STRING), '], ',
+             '[', CAST(x0 + 0.25e0 AS STRING), ', ', CAST(y0 + 0.0625e0 AS STRING), '], ',
+             '[', CAST(x0 + 0.25e0 AS STRING), ', ', CAST(y0 + 0.125e0 AS STRING), '], ',
+             '[', CAST(x0 + 0.125e0 AS STRING), ', ', CAST(y0 + 0.0625e0 AS STRING), ']]]}}')
+           ELSE concat(
+             '{"type": "Feature", "properties": {"name": "f', CAST(fid AS STRING),
+             '"}, "geometry": {"type": "Polygon", "coordinates": [[',
+             '[', CAST(x0 AS STRING), ', ', CAST(y0 AS STRING), '], ',
+             '[', CAST(x0 + 0.5e0 AS STRING), ', ', CAST(y0 AS STRING), '], ',
+             '[', CAST(x0 + 0.5e0 AS STRING), ', ', CAST(y0 + 0.25e0 AS STRING), '], ',
+             '[', CAST(x0 AS STRING), ', ', CAST(y0 AS STRING), ']]]}}')
+           END AS feature""",
+    )
+    parsed = geojson.features(feats, "feature", {"name": "string"})
+    guarded = geojson.assert_geometry_types(parsed)
+    return geojson.with_bbox(guarded, "geom_wkt").select(
+        "fid", "name", "geom_type", "n_parts", "xmin", "ymin", "xmax", "ymax"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
@@ -569,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_nearest": _q_reproject_nearest,
         "reproject_bilinear": _q_reproject_bilinear,
         "carbon_stock_stats": _q_carbon_stock,
+        "geojson_parcels": _q_geojson_parcels,
         "spatial_join": _q_spatial_join,
         "spatial_join_compact": _q_spatial_join_compact,
         "knn_kring": _q_knn,
@@ -688,6 +745,22 @@ def oracle_sql() -> dict[str, str]:
               ON s.ix = d.six AND s.iy = d.siy
             """,
             ("raster_cells",),
+        ),
+        "geojson_parcels": oracle_query(
+            """
+            SELECT fid, 'f' || CAST(fid AS STRING) AS name,
+                   CASE WHEN fid % 7 = 0 THEN 'MultiPolygon'
+                        ELSE 'Polygon' END AS geom_type,
+                   CAST(CASE WHEN fid % 7 = 0 THEN 2 ELSE 1 END AS INT) AS n_parts,
+                   CAST(fid AS DOUBLE) * 0.5e0 AS xmin,
+                   CAST(fid % 16 AS DOUBLE) * 0.25e0 AS ymin,
+                   CASE WHEN fid % 7 = 0
+                        THEN CAST(fid AS DOUBLE) * 0.5e0 + 100.5e0
+                        ELSE CAST(fid AS DOUBLE) * 0.5e0 + 0.5e0 END AS xmax,
+                   CAST(fid % 16 AS DOUBLE) * 0.25e0 + 0.25e0 AS ymax
+            FROM range(500) r(fid)
+            """,
+            (),
         ),
         "carbon_stock_stats": oracle_query(
             """
