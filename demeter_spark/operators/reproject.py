@@ -227,6 +227,32 @@ def reproject_average(
     )
 
 
+def window_cells(
+    src_cells: DataFrame,
+    ix0: int,
+    iy0: int,
+    ix1: int,
+    iy1: int,
+    pad: int = 1,
+) -> DataFrame:
+    """S2/S3 windowed read with an N-pixel pad: restrict a cell table to a
+    window [ix0, ix1] x [iy0, iy1] expanded by ``pad`` cells on every side.
+
+    Mirrors the reference's padded remote window reads
+    (demeter/raster/usgs/topography.py + sentinel2 windowed fetches: windows
+    are padded by one pixel so edge pixels still have the neighbors that
+    bilinear/cubic kernels need). The predicate is a plain Catalyst filter —
+    it pushes down to the parquet scan (PushedFilters on ix/iy) so a window
+    read touches only matching row groups.
+    """
+    return src_cells.filter(
+        (F.col("ix") >= F.lit(ix0 - pad))
+        & (F.col("ix") <= F.lit(ix1 + pad))
+        & (F.col("iy") >= F.lit(iy0 - pad))
+        & (F.col("iy") <= F.lit(iy1 + pad))
+    )
+
+
 # ---------------------------------------------------------------------------
 # R8: transform-offset alignment (reprojection.py:251-272)
 

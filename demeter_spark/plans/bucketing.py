@@ -45,3 +45,26 @@ def colocated_join(
     left = spark.table(left_table)
     right = spark.table(right_table)
     return left.join(right, key, how)
+
+
+def cluster_sort(
+    df: DataFrame,
+    range_keys: tuple[str, ...],
+    sort_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """O2 cluster-sort pipelining: range-partition on ``range_keys`` then
+    sort rows within each partition by (range_keys + sort_keys).
+
+    The reference's engine emits clustered+sorted result sets (ORDER BY on
+    the remote engine); on Spark the equivalent is one range Exchange + a
+    partition-local sort — globally ordered output across partition
+    boundaries without a single-node global sort, and downstream
+    per-partition consumers (sorted-run writers, merge readers,
+    mapPartitions kernels that binary-search) see sorted input. Writing
+    parquet from this shape also clusters row groups by key, so future
+    range predicates prune at the scan.
+    """
+    all_keys = [F.col(k) for k in (*range_keys, *sort_keys)]
+    return df.repartitionByRange(*[F.col(k) for k in range_keys]).sortWithinPartitions(
+        *all_keys
+    )

@@ -35,3 +35,31 @@ def test_bucketed_cover_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS pts_b")
         spark.sql("DROP TABLE IF EXISTS covers_b")
+
+
+def test_cluster_sort_shape_and_order(spark):
+    """O2: one range exchange + partition-local sort (no global sort), and
+    rows arrive sorted within every partition."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).selectExpr(
+        "(id * 2654435761) % 1000 AS k", "id AS v"
+    )
+    cs = bucketing.cluster_sort(df, ("k",), ("v",))
+    plan = cs._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(k" in plan, plan
+    # the sort is partition-local (global=false encoded as Sort ... false)
+    assert "Sort [k" in plan and ", false, 0" in plan, plan
+
+    def _sorted_check(it):
+        import pandas as pd
+
+        for pdf in it:
+            ok = (
+                pdf.sort_values(["k", "v"]).reset_index(drop=True)["v"]
+                == pdf.reset_index(drop=True)["v"]
+            ).all()
+            yield pd.DataFrame({"ok": [bool(ok)]})
+
+    flags = cs.mapInPandas(_sorted_check, "ok BOOLEAN").collect()
+    assert all(r["ok"] for r in flags)

@@ -164,3 +164,50 @@ def test_tm_warp_preserves_mean(spark):
     # rows slightly; the fixture's value field is hash-noise (mean ~48), so
     # the rounded means stay within 1 unit
     assert abs(src_mean - out_mean) < 1.0
+
+
+def test_windowed_read_with_pad_matches_full_bilinear(spark):
+    """S3: a 1-px-padded window feeds bilinear resampling the neighbor
+    pixels that edge cells need — results inside the window equal the
+    full-raster warp; an UNpadded window would disagree at the edges."""
+    src = _elev(spark)
+    # dst = half-res grid over the window [32..63] x [16..47] of src, offset
+    # so the first dst column/row interpolates across the window's lower
+    # edge (i0 = 31 / j0 = 15 — exactly the pixels only the pad supplies)
+    dst = rp.Grid(7.8125, 3.8125, 0.5, 0.5, 15, 15)
+    full = rp.reproject_bilinear(src, SRC, dst)
+    win_pad = rp.window_cells(src, 32, 16, 63, 47, pad=1)
+    padded = rp.reproject_bilinear(win_pad, SRC, dst)
+    joined = full.withColumnRenamed("value", "want").join(
+        padded, ["ix", "iy"]
+    )
+    assert joined.filter(
+        ~(
+            (F.col("value").isNull() & F.col("want").isNull())
+            | (F.col("value") == F.col("want"))
+        )
+    ).count() == 0
+    # the pad is load-bearing: pad=0 diverges somewhere on the window edge
+    win_nopad = rp.window_cells(src, 32, 16, 63, 47, pad=0)
+    nopad = rp.reproject_bilinear(win_nopad, SRC, dst)
+    diverged = (
+        full.withColumnRenamed("value", "want")
+        .join(nopad, ["ix", "iy"])
+        .filter(
+            ~(
+                (F.col("value").isNull() & F.col("want").isNull())
+                | (F.col("value") == F.col("want"))
+            )
+        )
+        .count()
+    )
+    assert diverged > 0
+
+
+def test_window_filter_pushes_down(spark, tmp_path):
+    """The window predicate must reach the parquet scan (PushedFilters)."""
+    path = str(tmp_path / "cells")
+    _elev(spark).write.parquet(path)
+    win = rp.window_cells(spark.read.parquet(path), 10, 10, 20, 20)
+    plan = win._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(ix" in plan, plan
