@@ -271,6 +271,33 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish regex subwords (task mandate):
+    letter runs / digit runs / single punctuation marks — the pre-tokenizer
+    shape of byte-pair encoders. Pure JVM regex, no UDF."""
+    from demeter_spark.sources import synth
+
+    return synth.documents(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CAST(size(split(text, ' ')) AS INT) AS n_ws_tokens",
+        "CAST(size(regexp_extract_all(lower(text),"
+        " '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS INT) AS n_subtokens",
+    )
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: MinHash/LSH pairs -> connected components
+    (iterative min-label propagation). Dedup at corpus scale keeps one doc
+    per component, so the component id is the operator output; the oracle
+    recomputes components with a recursive CTE over exhaustive pairs."""
+    from demeter_spark.operators import dedup
+    from demeter_spark.sources import synth
+
+    corpus = synth.dedup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, 0.8)
+    return dedup.connected_components(pairs, corpus)
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/type counts, stopword ratio, language guess, quality flag."""
     from demeter_spark.operators import textstats
@@ -646,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash": _q_dedup_minhash,
         "simhash_pairs": _q_simhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
         "ann_bruteforce": _q_ann_bruteforce,
@@ -1073,6 +1102,50 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_jaccard": oracle_query(_jaccard_oracle_tail(0.6, max_df=32)),
         "dedup_minhash": oracle_query(_jaccard_oracle_tail(0.8)),
+        "token_counts": oracle_query(
+            """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_subtokens
+            FROM documents
+            """,
+            (),
+        ),
+        "dedup_clusters": oracle_query(
+            """
+            , sizes AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+                FROM doc_shingles GROUP BY doc_id
+            ),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM doc_shingles a
+                JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            jp AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes na ON inter.doc_a = na.doc_id
+                JOIN sizes nb ON inter.doc_b = nb.doc_id
+                WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.8
+            ),
+            cedges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM jp
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM jp
+            ),
+            reach AS (
+                SELECT doc_id AS doc, doc_id AS lbl FROM dedup_corpus
+                UNION
+                SELECT e.dst AS doc, r.lbl FROM reach r JOIN cedges e ON e.src = r.doc
+            )
+            SELECT doc AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY doc
+            """,
+            None,
+            True,
+        ),
         "simhash_pairs": oracle_query(
             """
             , toks AS (

@@ -158,18 +158,25 @@ def points_in_packed_grouped(
     py: np.ndarray,
     group_ids: np.ndarray,
     packed: np.ndarray,
+    cell_ids: np.ndarray | None = None,
 ) -> np.ndarray:
     """PIP for candidate pairs whose geometry rides the rows: ``packed[i]``
-    is the pack_polygons-encoded geometry for point i's candidate parcel
-    (same value for every row of one parcel — decoded once per group).
+    is the pack_polygons-encoded geometry for point i's candidate parcel —
+    CLIPPED to the candidate's cover cell, so the group key is
+    (group_ids, cell_ids): every row in one group shares one packed value,
+    decoded once.
 
     This is the distributed-refine kernel: no dict of all polygons exists
     anywhere; each Arrow batch carries exactly the geometry it tests.
     """
     out = np.zeros(len(px), dtype=bool)
-    order = np.argsort(group_ids, kind="stable")
+    if cell_ids is None:
+        cell_ids = np.zeros(len(px), dtype=np.int64)
+    order = np.lexsort((cell_ids, group_ids))
     sorted_gid = group_ids[order]
-    boundaries = np.flatnonzero(np.diff(sorted_gid)) + 1
+    sorted_cell = cell_ids[order]
+    changed = (np.diff(sorted_gid) != 0) | (np.diff(sorted_cell) != 0)
+    boundaries = np.flatnonzero(changed) + 1
     starts = np.concatenate([[0], boundaries])
     ends = np.concatenate([boundaries, [len(sorted_gid)]])
     for s, e in zip(starts, ends):
@@ -266,6 +273,94 @@ def buffer_convex(xs: np.ndarray, ys: np.ndarray, dist: float) -> Ring:
     denom = dx1 * ey - dy1 * ex
     t = ((px - qx) * ey - (py - qy) * ex) / denom
     return qx + t * dx1, qy + t * dy1
+
+
+def _clip_halfplane(
+    xs: np.ndarray, ys: np.ndarray, coord: int, bound: float, keep_le: bool
+) -> Ring:
+    """One Sutherland-Hodgman pass: clip ring against axis-aligned half-plane
+    (coord 0 = x, 1 = y; keep values <= bound if keep_le else >= bound).
+    Vectorized: per-edge emissions assembled with repeat/cumsum indexing."""
+    if len(xs) == 0:
+        return xs, ys
+    v = xs if coord == 0 else ys
+    inside = (v <= bound) if keep_le else (v >= bound)
+    nxt = np.arange(1, len(xs) + 1) % len(xs)
+    in_n = inside[nxt]
+    crossing = inside != in_n
+    # intersection of each edge with the boundary line
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(crossing, (bound - v) / (v[nxt] - v), 0.0)
+    cx = xs + t * (xs[nxt] - xs)
+    cy = ys + t * (ys[nxt] - ys)
+    if coord == 0:
+        cx = np.where(crossing, bound, cx)  # exact on the clip line
+    else:
+        cy = np.where(crossing, bound, cy)
+    # per edge: [intersection if crossing] + [next vertex if next inside]
+    counts = crossing.astype(np.int64) + in_n.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0), np.empty(0)
+    out_x = np.empty(total)
+    out_y = np.empty(total)
+    start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    put_cross = start[crossing]
+    out_x[put_cross] = cx[crossing]
+    out_y[put_cross] = cy[crossing]
+    put_next = start[in_n] + crossing[in_n].astype(np.int64)
+    out_x[put_next] = xs[nxt][in_n]
+    out_y[put_next] = ys[nxt][in_n]
+    return out_x, out_y
+
+
+def clip_ring_box(
+    xs: np.ndarray, ys: np.ndarray,
+    x0: float, y0: float, x1: float, y1: float,
+) -> Ring:
+    """Clip one ring to an axis-aligned box (Sutherland-Hodgman, 4 passes).
+    Non-convex rings come back as one polygon whose interior equals the
+    intersection (zero-width bridges lie ON the box edges — raycast parity
+    stays exact for points strictly inside the box)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    xs, ys = _clip_halfplane(xs, ys, 0, x1, True)
+    xs, ys = _clip_halfplane(xs, ys, 0, x0, False)
+    xs, ys = _clip_halfplane(xs, ys, 1, y1, True)
+    xs, ys = _clip_halfplane(xs, ys, 1, y0, False)
+    return xs, ys
+
+
+def clip_parts_to_box(
+    parts: list[list[Ring]],
+    x0: float, y0: float, x1: float, y1: float,
+) -> list[list[Ring]]:
+    """Clip a (multi)polygon to a box, ring by ring. Even-odd parity w.r.t.
+    the clipped rings equals parity w.r.t. the originals for any point
+    strictly inside the box, so PIP semantics are preserved per cell.
+
+    A ring that clips to nothing either misses the box entirely (parity 0 —
+    dropped) or CONTAINS the whole box (parity 1 everywhere — e.g. the outer
+    ring of a part whose hole crosses this cell): represented by the box
+    itself so downstream parity stays correct."""
+    box = (
+        np.array([x0, x1, x1, x0]),
+        np.array([y0, y0, y1, y1]),
+    )
+    cx = np.array([(x0 + x1) * 0.5])
+    cy = np.array([(y0 + y1) * 0.5])
+    out: list[list[Ring]] = []
+    for rings in parts:
+        kept: list[Ring] = []
+        for xs, ys in rings:
+            c = clip_ring_box(xs, ys, x0, y0, x1, y1)
+            if len(c[0]) >= 3:
+                kept.append(c)
+            elif points_in_ring(cx, cy, np.asarray(xs), np.asarray(ys))[0]:
+                kept.append(box)
+        if kept:
+            out.append(kept)
+    return out
 
 
 def pack_polygons(parts: list[list[Ring]]) -> np.ndarray:

@@ -248,3 +248,57 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.select("doc_a", "doc_b", "hamming")
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (id, cluster_id = min doc id
+    reachable). Dedup needs GROUPS, not pairs — keep one doc per cluster.
+
+    Iterative min-label propagation (driver-controlled loop, the standard
+    Spark shape for unknown-diameter graphs): each round pushes labels across
+    edges and folds with min; converged when no label shrinks. Near-dup
+    graphs are star-like (diameter ~2-3), so rounds stay in the low single
+    digits; per-round state (id, label) is persisted and the previous round's
+    cache is released. At extreme skew (one giant component) the alternating
+    large-star/small-star contraction is the drop-in upgrade; the plain
+    propagation keeps the oracle-matched semantics.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).persist()
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        n_changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "_old"), "id"
+            )
+            .filter(F.col("label") < F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )

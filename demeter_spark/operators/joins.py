@@ -89,8 +89,27 @@ def parcel_covers(
                 cells.append(cs)
                 fulls.append(full)
                 if with_rings:
-                    packed = geom.pack_polygons(parts)
-                    rings.extend(packed if not f else None for f in full)
+                    # geometry is CLIPPED to each boundary cell before
+                    # packing (Sutherland-Hodgman to the cell box + epsilon):
+                    # a cover row carries only the handful of vertices that
+                    # cross its own cell, so Arrow transfer and PIP cost per
+                    # candidate are O(local boundary), independent of the
+                    # parcel's total vertex count. The epsilon expansion
+                    # keeps points that sit exactly ON a cell edge strictly
+                    # interior to the clip box (parity stays exact).
+                    bx0, by0, bx1, by1 = cg.cell_bounds(cs)
+                    for j in range(len(cs)):
+                        if full[j]:
+                            rings.append(None)
+                        else:
+                            ex = (bx1[j] - bx0[j]) * 1e-9
+                            ey = (by1[j] - by0[j]) * 1e-9
+                            clipped = geom.clip_parts_to_box(
+                                parts,
+                                bx0[j] - ex, by0[j] - ey,
+                                bx1[j] + ex, by1[j] + ey,
+                            )
+                            rings.append(geom.pack_polygons(clipped))
             if cells:
                 out = {
                     "parcel_id": np.asarray(ids, dtype=np.int64),
@@ -183,8 +202,8 @@ def spatial_join(
 
     @F.pandas_udf(BooleanType())
     def _keep(
-        plon: pd.Series, plat: pd.Series, pid: pd.Series, full: pd.Series,
-        rings: pd.Series,
+        plon: pd.Series, plat: pd.Series, pid: pd.Series, pcell: pd.Series,
+        full: pd.Series, rings: pd.Series,
     ) -> pd.Series:
         ok = full.to_numpy(dtype=bool).copy()
         need = ~ok
@@ -194,13 +213,14 @@ def spatial_join(
                 plat.to_numpy()[need],
                 pid.to_numpy()[need],
                 rings.to_numpy()[need],
+                pcell.to_numpy()[need],
             )
         return pd.Series(ok)
 
     return cand.filter(
         _keep(
-            F.col(lon), F.col(lat), F.col("parcel_id"), F.col("full"),
-            F.col("rings"),
+            F.col(lon), F.col(lat), F.col("parcel_id"), F.col("_cell"),
+            F.col("full"), F.col("rings"),
         )
     ).drop("_cell", "full", "rings")
 

@@ -49,7 +49,9 @@ def decode_features(media_df: DataFrame) -> DataFrame:
 
     def _decode(batches):
         for pdf in batches:
-            text = pdf["payload"].apply(lambda b: bytes(b).decode("utf-8"))
+            # vectorized: bytes -> pandas string dtype once, then .str ops
+            # (no per-row Python lambdas inside the Arrow batch)
+            text = pdf["payload"].astype("bytes").str.decode("utf-8")
             parts = text.str.split("|", expand=True)
             out = pd.DataFrame(
                 {
@@ -57,7 +59,7 @@ def decode_features(media_df: DataFrame) -> DataFrame:
                     "kind": pdf["kind"],
                     "width": parts[1].astype("int32"),
                     "height": parts[2].astype("int32"),
-                    "n_bytes": pdf["payload"].apply(len).astype("int64"),
+                    "n_bytes": pdf["payload"].str.len().astype("int64"),
                 }
             )
             out["aspect"] = out["width"].astype("float64") / out["height"]

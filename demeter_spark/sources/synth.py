@@ -618,7 +618,11 @@ _ORACLE_ORDER = [
 ]
 
 
-def oracle_query(select_sql: str, tables: tuple[str, ...] | None = None) -> str:
+def oracle_query(
+    select_sql: str,
+    tables: tuple[str, ...] | None = None,
+    recursive: bool = False,
+) -> str:
     """Wrap a SELECT in a WITH clause defining the synthetic tables it uses.
 
     ``tables=None`` includes everything (dependencies are cheap to evaluate);
@@ -642,7 +646,8 @@ def oracle_query(select_sql: str, tables: tuple[str, ...] | None = None) -> str:
                 changed = True
     needed = [n for n in _ORACLE_ORDER if n in needed]
     ctes = ",\n".join(f"{n} AS ({ORACLE_TABLES[n]})" for n in needed)
+    kw = "WITH RECURSIVE" if recursive else "WITH"
     if select_sql.lstrip().startswith(","):
         # caller supplies additional CTEs continuing the WITH clause
-        return f"WITH {ctes}{select_sql}"
-    return f"WITH {ctes}\n{select_sql}"
+        return f"{kw} {ctes}{select_sql}"
+    return f"{kw} {ctes}\n{select_sql}"

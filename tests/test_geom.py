@@ -141,3 +141,48 @@ def test_points_in_packed_grouped_matches_dict_kernel():
     assert got.tolist() == want.tolist()
     # hole punched out
     assert got[1] == False  # noqa: E712
+
+
+def test_clip_ring_box_square():
+    xs = np.array([0.0, 4.0, 4.0, 0.0])
+    ys = np.array([0.0, 0.0, 4.0, 4.0])
+    cx, cy = geom.clip_ring_box(xs, ys, 1.0, 1.0, 3.0, 3.0)
+    assert geom.polygon_area(cx, cy) == 4.0  # 2x2 intersection
+    cx, cy = geom.clip_ring_box(xs, ys, -2.0, -2.0, 2.0, 2.0)
+    assert geom.polygon_area(cx, cy) == 4.0  # corner overlap
+    cx, cy = geom.clip_ring_box(xs, ys, 10.0, 10.0, 12.0, 12.0)
+    assert len(cx) == 0  # disjoint
+
+
+def test_clip_parts_parity_random():
+    """PIP parity against clipped rings == against originals for points
+    strictly inside the box (incl. holes and multiparts)."""
+    wkt = (
+        "MULTIPOLYGON (((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 6 2, 6 6, 2 6, 2 2)), "
+        "((3 3, 5 3, 5 5, 3 5, 3 3)))"  # island inside the hole
+    )
+    parts = geom.parse_wkt_polygons(wkt)
+    rng = np.random.default_rng(5)
+    for box in [(1, 1, 4, 4), (2.5, 2.5, 3.5, 3.5), (-1, -1, 9, 9), (6.5, 0.5, 7.5, 7.5)]:
+        x0, y0, x1, y1 = map(float, box)
+        clipped = geom.clip_parts_to_box(parts, x0, y0, x1, y1)
+        px = rng.uniform(x0 + 1e-9, x1 - 1e-9, 500)
+        py = rng.uniform(y0 + 1e-9, y1 - 1e-9, 500)
+        gid = np.zeros(500, dtype=np.int64)
+        want = geom.points_in_polygons_grouped(px, py, gid, {0: parts})
+        got = geom.points_in_polygons_grouped(px, py, gid, {0: clipped})
+        assert (got == want).all(), box
+
+
+def test_clip_outer_contains_box_hole_crosses():
+    """Box fully inside the outer ring while the hole crosses it: the outer
+    ring must come back as the box (parity 1), not vanish."""
+    wkt = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    parts = geom.parse_wkt_polygons(wkt)
+    clipped = geom.clip_parts_to_box(parts, 3.5, 3.5, 5.0, 5.0)
+    px = np.array([3.75, 4.5])
+    py = np.array([3.75, 4.5])
+    got = geom.points_in_polygons_grouped(
+        px, py, np.zeros(2, dtype=np.int64), {0: clipped}
+    )
+    assert got.tolist() == [True, False]  # outside hole = in, inside hole = out
