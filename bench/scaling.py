@@ -20,7 +20,8 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env.setdefault("DEMETER_BENCH_MODE", "scaling")
-    env.setdefault("DEMETER_BENCH_FACTOR", "4000")
+    env.setdefault("DEMETER_BENCH_TRIALS", "2")
+    env.setdefault("DEMETER_BENCH_FACTOR", "12000")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
