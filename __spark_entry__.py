@@ -271,6 +271,38 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 as-of join: each purchase matched to the user's most recent click
+    at-or-before it (backward inclusive). Union + single window — one
+    shuffle on user_id, no range-join explosion; oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from demeter_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "value")
+    return asof_join(purchases, clicks, on="user_id").select(
+        "event_id", "user_id", "r_ts", "r_value"
+    )
+
+
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 rollup: event counts at (type, user-bucket), (type), and grand
+    total levels in one pass (partial aggregation at every level)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "user_bucket", F.expr("user_id % 10")
+    )
+    return ev.rollup("event_type", "user_bucket").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, whitespace + BPE-ish regex subwords (task mandate):
     letter runs / digit runs / single punctuation marks — the pre-tokenizer
@@ -675,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "token_counts": _q_token_counts,
+        "asof_clicks": _q_asof_clicks,
+        "events_rollup": _q_events_rollup,
         "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
         "ann_bruteforce": _q_ann_bruteforce,
@@ -1102,6 +1136,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_jaccard": oracle_query(_jaccard_oracle_tail(0.6, max_df=32)),
         "dedup_minhash": oracle_query(_jaccard_oracle_tail(0.8)),
+        "asof_clicks": oracle_query(
+            """
+            SELECT l.event_id, l.user_id, r.ts AS r_ts, r.value AS r_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            """,
+            (),
+        ),
+        "events_rollup": oracle_query(
+            """
+            SELECT event_type, user_id % 10 AS user_bucket,
+                   count(*) AS n_events,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id
+            FROM events GROUP BY ROLLUP (event_type, (user_id % 10))
+            """,
+            (),
+        ),
         "token_counts": oracle_query(
             """
             SELECT doc_id,

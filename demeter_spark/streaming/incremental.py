@@ -54,3 +54,49 @@ def incremental_geocode(
         .start()
     )
     q.awaitTermination()
+
+
+def incremental_spatial_join(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    res: int = 8,
+) -> None:
+    """The FLAGSHIP pipeline as a stream: newly-arrived page files are
+    geocoded, cover-joined to the parcel dimension (stream-static broadcast
+    join — the static side is planned per micro-batch, so a refreshed parcel
+    snapshot is picked up on the next increment) and PIP-refined, exactly
+    once per file (AvailableNow + checkpoint).
+
+    This is the continuous-ingest posture of the north rule: a 10^12-page
+    corpus lands in batches; each arrival is joined and committed without
+    reprocessing history, and a crash resumes from the last committed offset.
+    """
+    from demeter_spark.operators import joins
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    gaz = F.broadcast(synth.gazetteer(spark))
+    geocoded = (
+        stream.withColumn("place", F.regexp_extract("text", "loc[0-9]{5}", 0))
+        .join(gaz, "place")
+        .selectExpr(
+            "url",
+            "doc_id",
+            "place_id",
+            "lon + (((doc_id * 2654435761) % 4294967296) % 211 - 105) / 1000e0 AS lon",
+            "lat + ((((doc_id * 2654435761) % 4294967296) div 211) % 211 - 105)"
+            " / 1000e0 AS lat",
+        )
+    )
+    joined = joins.spatial_join(geocoded, synth.parcels(spark), res=res).select(
+        "url", "doc_id", "parcel_id"
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

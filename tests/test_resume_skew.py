@@ -207,3 +207,30 @@ def test_stateful_sessions_out_of_order_batches(spark, tmp_path):
     assert r["n_events"] == 3
     assert r["session_start"].timestamp() == 0
     assert r["session_end"].timestamp() == 200
+
+
+def test_streaming_spatial_join_exactly_once(spark, tmp_path):
+    """Flagship-as-a-stream: two file arrivals, each joined exactly once;
+    union of increments == the batch spatial join on the full input."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.operators import joins
+    from demeter_spark.sources import synth
+    from demeter_spark.streaming.incremental import incremental_spatial_join
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = synth.pages(spark, SF_DIR)
+    pages.filter("doc_id % 2 = 0").write.mode("append").parquet(in_dir)
+    incremental_spatial_join(spark, in_dir, out_dir, ckpt)
+    n1 = spark.read.parquet(out_dir).count()
+    pages.filter("doc_id % 2 = 1").write.mode("append").parquet(in_dir)
+    incremental_spatial_join(spark, in_dir, out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    assert got.count() > n1 > 0
+    batch = joins.spatial_join(
+        synth.page_points(spark, SF_DIR), synth.parcels(spark), res=8
+    ).select("url", "doc_id", "parcel_id")
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
