@@ -271,6 +271,62 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL analytics: host extraction (parse_url, JVM-side) +
+    per-host page/path counts — the by-domain grouping every crawl pipeline
+    starts with."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.sources import synth
+
+    return (
+        synth.pages(spark, sf_dir)
+        .select(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("path").alias("n_paths"),
+        )
+    )
+
+
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize planning: aspect-preserving target dims capped at
+    max_side, computed from the Arrow-decoded headers."""
+    from demeter_spark.sources import multimodal
+
+    return multimodal.resize_meta(multimodal.media(spark, sf_dir), max_side=32)
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: one row per sampled frame per video
+    (explode over the decoded duration header)."""
+    from demeter_spark.sources import multimodal
+
+    return multimodal.sample_frames(multimodal.media(spark, sf_dir), stride_s=7)
+
+
+def _q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: keep ONE canonical doc per near-dup
+    cluster (min doc id) with its cluster size — what actually ships to
+    training."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.operators import dedup
+    from demeter_spark.sources import synth
+
+    corpus = synth.dedup_corpus(spark, sf_dir)
+    comps = dedup.connected_components(
+        dedup.minhash_lsh_pairs(corpus, 0.8), corpus
+    )
+    return comps.groupBy(F.col("cluster_id").alias("doc_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+
+
 def _q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J13 as-of join: each purchase matched to the user's most recent click
     at-or-before it (backward inclusive). Union + single window — one
@@ -708,6 +764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "token_counts": _q_token_counts,
         "asof_clicks": _q_asof_clicks,
+        "url_hosts": _q_url_hosts,
+        "media_resize": _q_media_resize,
+        "frame_sample": _q_frame_sample,
+        "dedup_keep": _q_dedup_keep,
         "events_rollup": _q_events_rollup,
         "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
@@ -1136,6 +1196,87 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_jaccard": oracle_query(_jaccard_oracle_tail(0.6, max_df=32)),
         "dedup_minhash": oracle_query(_jaccard_oracle_tail(0.8)),
+        "url_hosts": oracle_query(
+            """
+            SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                   count(*) AS n_pages,
+                   count(DISTINCT regexp_extract(url, '^https?://[^/]+(/.*)$', 1))
+                     AS n_paths
+            FROM pages GROUP BY host
+            """,
+            ("pages",),
+        ),
+        "media_resize": oracle_query(
+            """
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(doc_id % 64 + 1 AS INT) AS width,
+                   CAST(doc_id % 48 + 1 AS INT) AS height,
+                   CAST(floor(CAST(doc_id % 64 + 1 AS DOUBLE) *
+                        (CASE WHEN greatest(doc_id % 64 + 1, doc_id % 48 + 1) > 32
+                              THEN 32e0 / CAST(greatest(doc_id % 64 + 1,
+                                                        doc_id % 48 + 1) AS DOUBLE)
+                              ELSE 1e0 END)) AS INT) AS new_w,
+                   CAST(floor(CAST(doc_id % 48 + 1 AS DOUBLE) *
+                        (CASE WHEN greatest(doc_id % 64 + 1, doc_id % 48 + 1) > 32
+                              THEN 32e0 / CAST(greatest(doc_id % 64 + 1,
+                                                        doc_id % 48 + 1) AS DOUBLE)
+                              ELSE 1e0 END)) AS INT) AS new_h
+            FROM documents
+            """,
+            (),
+        ),
+        "frame_sample": oracle_query(
+            """
+            SELECT d.doc_id,
+                   CAST(d.doc_id % 64 + 1 AS INT) AS duration_s,
+                   CAST(o.offset_s AS INT) AS offset_s,
+                   CAST(o.offset_s // 7 AS INT) AS frame_idx
+            FROM documents d,
+                 LATERAL (SELECT unnest(range(0, CAST(d.doc_id % 64 + 1 AS BIGINT), 7))
+                          AS offset_s) o
+            WHERE d.doc_id % 3 = 2
+            """,
+            (),
+        ),
+        "dedup_keep": oracle_query(
+            """
+            , sizes AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+                FROM doc_shingles GROUP BY doc_id
+            ),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM doc_shingles a
+                JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            jp AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes na ON inter.doc_a = na.doc_id
+                JOIN sizes nb ON inter.doc_b = nb.doc_id
+                WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.8
+            ),
+            cedges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM jp
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM jp
+            ),
+            reach AS (
+                SELECT doc_id AS doc, doc_id AS lbl FROM dedup_corpus
+                UNION
+                SELECT e.dst AS doc, r.lbl FROM reach r JOIN cedges e ON e.src = r.doc
+            ),
+            comp AS (
+                SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc
+            )
+            SELECT cluster_id AS doc_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY cluster_id
+            """,
+            None,
+            True,
+        ),
         "asof_clicks": oracle_query(
             """
             SELECT l.event_id, l.user_id, r.ts AS r_ts, r.value AS r_value

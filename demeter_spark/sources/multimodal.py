@@ -94,3 +94,39 @@ MEDIA_ORACLE_SQL = """
            CAST(doc_id % 64 + 1 AS DOUBLE) / CAST(doc_id % 48 + 1 AS INT) AS aspect
     FROM documents
 """
+
+
+def resize_meta(media_df: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize planning (multimodal mandate): target dimensions preserving
+    aspect ratio, capped at ``max_side`` — the metadata half of a resize
+    (the pixel kernel itself is the stubbed codec). Catalyst-only after the
+    Arrow decode."""
+    feats = decode_features(media_df)
+    scale = F.when(
+        F.greatest(F.col("width"), F.col("height")) > max_side,
+        F.lit(float(max_side)) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    ).otherwise(F.lit(1.0))
+    return feats.select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        F.floor(F.col("width").cast("double") * scale).cast("int").alias("new_w"),
+        F.floor(F.col("height").cast("double") * scale).cast("int").alias("new_h"),
+    )
+
+
+def sample_frames(media_df: DataFrame, stride_s: int = 7) -> DataFrame:
+    """Frame sampling for video rows (multimodal mandate): one row per
+    sampled frame at offsets 0, stride, 2*stride, ... < duration (the fake
+    format's duration = header width, seconds). The frame-index fan-out is a
+    Catalyst explode over the decoded header — a real deployment swaps the
+    per-frame byte extraction into the same mapInPandas decode."""
+    feats = decode_features(media_df).filter(F.col("kind") == "video")
+    return feats.select(
+        "doc_id",
+        F.col("width").alias("duration_s"),
+        F.explode(
+            F.expr(f"sequence(0, CAST(width AS INT) - 1, {stride_s})")
+        ).alias("offset_s"),
+    ).withColumn("frame_idx", (F.col("offset_s") / F.lit(stride_s)).cast("int"))
