@@ -61,3 +61,68 @@ def extract_members(
     return archives.select(path_col, content_col).mapInPandas(
         _extract, "src STRING, member STRING, n_bytes BIGINT, data BINARY"
     )
+
+
+def parse_dbf(blob: bytes) -> pd.DataFrame:
+    """Minimal dBase III DBF reader (the .vat.dbf sidecar format): header +
+    fixed-width ASCII records -> DataFrame of string fields.
+
+    Mirrors the reference's raw-mode read (dbfread raw=True,
+    demeter/raster/usgs/hydrography.py:231-240): every field comes back as a
+    stripped string; numeric interpretation (float-encoded ints, null-char
+    garbage rows) is the caller's try_cast, exactly like the reference's
+    try/except around float(record[...]).
+    """
+    import struct
+
+    n_records = struct.unpack_from("<I", blob, 4)[0]
+    header_size = struct.unpack_from("<H", blob, 8)[0]
+    record_size = struct.unpack_from("<H", blob, 10)[0]
+    fields: list[tuple[str, int]] = []  # (name, length)
+    pos = 32
+    while pos < header_size - 1 and blob[pos] != 0x0D:
+        name = blob[pos : pos + 11].split(b"\x00")[0].decode("ascii")
+        length = blob[pos + 16]
+        fields.append((name, length))
+        pos += 32
+    cols: dict[str, list[str]] = {name: [] for name, _ in fields}
+    active = []
+    rec = header_size
+    for _ in range(n_records):
+        deleted = blob[rec : rec + 1] == b"*"
+        active.append(not deleted)
+        off = rec + 1
+        for name, length in fields:
+            raw = blob[off : off + length]
+            cols[name].append(
+                raw.decode("ascii", errors="replace").strip("\x00 ")
+            )
+            off += length
+        rec += record_size
+    df = pd.DataFrame(cols)
+    return df[pd.Series(active).to_numpy()].reset_index(drop=True)
+
+
+def dbf_records(
+    members: DataFrame, data_col: str = "data", src_cols: tuple[str, ...] = ("src", "member")
+) -> DataFrame:
+    """Explode extracted .dbf member blobs into records: one row per record,
+    fields as a map<string,string> (schemas vary per sidecar; callers
+    try_cast the fields they need — S7 DBF sidecar -> dimension map)."""
+
+    def _records(batches):
+        for pdf in batches:
+            out_src = {c: [] for c in src_cols}
+            recs: list[dict] = []
+            for i in range(len(pdf)):
+                table = parse_dbf(bytes(pdf[data_col].iloc[i]))
+                for _, row in table.iterrows():
+                    for c in src_cols:
+                        out_src[c].append(pdf[c].iloc[i])
+                    recs.append({k: str(v) for k, v in row.items()})
+            out = pd.DataFrame(out_src)
+            out["fields"] = pd.Series(recs, dtype=object)
+            yield out
+
+    schema = ", ".join(f"{c} STRING" for c in src_cols) + ", fields MAP<STRING, STRING>"
+    return members.select(*src_cols, data_col).mapInPandas(_records, schema)

@@ -77,3 +77,81 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         got["r_value"].fillna(-1).to_numpy()
         == want["value"].fillna(-1).to_numpy()
     ).all()
+
+
+def _make_dbf(records, fields):
+    """Build a real dBase III file: fields = [(name, length)], records =
+    list of tuples of strings (fixed-width, right-padded)."""
+    import struct
+
+    n = len(records)
+    header_size = 32 + 32 * len(fields) + 1
+    record_size = 1 + sum(ln for _, ln in fields)
+    out = bytearray()
+    out += bytes([0x03, 124, 1, 1])  # version, YMD
+    out += struct.pack("<I", n)
+    out += struct.pack("<H", header_size)
+    out += struct.pack("<H", record_size)
+    out += bytes(20)
+    for name, ln in fields:
+        d = bytearray(32)
+        d[0:11] = name.encode("ascii").ljust(11, b"\x00")
+        d[11] = ord("N")
+        d[16] = ln
+        out += d
+    out += b"\x0d"
+    for rec in records:
+        out += b" "  # active
+        for (name, ln), val in zip(fields, rec):
+            out += val.encode("ascii").ljust(ln, b" ")[:ln]
+    out += b"\x1a"
+    return bytes(out)
+
+
+def test_dbf_sidecar_to_dimension_map(spark, tmp_path):
+    """S7 end-to-end: zip with a .vat.dbf sidecar -> extract -> parse ->
+    try_cast dimension map (float-encoded ids, null-char garbage rows
+    skipped — hydrography.py:231-240 semantics) -> broadcast remap join."""
+    import zipfile
+
+    from pyspark.sql import functions as F
+
+    from demeter_spark.sources.archives import dbf_records
+
+    fields = [("VALUE", 6), ("NHDPlusID", 14)]
+    recs = [
+        ("1", "55000100000.0"),
+        ("2", "55000200000.0"),
+        ("3", "\x00" * 14),  # the reference's garbage-row case
+        ("4", "55000400000.0"),
+    ]
+    blob = _make_dbf(recs, fields)
+    # round-trip through our own parser first
+    from demeter_spark.sources.archives import parse_dbf
+
+    table = parse_dbf(blob)
+    assert list(table.columns) == ["VALUE", "NHDPlusID"]
+    assert table["VALUE"].tolist() == ["1", "2", "3", "4"]
+
+    with zipfile.ZipFile(tmp_path / "hydro.zip", "w") as zf:
+        zf.writestr("raster1.tif.vat.dbf", blob)
+        zf.writestr("raster1.tif", b"fake")
+    archives = read_archives(spark, str(tmp_path))
+    members = extract_members(archives, "*.vat.dbf")
+    dim = (
+        dbf_records(members)
+        .select(
+            F.expr("try_cast(fields['VALUE'] AS INT)").alias("value"),
+            F.expr("try_cast(try_cast(fields['NHDPlusID'] AS DOUBLE) AS BIGINT)").alias(
+                "catchment_id"
+            ),
+        )
+        .filter("catchment_id IS NOT NULL")
+    )
+    got = {r["value"]: r["catchment_id"] for r in dim.collect()}
+    assert got == {1: 55000100000, 2: 55000200000, 4: 55000400000}
+
+    # the remap join: pixel values -> catchment ids via the broadcast dim
+    pixels = spark.range(100).selectExpr("CAST(id % 5 AS INT) AS value")
+    remapped = pixels.join(F.broadcast(dim), "value").groupBy("catchment_id").count()
+    assert remapped.count() == 3
