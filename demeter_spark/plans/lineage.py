@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SNAPSHOT_SCHEMA = (
-    "stage STRING, part BIGINT, fingerprint STRING, n_rows BIGINT, snapshot_id STRING"
+    "stage STRING, part BIGINT, fingerprint STRING, n_rows BIGINT, "
+    "snapshot_id STRING, seq BIGINT"
 )
 
 
@@ -111,8 +112,10 @@ class LineageLog:
         if not counts:
             return 0
         snap_id = str(uuid.uuid4())
+        prev = self.snapshots().agg(F.max("seq")).first()[0]
+        seq = (prev or 0) + 1
         rows = [
-            (stage, int(r["_part"]), fingerprint, int(r["n_rows"]), snap_id)
+            (stage, int(r["_part"]), fingerprint, int(r["n_rows"]), snap_id, seq)
             for r in counts
         ]
         self.spark.createDataFrame(rows, SNAPSHOT_SCHEMA).coalesce(1).write.mode(
@@ -120,8 +123,47 @@ class LineageLog:
         ).parquet(self.manifest_path)
         return len(rows)
 
-    def read_stage(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.base_dir, stage))
+    def read_stage(self, stage: str, as_of: str | None = None) -> DataFrame:
+        """Read a stage's table; with ``as_of`` = a snapshot id, read ONLY
+        the partitions committed up to and including that snapshot — the
+        Iceberg-snapshot-read analogue over the parquet manifest. The filter
+        is on the partition column, so Spark prunes whole partition
+        directories (no data files from later commits are opened)."""
+        df = self.spark.read.parquet(os.path.join(self.base_dir, stage))
+        if as_of is None:
+            return df
+        snaps = self.snapshots().filter(F.col("stage") == stage)
+        # commit order = the monotonic seq stamped at append time
+        ordered = [
+            r["snapshot_id"]
+            for r in snaps.select("snapshot_id", "seq")
+            .distinct()
+            .orderBy("seq")
+            .collect()
+        ]
+        if as_of not in ordered:
+            raise ValueError(f"unknown snapshot {as_of!r} for stage {stage!r}")
+        keep = set(ordered[: ordered.index(as_of) + 1])
+        parts = [
+            int(r["part"])
+            for r in snaps.filter(F.col("snapshot_id").isin(keep))
+            .select("part")
+            .distinct()
+            .collect()
+        ]
+        return df.filter(F.col("_part").isin(parts))
+
+    def snapshot_ids(self, stage: str) -> list[str]:
+        """Committed snapshot ids for a stage, in commit order."""
+        return [
+            r["snapshot_id"]
+            for r in self.snapshots()
+            .filter(F.col("stage") == stage)
+            .select("snapshot_id", "seq")
+            .distinct()
+            .orderBy("seq")
+            .collect()
+        ]
 
 
 def observe_stage(df: DataFrame, name: str):

@@ -234,3 +234,26 @@ def test_streaming_spatial_join_exactly_once(spark, tmp_path):
     ).select("url", "doc_id", "parcel_id")
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_read_stage_as_of_snapshot(spark, tmp_path):
+    """Snapshot-pinned reads: as_of the first commit sees only its
+    partitions; the latest read sees both; unknown ids fail loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from demeter_spark.plans.lineage import LineageLog
+
+    log = LineageLog(spark, str(tmp_path))
+    df = spark.range(100).selectExpr("id", "CAST(id % 4 AS LONG) AS b")
+    log.write_increment("s", df.filter("b < 2"), "b", "fp1")
+    log.write_increment("s", df, "b", "fp1")  # adds parts 2, 3 only
+    snaps = log.snapshot_ids("s")
+    assert len(snaps) == 2
+    first = log.read_stage("s", as_of=snaps[0])
+    assert first.count() == 50
+    assert set(r["_part"] for r in first.select("_part").distinct().collect()) == {0, 1}
+    assert log.read_stage("s", as_of=snaps[1]).count() == 100
+    assert log.read_stage("s").count() == 100
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        log.read_stage("s", as_of="nope")
