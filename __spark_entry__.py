@@ -271,6 +271,32 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_soil_quantile_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 sourcing: derive the p5/p95 quantiles from raw per-cell values
+    (exact interpolated percentile, null-skipping) and recover sigma =
+    (p5 - p95) / (2*1.645) — the stage upstream of carbon_stock_stats when
+    quantile rasters aren't precomputed."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.operators import statistics as st
+    from demeter_spark.sources import synth
+
+    cells = synth.raster_cells(spark)
+    agg = cells.groupBy("dataset", "depth_lo").agg(
+        F.expr("percentile(value, 0.05e0)").alias("p5"),
+        F.expr("percentile(value, 0.95e0)").alias("p95"),
+        F.count("value").alias("n_valid"),
+    )
+    return agg.select(
+        "dataset",
+        "depth_lo",
+        "p5",
+        "p95",
+        "n_valid",
+        st.stddev_from_p5_p95(F.col("p5"), F.col("p95")).alias("sigma"),
+    )
+
+
 def _q_url_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus URL analytics: host extraction (parse_url, JVM-side) +
     per-host page/path counts — the by-domain grouping every crawl pipeline
@@ -765,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "asof_clicks": _q_asof_clicks,
         "url_hosts": _q_url_hosts,
+        "soil_quantile_sigma": _q_soil_quantile_sigma,
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
         "dedup_keep": _q_dedup_keep,
@@ -1196,6 +1223,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_jaccard": oracle_query(_jaccard_oracle_tail(0.6, max_df=32)),
         "dedup_minhash": oracle_query(_jaccard_oracle_tail(0.8)),
+        "soil_quantile_sigma": oracle_query(
+            """
+            SELECT dataset, depth_lo,
+                   quantile_cont(value, 0.05e0) AS p5,
+                   quantile_cont(value, 0.95e0) AS p95,
+                   CAST(count(value) AS BIGINT) AS n_valid,
+                   (quantile_cont(value, 0.05e0) - quantile_cont(value, 0.95e0))
+                     / 3.29e0 AS sigma
+            FROM raster_cells GROUP BY dataset, depth_lo
+            """,
+            ("raster_cells",),
+        ),
         "url_hosts": oracle_query(
             """
             SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
