@@ -256,6 +256,19 @@ def buffer_convex(xs: np.ndarray, ys: np.ndarray, dist: float) -> Ring:
     ys = np.asarray(ys, dtype=np.float64)
     if signed_ring_area(xs, ys) < 0:  # normalize to CCW
         xs, ys = xs[::-1].copy(), ys[::-1].copy()
+    # drop zero-length edges and collinear vertices (densified inputs):
+    # a collinear corner has parallel adjacent offset lines — the miter
+    # intersection would divide by zero
+    for _ in range(len(xs)):
+        ex_ = np.roll(xs, -1) - xs
+        ey_ = np.roll(ys, -1) - ys
+        cross = np.roll(ex_, 1) * ey_ - np.roll(ey_, 1) * ex_
+        keep = (cross != 0.0) & ((ex_ != 0.0) | (ey_ != 0.0))
+        if keep.all():
+            break
+        xs, ys = xs[keep], ys[keep]
+        if len(xs) < 3:
+            raise ValueError("degenerate ring: fewer than 3 non-collinear vertices")
     ex = np.roll(xs, -1) - xs
     ey = np.roll(ys, -1) - ys
     ln = np.sqrt(ex * ex + ey * ey)
@@ -331,9 +344,16 @@ def clip_ring_box(
     return xs, ys
 
 
+def parts_bboxes(parts: list[list[Ring]]) -> list[list[tuple]]:
+    """Per-ring bboxes, computed ONCE per polygon so per-cell clipping can
+    prescreen rings in O(1) instead of touching all vertices."""
+    return [[ring_bbox(xs, ys) for xs, ys in rings] for rings in parts]
+
+
 def clip_parts_to_box(
     parts: list[list[Ring]],
     x0: float, y0: float, x1: float, y1: float,
+    bboxes: list[list[tuple]] | None = None,
 ) -> list[list[Ring]]:
     """Clip a (multi)polygon to a box, ring by ring. Even-odd parity w.r.t.
     the clipped rings equals parity w.r.t. the originals for any point
@@ -350,13 +370,21 @@ def clip_parts_to_box(
     cx = np.array([(x0 + x1) * 0.5])
     cy = np.array([(y0 + y1) * 0.5])
     out: list[list[Ring]] = []
-    for rings in parts:
+    for pi, rings in enumerate(parts):
         kept: list[Ring] = []
-        for xs, ys in rings:
+        for ri, (xs, ys) in enumerate(rings):
+            may_contain = True
+            if bboxes is not None:
+                bx0, by0, bx1, by1 = bboxes[pi][ri]
+                if bx1 < x0 or bx0 > x1 or by1 < y0 or by0 > y1:
+                    continue  # bbox disjoint: parity 0, zero vertex work
+                may_contain = bx0 <= x0 and by0 <= y0 and bx1 >= x1 and by1 >= y1
             c = clip_ring_box(xs, ys, x0, y0, x1, y1)
             if len(c[0]) >= 3:
                 kept.append(c)
-            elif points_in_ring(cx, cy, np.asarray(xs), np.asarray(ys))[0]:
+            elif may_contain and points_in_ring(
+                cx, cy, np.asarray(xs), np.asarray(ys)
+            )[0]:
                 kept.append(box)
         if kept:
             out.append(kept)

@@ -64,15 +64,17 @@ def jaccard_pairs(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: int | None = 10_000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= t).
 
     Self-join on shingle -> |A∩B| counts, then J = inter / (|A| + |B| - inter).
     ``max_df`` drops shingles occurring in more than max_df docs before the
     join: a shingle shared by d docs yields O(d^2) candidate pairs, so the
-    cap is what keeps the self-join bounded at corpus scale — it defaults ON
-    (pass None only for oracle-exact testing on small fixtures).
+    cap is what keeps the self-join bounded at corpus scale. Default None =
+    exact (never silently lossy); corpus-scale callers MUST set it — the
+    wired driver query passes max_df=32 with the identical cap mirrored in
+    its oracle.
     """
     sh = shingles(docs, id_col, text_col)
     if max_df is not None:
@@ -298,6 +300,12 @@ def connected_components(
         labels = new_labels
         if n_changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     edges.unpersist()
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")

@@ -98,6 +98,7 @@ def parcel_covers(
                     # keeps points that sit exactly ON a cell edge strictly
                     # interior to the clip box (parity stays exact).
                     bx0, by0, bx1, by1 = cg.cell_bounds(cs)
+                    rbb = geom.parts_bboxes(parts)  # once per parcel
                     for j in range(len(cs)):
                         if full[j]:
                             rings.append(None)
@@ -108,6 +109,7 @@ def parcel_covers(
                                 parts,
                                 bx0[j] - ex, by0[j] - ey,
                                 bx1[j] + ex, by1[j] + ey,
+                                bboxes=rbb,
                             )
                             rings.append(geom.pack_polygons(clipped))
             if cells:
@@ -271,6 +273,12 @@ def knn_join(
     touches more than the deep-sparse-region stragglers. Final top-k via
     window rank. Distances are planar-degree Euclidean (documented engine
     semantics; synthetic world is planar).
+
+    Caching contract: each doubling level persists its (small, <= k+1 rows
+    per frontier point) top-k so the final union doesn't recompute levels;
+    the caches live until evicted (MEMORY_AND_DISK, LRU) or the caller runs
+    spark.catalog.clearCache() — a long-lived session issuing many kNN
+    queries should do the latter periodically.
     """
     from pyspark.sql import Window
 

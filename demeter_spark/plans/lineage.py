@@ -81,32 +81,41 @@ class LineageLog:
         a SHRUNKEN input (partitions vanished) should use a fresh stage path
         — stale on-disk partitions from the old fingerprint are not deleted
         by dynamic overwrite (the usual snapshot-table rule)."""
+        from pyspark.sql import Observation
+
         done = self.committed_parts(stage, fingerprint)
         todo = df.withColumn("_part", F.col(part_col).cast("long")).join(
             F.broadcast(done), F.col("_part") == done["part"], "left_anti"
         )
+        # the set of partitions THIS run writes is observed on the write
+        # action itself (zero extra pass) — committing exactly these, never
+        # whatever else sits in the directory, so partitions committed under
+        # a different fingerprint can never be re-committed with stale bytes
+        obs = Observation()
+        todo = todo.observe(obs, F.collect_set("_part").alias("parts"))
         out_path = os.path.join(self.base_dir, stage)
         # SINGLE pass over the data: write first, then derive the manifest's
         # per-partition counts from the written files — selecting only the
         # partition column makes the count job metadata-cheap (parquet
-        # footers, zero data columns). This also heals partitions written by
-        # a run that crashed before its manifest append: they show up here
-        # as written-but-uncommitted and get committed now.
+        # footers, zero data columns). A crashed write under the SAME
+        # fingerprint heals on retry: its partitions are still uncommitted,
+        # so they land in todo again, are rewritten idempotently (dynamic
+        # overwrite) and committed then.
         (
             todo.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_part")
             .parquet(out_path)
         )
-        try:
-            written = self.spark.read.parquet(out_path)
-        except Exception:
-            return 0  # nothing ever written for this stage
+        written_parts = [int(p) for p in (obs.get["parts"] or [])]
+        if not written_parts:
+            return 0
+        written = self.spark.read.parquet(out_path)
         counts = (
             written.select("_part")
+            .filter(F.col("_part").isin(written_parts))
             .groupBy("_part")
             .agg(F.count("*").alias("n_rows"))
-            .join(F.broadcast(done), F.col("_part") == done["part"], "left_anti")
             .collect()
         )
         if not counts:
@@ -128,7 +137,14 @@ class LineageLog:
         the partitions committed up to and including that snapshot — the
         Iceberg-snapshot-read analogue over the parquet manifest. The filter
         is on the partition column, so Spark prunes whole partition
-        directories (no data files from later commits are opened)."""
+        directories (no data files from later commits are opened).
+
+        Validity contract: snapshot reads are exact under the append-only
+        protocol (one fingerprint per stage path; each partition committed
+        once). A run under a DIFFERENT fingerprint that overwrites an
+        already-committed partition invalidates older snapshots of that
+        partition (as snapshot expiry does in a real table format) — use a
+        fresh stage path per fingerprint, as write_increment documents."""
         df = self.spark.read.parquet(os.path.join(self.base_dir, stage))
         if as_of is None:
             return df

@@ -103,7 +103,14 @@ def with_bbox(df: DataFrame, wkt_col: str = "geom_wkt") -> DataFrame:
         for pdf in batches:
             n, x0, y0, x1, y1 = [], [], [], [], []
             for w in pdf[wkt_col]:
-                parts = geom.parse_wkt_polygons(w)
+                parts = geom.parse_wkt_polygons(w) if w is not None else []
+                if not parts:
+                    # NULL wkt (e.g. non-polygon geometry a caller chose to
+                    # keep) -> NULL bbox, not an executor crash
+                    n.append(0)
+                    for acc in (x0, y0, x1, y1):
+                        acc.append(None)
+                    continue
                 xs = [r[0] for p in parts for r in p[:1]]  # outer rings bound
                 ys = [r[1] for p in parts for r in p[:1]]
                 n.append(len(parts))

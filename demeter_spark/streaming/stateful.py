@@ -6,9 +6,15 @@ task-mandated custom stateful operator class: sessions are accumulated in
 GroupState across micro-batches (count + span) and emitted exactly once when
 a later event proves the gap was exceeded (NoTimeout: with AvailableNow
 triggers a processing-time timeout would keep the query alive waiting to
-fire; the trailing open session stays in state for the next increment). The same 30-minute gap semantics as the
-batch sessionizer (__spark_entry__._q_events_sessions) — one logical
-operator, batch and streaming flavors.
+fire; the trailing open session stays in state for the next increment).
+
+Gap semantics match the batch sessionizer
+(__spark_entry__._q_events_sessions) under a BOUNDED-LATENESS contract:
+late events may arrive any time while their session (or a later one) is
+still open; events that arrive late for a session that already CLOSED
+cannot reopen it (the streaming-vs-batch tradeoff every watermarked
+operator makes). Late events earlier than the open session's start are
+sessionized among themselves and closed.
 """
 
 from __future__ import annotations
@@ -44,10 +50,32 @@ def _sessionize(
     closed = []
     if state.exists:
         cur_s, cur_e, cur_n = state.get
+        # events arriving more than a gap BEFORE the open session's start
+        # belong to earlier sessions, not the open one: sessionize them
+        # among themselves and close them (bounded-lateness assumption:
+        # anything still earlier would have arrived by now — the batch twin
+        # sorts globally, so this is where the streaming flavor's contract
+        # lives). Welding them into the open session would merge sessions
+        # the batch sessionizer keeps apart.
+        if cur_n > 0:
+            gap_us = SESSION_GAP_S * 1_000_000
+            pre = ts[ts < cur_s - gap_us]
+            ts = ts[ts >= cur_s - gap_us]
+            if len(pre):
+                s = e = int(pre[0])
+                n = 1
+                for t in pre[1:]:
+                    if t - e > gap_us:
+                        closed.append((s, e, n))
+                        s = e = int(t)
+                        n = 1
+                    else:
+                        e = int(t)
+                        n += 1
+                closed.append((s, e, n))
     else:
-        cur_s = cur_e = int(ts[0])
+        cur_s = cur_e = int(ts[0]) if len(ts) else 0
         cur_n = 0
-        ts_iter_start = 0
     for t in ts:
         if cur_n > 0 and t - cur_e > SESSION_GAP_S * 1_000_000:
             closed.append((cur_s, cur_e, cur_n))

@@ -36,6 +36,11 @@ def main() -> None:
     par = synth.parcels(spark)
     t0 = time.time()
     joined = joins.spatial_join(pts, par, res=args.res)
+    # throughput = THIS run's computed rows (a resumed submission that
+    # skips committed partitions must not inherit history's row count)
+    n = joined.count()
+    dt = time.time() - t0
+    n_parts = 0
     if args.output:
         from pyspark.sql import functions as F
 
@@ -46,11 +51,6 @@ def main() -> None:
             "_bucket",
             fingerprint=args.sf_dir,
         )
-        n = spark.read.parquet(f"{args.output}/flagship_join").count()
-    else:
-        n_parts = 0
-        n = joined.count()
-    dt = time.time() - t0
     print(
         json.dumps(
             {

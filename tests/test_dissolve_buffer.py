@@ -102,3 +102,15 @@ def test_buffered_swath_cover_join(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_buffer_handles_collinear_and_duplicate_vertices():
+    """Densified inputs (redundant collinear vertices / repeated points) must
+    not produce NaN miter intersections."""
+    xs = np.array([0.0, 1.0, 2.0, 2.0, 2.0, 0.0])
+    ys = np.array([0.0, 0.0, 0.0, 1.0, 2.0, 2.0])
+    bx, by = geom.buffer_convex(xs, ys, 0.5)
+    assert np.isfinite(bx).all() and np.isfinite(by).all()
+    assert geom.polygon_area(bx, by) == pytest.approx(3.0 * 3.0)
+    with pytest.raises(ValueError, match="degenerate"):
+        geom.buffer_convex(np.array([0.0, 1.0, 2.0]), np.array([0.0, 0.0, 0.0]), 0.5)

@@ -257,3 +257,48 @@ def test_read_stage_as_of_snapshot(spark, tmp_path):
     assert log.read_stage("s").count() == 100
     with _pytest.raises(ValueError, match="unknown snapshot"):
         log.read_stage("s", as_of="nope")
+
+
+def test_stateful_sessions_pre_start_late_event_splits(spark, tmp_path):
+    """A late event more than a gap BEFORE the open session's start must
+    close as its own session, not weld into the open one (batch parity)."""
+    from datetime import datetime, timezone
+
+    from demeter_spark.streaming.stateful import streaming_sessions
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+
+    def ev(eid, sec):
+        return (eid, datetime.fromtimestamp(sec, tz=timezone.utc), 9, "c", 1.0, "{}")
+
+    spark.createDataFrame([ev(1, 10_000)], schema).write.mode("append").parquet(in_dir)
+    streaming_sessions(spark, in_dir, out_dir, ckpt)
+    # batch 2: t=100 (way before the open session), then t=50000 closes all
+    spark.createDataFrame([ev(2, 100), ev(3, 50_000)], schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+    streaming_sessions(spark, in_dir, out_dir, ckpt)
+    got = sorted(
+        (r["session_start"].timestamp(), r["session_end"].timestamp(), r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [(100.0, 100.0, 1), (10_000.0, 10_000.0, 1)]
+
+
+def test_write_increment_does_not_recommit_other_fingerprint_parts(spark, tmp_path):
+    """Partitions committed under fp1 but absent from fp2's input must NOT
+    be committed (with fp1's stale bytes) under fp2."""
+    from demeter_spark.plans.lineage import LineageLog
+
+    log = LineageLog(spark, str(tmp_path))
+    df = spark.range(80).selectExpr("id", "CAST(id % 4 AS LONG) AS b")
+    assert log.write_increment("s", df, "b", "fp1") == 4
+    # fp2's input only has parts 0 and 1
+    assert log.write_increment("s", df.filter("b < 2"), "b", "fp2") == 2
+    snaps = log.snapshots().filter("fingerprint = 'fp2'")
+    parts = sorted(r["part"] for r in snaps.collect())
+    assert parts == [0, 1]
