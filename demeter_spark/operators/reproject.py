@@ -295,6 +295,37 @@ def align_cells(
     return out, snapped
 
 
+def reproject_and_merge(
+    sources: list[tuple[DataFrame, "Grid", Transform]],
+    dst_grid: "Grid",
+    resampling: str = "nearest",
+    value_col: str = "value",
+) -> DataFrame:
+    """R7/R3 composition (reprojection.py:143-203 reproject_and_merge): warp
+    each source raster onto one destination grid, then overlap-merge —
+    e.g. per-UTM-zone NDVI mosaics unified into one CRS. Each source is
+    (cells, grid, to_src transform); priorities follow list order (the
+    reference's 'first' = first input wins). Returns tilemerge.merge_cells
+    output (every merge statistic per destination cell)."""
+    from demeter_spark.operators.tilemerge import merge_cells
+
+    fn = {
+        "nearest": reproject_nearest,
+        "bilinear": reproject_bilinear,
+    }[resampling]
+    warped = None
+    for i, (cells, grid, to_src) in enumerate(sources):
+        w = fn(cells, grid, dst_grid, to_src, value_col).selectExpr(
+            f"'src{i}' AS source",
+            f"{i} AS priority",
+            "ix",
+            "iy",
+            "value",
+        )
+        warped = w if warped is None else warped.unionByName(w)
+    return merge_cells(warped)
+
+
 # ---------------------------------------------------------------------------
 # UTM-like spherical transverse-mercator transform (pytest-verified path; the
 # reference reprojects 4326 <-> UTM via pyproj/rasterio: api.py:132-151)

@@ -211,3 +211,29 @@ def test_window_filter_pushes_down(spark, tmp_path):
     win = rp.window_cells(spark.read.parquet(path), 10, 10, 20, 20)
     plan = win._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(ix" in plan, plan
+
+
+def test_reproject_and_merge_two_zones(spark):
+    """test_reproject_and_merge parity: two 'zone' halves of the raster warp
+    onto one grid and mosaic; the merged mean equals the source mean and
+    overlap cells resolve by priority (first input wins)."""
+    src = _elev(spark)
+    left = src.filter("ix < 80")
+    right = src.filter("ix >= 64")  # 16-column overlap band
+    merged = rp.reproject_and_merge(
+        [
+            (left, SRC, rp.identity_transform),
+            (right, SRC, rp.identity_transform),
+        ],
+        SRC,
+        resampling="nearest",
+    )
+    assert merged.count() == 144 * 128
+    src_mean = src.agg(F.avg("value")).first()[0]
+    out_mean = merged.agg(F.avg("first_value")).first()[0]
+    assert round(src_mean, 6) == round(out_mean, 6)
+    # the overlap band agrees source-to-source here, so count==2 and
+    # first==last inside it
+    band = merged.filter("ix >= 64 AND ix < 80 AND first_value IS NOT NULL")
+    n_bad = band.filter("count_value != 2 OR first_value != last_value").count()
+    assert n_bad == 0
