@@ -111,6 +111,19 @@ def _q_zonal_depth_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.depth_weighted_mean(joined, 0, 50)
 
 
+def _q_zonal_stats_touched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 all_touched=True variant: the reference's PRODUCTION mask semantics
+    (every call site passes all_touched — usgs/utils.py:50, polaris.py:274,
+    slga.py:212, ndvi.py:434): edge pixels with any overlap contribute to the
+    zonal aggregates, not only center-inside pixels."""
+    from demeter_spark.operators import zonal
+    from demeter_spark.sources import synth
+
+    cells = synth.raster_cells(spark)
+    par = synth.parcels(spark)
+    return zonal.zonal_stats_touched(cells, par, synth.CELL_DEG, synth.CELL_DEG)
+
+
 def _q_tile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/A11/R3: overlap-resolving merge, all methods in one groupBy."""
     from demeter_spark.operators import tilemerge
@@ -774,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "primary_soil_components": _q_primary_soil,
         "empty_parcels": _q_empty_parcels,
         "zonal_stats": _q_zonal_stats,
+        "zonal_stats_touched": _q_zonal_stats_touched,
         "zonal_depth_weighted": _q_zonal_depth_weighted,
         "tile_merge": _q_tile_merge,
         "merge_conflicts": _q_merge_conflicts,
@@ -819,6 +833,28 @@ _CONTAINS = """c.cx > pa.xmin AND c.cx < pa.xmax AND c.cy > pa.ymin AND c.cy < p
                   abs(c.cx - pa.cx) * pa.b + abs(c.cy - pa.cy) * pa.a < pa.a * pa.b)
               OR (pa.kind = 'holed' AND NOT (c.cx > pa.cx AND c.cx < pa.a
                                              AND c.cy > pa.cy AND c.cy < pa.b)))"""
+
+# all_touched=True truth (rasterize_touched semantics): a 0.25-degree pixel
+# box is touched iff the polygon's INTERIOR overlaps its open box —
+# closed-form per synthetic parcel kind. rect: open-interval overlap per
+# axis; diamond: the weighted-L1 infimum over the closed box (attained at
+# the clamped nearest point) must be strictly inside; holed: outer-rect
+# overlap minus boxes whose outer-clipped extent sits inside the CLOSED hole
+# (pa.cx/pa.cy/pa.a/pa.b carry the hole bounds for the holed parcel).
+_TOUCHES = """(c.ix + 1) * 0.25e0 > pa.xmin AND c.ix * 0.25e0 < pa.xmax
+         AND (c.iy + 1) * 0.25e0 > pa.ymin AND c.iy * 0.25e0 < pa.ymax
+         AND (pa.kind = 'rect'
+              OR (pa.kind = 'diamond' AND
+                  greatest(0e0, pa.cx - (c.ix + 1) * 0.25e0,
+                           c.ix * 0.25e0 - pa.cx) * pa.b
+                + greatest(0e0, pa.cy - (c.iy + 1) * 0.25e0,
+                           c.iy * 0.25e0 - pa.cy) * pa.a
+                  < pa.a * pa.b)
+              OR (pa.kind = 'holed' AND NOT (
+                      greatest(c.ix * 0.25e0, pa.xmin) >= pa.cx
+                  AND least((c.ix + 1) * 0.25e0, pa.xmax) <= pa.a
+                  AND greatest(c.iy * 0.25e0, pa.ymin) >= pa.cy
+                  AND least((c.iy + 1) * 0.25e0, pa.ymax) <= pa.b)))"""
 
 
 def _jaccard_oracle_tail(threshold: float, max_df: int | None = None) -> str:
@@ -1071,6 +1107,19 @@ def oracle_sql() -> dict[str, str]:
                    max(c.value) AS max_value,
                    sum(c.value) AS sum_value
             FROM raster_cells c JOIN parcels pa ON {_CONTAINS}
+            GROUP BY pa.parcel_id, c.dataset, c.depth_lo
+            """,
+            ("raster_cells", "parcels"),
+        ),
+        "zonal_stats_touched": oracle_query(
+            f"""
+            SELECT pa.parcel_id, c.dataset, c.depth_lo,
+                   CAST(count(c.value) AS BIGINT) AS n_valid,
+                   avg(c.value) AS mean_value,
+                   min(c.value) AS min_value,
+                   max(c.value) AS max_value,
+                   sum(c.value) AS sum_value
+            FROM raster_cells c JOIN parcels pa ON {_TOUCHES}
             GROUP BY pa.parcel_id, c.dataset, c.depth_lo
             """,
             ("raster_cells", "parcels"),

@@ -5,8 +5,11 @@ refinement, demeter/raster/usgs/hydrography.py:396-399; WKT interchange,
 demeter/vector/usda/ssurgo.py:143-150) with pure-numpy kernels suitable for
 Arrow-batched pandas UDFs — no per-row Python in the hot path.
 
-Only outer rings are modeled (the reference's fixtures are hole-free
-Polygons/MultiPolygons; multiparts are exploded as in demeter/utils.py:44-46).
+Polygons with holes are fully supported: ``parse_wkt_polygons`` returns parts
+as (outer ring + hole rings) and every PIP kernel applies even-odd semantics
+(xor over a part's rings, or across multipolygon parts) — matching the
+reference's shapely semantics for holed inputs (multiparts are exploded as in
+demeter/utils.py:44-46).
 """
 
 from __future__ import annotations
@@ -286,6 +289,132 @@ def buffer_convex(xs: np.ndarray, ys: np.ndarray, dist: float) -> Ring:
     denom = dx1 * ey - dy1 * ex
     t = ((px - qx) * ey - (py - qy) * ex) / denom
     return qx + t * dx1, qy + t * dy1
+
+
+def segments_hit_open_boxes(
+    sx0: np.ndarray, sy0: np.ndarray, sx1: np.ndarray, sy1: np.ndarray,
+    bx0: np.ndarray, by0: np.ndarray, bx1: np.ndarray, by1: np.ndarray,
+) -> np.ndarray:
+    """For E segments and C axis-aligned boxes: bool (C,) — does ANY segment
+    pass through the box's OPEN interior?
+
+    Liang-Barsky clip to the closed box gives the parameter interval
+    [u1, u2]; the clipped sub-segment meets the open box iff u1 < u2 and the
+    sub-segment is not confined to a box face (per axis, its coordinate range
+    must extend strictly past the low face and strictly before the high
+    face). Exactness argument: within the closed box each coordinate is
+    linear with range [lo, hi] ⊆ [face_lo, face_hi], so the per-axis open
+    conditions are each violated only on a parameter endpoint — their
+    intersection always contains the open interval (u1, u2).
+
+    Memory is O(E * C); callers batch per polygon (E = local edge count,
+    C = boxes in the polygon's bbox), which keeps the matrix cache-sized.
+    """
+    sx0 = np.asarray(sx0, dtype=np.float64)[:, None]
+    sy0 = np.asarray(sy0, dtype=np.float64)[:, None]
+    sx1 = np.asarray(sx1, dtype=np.float64)[:, None]
+    sy1 = np.asarray(sy1, dtype=np.float64)[:, None]
+    bx0 = np.asarray(bx0, dtype=np.float64)[None, :]
+    by0 = np.asarray(by0, dtype=np.float64)[None, :]
+    bx1 = np.asarray(bx1, dtype=np.float64)[None, :]
+    by1 = np.asarray(by1, dtype=np.float64)[None, :]
+    if sx0.shape[0] == 0 or bx0.shape[1] == 0:
+        return np.zeros(bx0.shape[1], dtype=bool)
+    dx = sx1 - sx0
+    dy = sy1 - sy0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1x = (bx0 - sx0) / dx
+        t2x = (bx1 - sx0) / dx
+        txmin = np.minimum(t1x, t2x)
+        txmax = np.maximum(t1x, t2x)
+        # axis-parallel segments: in-slab iff the constant coordinate lies
+        # within the closed slab (open-face confinement is caught below)
+        zx = np.broadcast_to(dx == 0.0, txmin.shape)
+        in_slab_x = (sx0 >= bx0) & (sx0 <= bx1)
+        txmin = np.where(zx, np.where(in_slab_x, -np.inf, np.inf), txmin)
+        txmax = np.where(zx, np.where(in_slab_x, np.inf, -np.inf), txmax)
+        t1y = (by0 - sy0) / dy
+        t2y = (by1 - sy0) / dy
+        tymin = np.minimum(t1y, t2y)
+        tymax = np.maximum(t1y, t2y)
+        zy = np.broadcast_to(dy == 0.0, tymin.shape)
+        in_slab_y = (sy0 >= by0) & (sy0 <= by1)
+        tymin = np.where(zy, np.where(in_slab_y, -np.inf, np.inf), tymin)
+        tymax = np.where(zy, np.where(in_slab_y, np.inf, -np.inf), tymax)
+        u1 = np.maximum(0.0, np.maximum(txmin, tymin))
+        u2 = np.minimum(1.0, np.minimum(txmax, tymax))
+        ok = u1 < u2
+        xa = sx0 + u1 * dx
+        xb = sx0 + u2 * dx
+        ya = sy0 + u1 * dy
+        yb = sy0 + u2 * dy
+        hit = (
+            ok
+            & (np.maximum(xa, xb) > bx0)
+            & (np.minimum(xa, xb) < bx1)
+            & (np.maximum(ya, yb) > by0)
+            & (np.minimum(ya, yb) < by1)
+        )
+    return hit.any(axis=0)
+
+
+def touched_grid_boxes(
+    parts: list[list[Ring]],
+    ox: float,
+    oy: float,
+    rx: float,
+    ry: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Grid boxes the polygon TOUCHES: (ix, iy) index arrays of every cell
+    box [ox + ix*rx, ox + (ix+1)*rx) x [oy + iy*ry, ...) whose OPEN interior
+    intersects the polygon's interior (even-odd across rings).
+
+    This is the all_touched=True rasterization semantics the reference
+    passes at every production mask site (demeter/raster/usgs/utils.py:50,
+    polaris.py:274/290/314/355, slga.py:212/230, sentinel2/ndvi.py:434) —
+    any positive-area overlap marks the pixel, not just center containment.
+    Deviation from GDAL is only on measure-zero contact: a boundary segment
+    lying exactly ON a pixel edge marks no pixel here (GDAL's edge-owner
+    convention is itself asymmetric); fixtures keep geometry off the pixel
+    lattice so the oracle comparison is exact.
+
+    touched = center-inside (even-odd) OR some ring edge passes through the
+    open box — equivalent to interior-overlap for simple rings, because a
+    box overlapping the interior without containing its center must be
+    crossed by the boundary, and every boundary point of a positive-area
+    ring is a limit of interior points.
+    """
+    allx = np.concatenate([xs for rings in parts for xs, _ in rings])
+    ally = np.concatenate([ys for rings in parts for _, ys in rings])
+    ix0 = int(np.floor((allx.min() - ox) / rx))
+    ix1 = int(np.floor((allx.max() - ox) / rx))
+    iy0 = int(np.floor((ally.min() - oy) / ry))
+    iy1 = int(np.floor((ally.max() - oy) / ry))
+    gx = np.arange(ix0, ix1 + 1, dtype=np.int64)
+    gy = np.arange(iy0, iy1 + 1, dtype=np.int64)
+    mix, miy = np.meshgrid(gx, gy, indexing="ij")
+    mix = mix.ravel()
+    miy = miy.ravel()
+    bx0 = ox + mix * rx
+    by0 = oy + miy * ry
+    bx1 = bx0 + rx
+    by1 = by0 + ry
+    cx = bx0 + rx * 0.5
+    cy = by0 + ry * 0.5
+    inside = np.zeros(len(mix), dtype=bool)
+    for rings in parts:
+        part_in = np.zeros(len(mix), dtype=bool)
+        for xs, ys in rings:
+            part_in ^= points_in_ring(cx, cy, xs, ys)
+        inside |= part_in
+    ex0 = np.concatenate([xs for rings in parts for xs, _ in rings])
+    ey0 = np.concatenate([ys for rings in parts for _, ys in rings])
+    ex1 = np.concatenate([np.roll(xs, -1) for rings in parts for xs, _ in rings])
+    ey1 = np.concatenate([np.roll(ys, -1) for rings in parts for _, ys in rings])
+    touched = inside | segments_hit_open_boxes(
+        ex0, ey0, ex1, ey1, bx0, by0, bx1, by1
+    )
+    return mix[touched], miy[touched]
 
 
 def _clip_halfplane(

@@ -17,6 +17,8 @@ final hash aggregation, no UDF.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -27,8 +29,83 @@ def cells_in_parcels(
     cells: DataFrame, parcels: DataFrame, res: int = 8, **join_kw
 ) -> DataFrame:
     """Assign raster cells (by center) to containing parcels — the
-    rasterized-PIP mask (R1) as a join."""
+    rasterized-PIP mask (R1, rasterio default all_touched=False) as a join.
+    For the reference's production masking semantics (all_touched=True at
+    demeter/raster/usgs/utils.py:50, polaris.py:274, slga.py:212,
+    sentinel2/ndvi.py:434) use ``touched_cells_in_parcels``."""
     return spatial_join(cells, parcels, res=res, lon="cx", lat="cy", **join_kw)
+
+
+def rasterize_touched(
+    parcels: DataFrame,
+    rx: float,
+    ry: float,
+    ox: float = 0.0,
+    oy: float = 0.0,
+    id_col: str = "parcel_id",
+    wkt_col: str = "geom_wkt",
+) -> DataFrame:
+    """all_touched=True rasterization (R1 variant): one (id, ix, iy) row per
+    grid box whose open interior overlaps the polygon — rasterio
+    ``mask(..., all_touched=True)`` / ``rasterize(all_touched=True)`` as a
+    distributed cell table (demeter/raster/utils/mask.py wraps rasterio.mask;
+    tests/raster/utils/test_mask.py is the truth-table model).
+
+    Runs as mapInPandas over the polygon dimension — per-polygon numpy
+    kernel (center PIP + Liang-Barsky edge-vs-open-box), no driver geometry,
+    embarrassingly parallel across parcels; output is a keyed mask table any
+    cell fact table equi-joins against.
+    """
+    from demeter_spark.functions import geom
+
+    def _touched(batches):
+        for pdf in batches:
+            ids: list = []
+            ixs: list[np.ndarray] = []
+            iys: list[np.ndarray] = []
+            for pid, wkt in zip(pdf[id_col], pdf[wkt_col]):
+                parts = geom.parse_wkt_polygons(wkt)
+                tx, ty = geom.touched_grid_boxes(parts, ox, oy, rx, ry)
+                ids.extend([pid] * len(tx))
+                ixs.append(tx)
+                iys.append(ty)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.asarray(ids, dtype=np.int64),
+                        "ix": np.concatenate(ixs),
+                        "iy": np.concatenate(iys),
+                    }
+                )
+
+    spark = parcels.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    return (
+        parcels.select(id_col, wkt_col)
+        .repartition(n_parts, id_col)
+        .mapInPandas(_touched, f"{id_col} BIGINT, ix BIGINT, iy BIGINT")
+    )
+
+
+def touched_cells_in_parcels(
+    cells: DataFrame,
+    parcels: DataFrame,
+    rx: float,
+    ry: float,
+    ox: float = 0.0,
+    oy: float = 0.0,
+    broadcast_mask: bool = True,
+) -> DataFrame:
+    """Assign raster cells to parcels under all_touched=True semantics: the
+    mask table comes straight from ``rasterize_touched`` and the assignment
+    is a plain (broadcastable) equi-join on (ix, iy) — no PIP refine needed,
+    classification happened in the per-parcel kernel."""
+    mask = rasterize_touched(parcels, rx, ry, ox, oy)
+    if broadcast_mask:
+        mask = F.broadcast(mask)
+    return cells.withColumn("ix", F.col("ix").cast("bigint")).withColumn(
+        "iy", F.col("iy").cast("bigint")
+    ).join(mask, ["ix", "iy"])
 
 
 def zonal_stats(
@@ -43,6 +120,29 @@ def zonal_stats(
     numpy.ma semantics of the reference's fingerprint oracles (A15).
     """
     joined = cells_in_parcels(cells, parcels, res=res)
+    return joined.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count("value").alias("n_valid"),
+        F.avg("value").alias("mean_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def zonal_stats_touched(
+    cells: DataFrame,
+    parcels: DataFrame,
+    rx: float,
+    ry: float,
+    ox: float = 0.0,
+    oy: float = 0.0,
+    keys: tuple[str, ...] = ("parcel_id", "dataset", "depth_lo"),
+) -> DataFrame:
+    """zonal_stats under the reference's production mask semantics
+    (all_touched=True): edge pixels with ANY overlap contribute, matching
+    rasterio.mask at every reference call site (usgs/utils.py:50,
+    polaris.py:274, slga.py:212, ndvi.py:434)."""
+    joined = touched_cells_in_parcels(cells, parcels, rx, ry, ox, oy)
     return joined.groupBy(*[F.col(k) for k in keys]).agg(
         F.count("value").alias("n_valid"),
         F.avg("value").alias("mean_value"),
