@@ -91,19 +91,40 @@ def centroids(
 def assign_to_centroids(
     df: DataFrame, cents: DataFrame, ident: str, top: int
 ) -> DataFrame:
-    """Assign each row's ``_v`` vector to its ``top`` nearest centroids
-    (broadcast codebook crossJoin + window rank — the codebook is tiny, the
-    fan-out is |df| x n_centroids within each task, never a shuffle)."""
-    sim = F.expr(DOT.format(a="_v", b="centroid")) / (
-        F.expr(NORM.format(a="_v")) * F.expr(NORM.format(a="centroid"))
+    """Assign each row's ``_v`` vector to its ``top`` nearest centroids —
+    SHUFFLE-FREE: the (tiny) codebook is folded into one array<struct> row
+    and broadcast-cross-joined onto ``df``; the per-row argmax/top-n is a
+    higher-order expression (transform + array_sort + slice) evaluated
+    entirely inside the row's task. No |df| x n_centroids fan-out ever
+    shuffles and no Window runs: at 10^9 vectors x 4k centroids the old
+    window-rank formulation shuffled/sorted the whole fan-out just to keep
+    top-1 — this adds ZERO Exchange on the vector side (plan-asserted in
+    tests/test_simsearch_plan.py).
+
+    Ordering matches the previous window exactly: cosine descending (encoded
+    as -cos ascending in the sort struct), centroid_id ascending on ties.
+    """
+    book = F.broadcast(
+        cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct("centroid_id", "centroid"))
+            ).alias("_book")
+        )
     )
-    w = Window.partitionBy(ident).orderBy(F.desc("_csim"), F.asc("centroid_id"))
+    dot = DOT.format(a="_v", b="c.centroid")
+    nv = NORM.format(a="_v")
+    nc = NORM.format(a="c.centroid")
+    topk = (
+        "transform("
+        f"  slice(array_sort(transform(_book, c -> struct("
+        f"    -({dot} / ({nv} * {nc})) AS nsim,"
+        f"    c.centroid_id AS centroid_id))), 1, {int(top)}),"
+        "  s -> s.centroid_id)"
+    )
     return (
-        df.crossJoin(cents)
-        .withColumn("_csim", sim)
-        .withColumn("_crk", F.row_number().over(w))
-        .filter(F.col("_crk") <= top)
-        .drop("_csim", "_crk", "centroid")
+        df.crossJoin(book)
+        .withColumn("centroid_id", F.explode(F.expr(topk)))
+        .drop("_book")
     )
 
 

@@ -1,0 +1,92 @@
+"""IVF centroid assignment must be shuffle-free on the vector side.
+
+VERDICT r02 'What's wrong #1': the old formulation window-ranked the
+|vectors| x n_centroids crossJoin fan-out — a shuffle+sort of the fan-out at
+every assignment. The rewrite computes the per-row top-n with higher-order
+array expressions over a broadcast codebook: the only Exchange in the whole
+plan is the single-partition fold that builds the codebook array (tiny), and
+no Window operator exists anywhere.
+"""
+
+import re
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from demeter_spark.operators import simsearch
+
+_SHUFFLE = re.compile(r"(?<!Broadcast)Exchange")
+
+
+def _vectors(spark, n=40, dim=6):
+    return spark.range(n).selectExpr(
+        "id AS _id",
+        f"transform(sequence(0, {dim - 1}), d ->"
+        " CAST(1 + (id * 7 + d * 13) % 17 AS FLOAT)) AS _v",
+        "CAST(id % 4 AS BIGINT) AS label",
+    )
+
+
+def _codebook(spark, n_cents=4, dim=6):
+    return spark.range(n_cents).selectExpr(
+        "id AS centroid_id",
+        f"transform(sequence(0, {dim - 1}), d ->"
+        " CAST(1 + (id * 3 + d * 5) % 11 AS DOUBLE)) AS centroid",
+    )
+
+
+def test_assignment_adds_no_exchange_and_no_window(spark):
+    df = _vectors(spark).select("_id", "_v")
+    cents = _codebook(spark)
+    assigned = simsearch.assign_to_centroids(df, cents, "_id", 2)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # exactly ONE shuffle exchange: the single-partition codebook fold;
+    # the vector side never exchanges
+    assert len(_SHUFFLE.findall(plan)) == 1, plan
+
+
+def test_assignment_matches_window_rank_semantics(spark):
+    """Bit-for-bit the same assignments (same cosine expression, same
+    ordering: cos desc, centroid_id asc) as the window formulation it
+    replaced."""
+    df = _vectors(spark).select("_id", "_v")
+    cents = _codebook(spark)
+    for top in (1, 3):
+        new = {
+            (r["_id"], r["centroid_id"])
+            for r in simsearch.assign_to_centroids(df, cents, "_id", top).collect()
+        }
+        sim = F.expr(simsearch.DOT.format(a="_v", b="centroid")) / (
+            F.expr(simsearch.NORM.format(a="_v"))
+            * F.expr(simsearch.NORM.format(a="centroid"))
+        )
+        w = Window.partitionBy("_id").orderBy(F.desc("_csim"), F.asc("centroid_id"))
+        old = {
+            (r["_id"], r["centroid_id"])
+            for r in df.crossJoin(cents)
+            .withColumn("_csim", sim)
+            .withColumn("_crk", F.row_number().over(w))
+            .filter(F.col("_crk") <= top)
+            .collect()
+        }
+        assert new == old
+        assert len(new) == 40 * top
+
+
+def test_multiprobe_pipeline_still_correct(spark):
+    """ivf_multiprobe with full probing must equal brute force (the recall
+    ceiling) through the rewritten assignment."""
+    emb = _vectors(spark, n=60).selectExpr(
+        "_id AS vec_id", "transform(_v, x -> CAST(x AS FLOAT)) AS embedding", "label"
+    )
+    q = emb.filter("vec_id < 5")
+    brute = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in simsearch.brute_force_topk(emb, q, 5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in simsearch.ivf_multiprobe_topk(emb, q, 5, n_probe=4).collect()
+    }
+    assert full == brute
