@@ -19,11 +19,27 @@ idempotent multi-level file caches + FileLock (demeter/raster/polaris.py:
 The API is deliberately narrow (write_increment / committed_parts / metrics)
 so a real Iceberg/Delta catalog can replace the parquet manifest on a
 cluster without touching call sites.
+
+Concurrency contract: SINGLE WRITER per LineageLog base_dir. ``seq`` is
+minted read-modify-write (max(seq)+1 over the manifest), so concurrent
+write_increment calls — even to different stages — could mint duplicate seq
+values and corrupt snapshot ordering. A real catalog replaces this with its
+own atomic commit protocol (Iceberg optimistic-concurrency swaps); the
+parquet stand-in documents the restriction instead of faking one.
+
+Manifest growth: each commit appends one small file; every
+``compact_every`` commits the manifest is rewritten to a single file
+(contents preserved row-for-row, so seq ordering and snapshot ids are
+unchanged), keeping per-commit manifest-scan cost O(compact_every) instead
+of O(total commits). The rewrite uses a write-tmp / swap / drop-old
+sequence; a crash mid-swap loses only the manifest (data partitions are
+untouched), which the resume protocol heals by recomputing idempotently.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,10 +52,11 @@ SNAPSHOT_SCHEMA = (
 
 
 class LineageLog:
-    def __init__(self, spark: SparkSession, base_dir: str):
+    def __init__(self, spark: SparkSession, base_dir: str, compact_every: int = 16):
         self.spark = spark
         self.base_dir = base_dir
         self.manifest_path = os.path.join(base_dir, "_snapshots")
+        self.compact_every = max(int(compact_every), 2)
 
     def snapshots(self) -> DataFrame:
         try:
@@ -130,7 +147,27 @@ class LineageLog:
         self.spark.createDataFrame(rows, SNAPSHOT_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(self.manifest_path)
+        if seq % self.compact_every == 0:
+            self._compact_manifest()
         return len(rows)
+
+    def _compact_manifest(self) -> None:
+        """Rewrite the manifest to one file (rows preserved exactly) so the
+        per-commit max(seq)/committed_parts scans stay O(compact_every)
+        files regardless of commit count. Single-writer protocol (see module
+        docstring): write tmp -> swap -> drop old."""
+        tmp = self.manifest_path + ".compact-tmp"
+        old = self.manifest_path + ".compact-old"
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        # materializes fully into tmp before any swap touches the live path
+        self.spark.read.parquet(self.manifest_path).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.rename(self.manifest_path, old)
+        os.rename(tmp, self.manifest_path)
+        shutil.rmtree(old)
 
     def read_stage(self, stage: str, as_of: str | None = None) -> DataFrame:
         """Read a stage's table; with ``as_of`` = a snapshot id, read ONLY

@@ -50,6 +50,32 @@ def test_lineage_resume_skips_committed_parts(spark, tmp_path):
     assert log.write_increment("geocode", pages, "bucket", "pages-v2") == 8
 
 
+def test_manifest_compaction_bounds_file_count(spark, tmp_path):
+    """~50 commits: manifest file count stays bounded by compact_every and
+    snapshot ordering / pinned reads / metrics survive every rewrite."""
+    base = str(tmp_path / "lineage_compact")
+    log = LineageLog(spark, base, compact_every=8)
+    for i in range(50):
+        df = spark.range(5).selectExpr(
+            "id AS v", f"CAST({i} AS BIGINT) AS bucket"
+        )
+        assert log.write_increment("stage_a", df, "bucket", "fp1") == 1
+    files = [
+        f
+        for _, _, fs in os.walk(os.path.join(base, "_snapshots"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(files) <= 8, files  # not 50: compaction keeps it bounded
+    ids = log.snapshot_ids("stage_a")
+    assert len(ids) == 50
+    # snapshot-pinned read still exact across compaction rewrites
+    mid = log.read_stage("stage_a", as_of=ids[24])
+    assert mid.select("_part").distinct().count() == 25
+    assert mid.count() == 25 * 5
+    assert log.metrics().filter("stage='stage_a'").count() == 50
+
+
 def test_salted_join_equals_plain_join(spark, ddb):
     pts = synth.page_points(spark, SF_DIR)
     par = synth.parcels(spark)
