@@ -261,6 +261,7 @@ def knn_join(
     max_ring: int = 64,
     start_ring: int = 2,
     brute_threshold: int = 10_000,
+    release_caches: bool = True,
 ) -> DataFrame:
     """k nearest ``sites`` per point via k-ring expansion (north_rule J12).
 
@@ -275,10 +276,14 @@ def knn_join(
     semantics; synthetic world is planar).
 
     Caching contract: each doubling level persists its (small, <= k+1 rows
-    per frontier point) top-k so the final union doesn't recompute levels;
-    the caches live until evicted (MEMORY_AND_DISK, LRU) or the caller runs
-    spark.catalog.clearCache() — a long-lived session issuing many kNN
-    queries should do the latter periodically.
+    per frontier point) top-k so the termination probe, next frontier and
+    final union read each level exactly once. With ``release_caches`` (the
+    default) the final union is materialized through the caches into a
+    localCheckpoint (executor block storage, released by GC with the
+    returned DataFrame) and every level cache is unpersisted before
+    returning — a long-lived session issuing many kNN queries accumulates
+    nothing in the SQL cache manager. Pass False to get the lazy plan plus
+    live caches (caller owns cleanup).
     """
     from pyspark.sql import Window
 
@@ -317,6 +322,7 @@ def knn_join(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     resolved_parts: list[DataFrame] = []
+    level_caches: list[DataFrame] = []
     remaining = pts
     r = max(1, min(start_ring, max_ring))
     while True:
@@ -353,6 +359,7 @@ def knn_join(
             .withColumn("_kth", F.max("_dist").over(wp))
             .persist()
         )
+        level_caches.append(ranked)
         # resolved iff the kth candidate is strictly inside the ring's
         # guaranteed-exclusion radius (strict: a site just outside the ring
         # is strictly farther than r*lat_sz, so ties at the bound are safe)
@@ -394,4 +401,12 @@ def knn_join(
     out = resolved_parts[0]
     for part in resolved_parts[1:]:
         out = out.unionByName(part)
+    if release_caches:
+        # materialize the (narrow, k-rows-per-point) result THROUGH the level
+        # caches into executor block storage, then drop every level cache:
+        # the SQL cache manager is empty when this returns, and the
+        # checkpoint blocks die with the returned DataFrame's GC
+        out = out.localCheckpoint(eager=True)
+        for c in level_caches:
+            c.unpersist()
     return out

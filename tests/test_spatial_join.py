@@ -99,7 +99,10 @@ def test_knn_ring_doubling_sparse(spark):
 
     pts = synth.page_points(spark, SF_DIR)
     gaz = synth.gazetteer(spark).filter("place_id % 50 = 1")  # 4 sparse sites
-    got = joins.knn_join(pts, gaz, k=2, res=6, brute_threshold=0)
+    # release_caches=False keeps the live plan inspectable (the default
+    # checkpoints the result, which would collapse the plan to an RDD scan)
+    got = joins.knn_join(pts, gaz, k=2, res=6, brute_threshold=0,
+                         release_caches=False)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
 
@@ -124,6 +127,19 @@ def test_knn_ring_doubling_sparse(spark):
             truth.add((r["url"], int(sid[order[i, rk]]), rk + 1))
     got_rows = {(g["url"], g["place_id"], g["rank"]) for g in got.collect()}
     assert got_rows == truth
+
+
+def test_knn_releases_level_caches(spark):
+    """VERDICT r02 'What's wrong #2': doubling-level caches must not outlive
+    the query. After knn_join returns (default release_caches=True), the SQL
+    cache manager holds nothing, and the result stays correct/actionable."""
+    spark.catalog.clearCache()
+    pts = synth.page_points(spark, SF_DIR).filter("doc_id < 60")
+    gaz = synth.gazetteer(spark).filter("place_id % 10 = 1")
+    out = joins.knn_join(pts, gaz, k=2, res=6)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    n = out.count()
+    assert n == pts.count() * 2
 
 
 def test_knn_join_matches_bruteforce(spark, ddb):
