@@ -658,6 +658,52 @@ def _q_reproject_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp.reproject_bilinear(src, sg, dg, t, broadcast_src=True)
 
 
+def _q_reproject_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6: cross-CRS warp with cubic-convolution resampling (Keys a=-0.5,
+    the rasterio Resampling.cubic default) — 16-neighbor join, fixed-order
+    combine shared verbatim with the oracle; NULL where the 4x4 stencil
+    has any masked/missing pixel."""
+    from demeter_spark.operators import reproject as rp
+
+    src, sg, dg, t = _warp_setup(spark)
+    return rp.reproject_cubic(src, sg, dg, t, broadcast_src=True)
+
+
+def _cubic_oracle_sql() -> str:
+    """16 LEFT JOINs + the SAME combine text reproject_cubic compiles."""
+    from demeter_spark.operators.reproject import cubic_combine_expr
+
+    joins = "\n            ".join(
+        f"LEFT JOIN ev v{o}{p} ON v{o}{p}.ix = c.i0 + {o - 1} "
+        f"AND v{o}{p}.iy = c.j0 + {p - 1}"
+        for o in range(4)
+        for p in range(4)
+    )
+    value_expr, valid = cubic_combine_expr(
+        "fx", "fy", lambda o, p: f"v{o}{p}.value"
+    )
+    return f"""
+            , dstb AS (
+              SELECT x.ix, y.iy,
+                     (0.015625e0 * (-32e0 + (x.ix + 0.5e0) * 6e0) + 0.5e0)
+                       / 0.25e0 - 0.5e0 AS gx,
+                     (0.0625e0 * (-16e0 + (y.iy + 0.5e0) * 4e0) + 1e0)
+                       / 0.25e0 - 0.5e0 AS gy
+              FROM range(96) x(ix), range(64) y(iy)),
+            corner AS (
+              SELECT ix, iy, gx - floor(gx) AS fx, gy - floor(gy) AS fy,
+                     CAST(floor(gx) AS BIGINT) AS i0,
+                     CAST(floor(gy) AS BIGINT) AS j0
+              FROM dstb),
+            ev AS (SELECT ix, iy, value FROM raster_cells
+                   WHERE dataset = 'elevation')
+            SELECT c.ix, c.iy,
+                   CASE WHEN {valid} THEN {value_expr} END AS value
+            FROM corner c
+            {joins}
+    """
+
+
 def _q_carbon_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8+A9 variance algebra (demeter/utils.py:59-103): per-layer sigma from
     p5/p95, squared-weight layer averaging of variances, depth-weighted
@@ -778,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocode_points": _q_geocode,
         "reproject_nearest": _q_reproject_nearest,
         "reproject_bilinear": _q_reproject_bilinear,
+        "reproject_cubic": _q_reproject_cubic,
         "carbon_stock_stats": _q_carbon_stock,
         "geojson_parcels": _q_geojson_parcels,
         "spatial_join": _q_spatial_join,
@@ -1027,6 +1074,7 @@ def oracle_sql() -> dict[str, str]:
             """,
             ("raster_cells",),
         ),
+        "reproject_cubic": oracle_query(_cubic_oracle_sql(), ("raster_cells",)),
         "spatial_join": oracle_query(
             "SELECT url, parcel_id FROM point_parcel_truth"
         ),

@@ -199,6 +199,97 @@ def reproject_bilinear(
     )
 
 
+def cubic_weight_exprs(f: str) -> list[str]:
+    """SQL texts of the four cubic-convolution weights (Keys kernel,
+    a = -0.5 — the rasterio/GDAL ``Resampling.cubic`` default) for neighbor
+    offsets -1, 0, +1, +2 around the fractional position ``f`` in [0, 1):
+    distances are f+1, f, 1-f, 2-f, so |d|<=1 uses (a+2)d^3-(a+3)d^2+1 and
+    1<|d|<2 uses a(d^3-5d^2+8d-4), in Horner form. The SAME text is compiled
+    by Spark (F.expr) and DuckDB (oracle), so float evaluation order — hence
+    every bit of the result — is identical across engines."""
+    return [
+        f"(((-0.5e0 * ({f} + 1e0) + 2.5e0) * ({f} + 1e0) - 4e0) * ({f} + 1e0) + 2e0)",
+        f"(((1.5e0 * {f} - 2.5e0) * {f}) * {f} + 1e0)",
+        f"(((1.5e0 * (1e0 - {f}) - 2.5e0) * (1e0 - {f})) * (1e0 - {f}) + 1e0)",
+        f"(((-0.5e0 * (2e0 - {f}) + 2.5e0) * (2e0 - {f}) - 4e0) * (2e0 - {f}) + 2e0)",
+    ]
+
+
+def cubic_combine_expr(fx: str, fy: str, v) -> tuple[str, str]:
+    """(value_expr, all_valid_pred) for the 16-neighbor cubic combine:
+    fixed-order sum of wx[o]*wy[p]*v(o, p) (o-major) plus the all-corners
+    non-null predicate. ``v(o, p)`` names the corner value column. Signed
+    cubic weights make masked-corner renormalization ill-defined (unlike
+    bilinear's nonnegative weights), so cubic requires the full 4x4
+    neighborhood valid and yields NULL otherwise."""
+    wx = cubic_weight_exprs(fx)
+    wy = cubic_weight_exprs(fy)
+    terms = [
+        f"({wx[o]} * {wy[p]}) * {v(o, p)}" for o in range(4) for p in range(4)
+    ]
+    valid = " AND ".join(
+        f"{v(o, p)} IS NOT NULL" for o in range(4) for p in range(4)
+    )
+    return " + ".join(terms), valid
+
+
+def reproject_cubic(
+    src_cells: DataFrame,
+    src_grid: Grid,
+    dst_grid: Grid,
+    to_src: Transform = identity_transform,
+    value_col: str = "value",
+    broadcast_src: bool = False,
+) -> DataFrame:
+    """Cubic-convolution warp (R6 ``Resampling.cubic``,
+    demeter/raster/utils/reprojection.py:18-44 passthrough surface): each
+    destination center interpolates its 4x4 source neighborhood with the
+    Keys a=-0.5 kernel. Same destination-driven shape as bilinear — explode
+    16 neighbor offsets, one equi-join, pivot back, ONE fixed-order combine
+    expression (shared verbatim with the SQL oracle). NULL wherever any of
+    the 16 neighbors is missing/masked (signed weights admit no sound
+    renormalization)."""
+    spark = src_cells.sparkSession
+    dst = grid_cells(spark, dst_grid)
+    sx, sy = to_src(dst_grid.center_x(F.col("ix")), dst_grid.center_y(F.col("iy")))
+    gx = (sx - F.lit(src_grid.ox)) / F.lit(src_grid.rx) - F.lit(0.5)
+    gy = (sy - F.lit(src_grid.oy)) / F.lit(src_grid.ry) - F.lit(0.5)
+    dst = (
+        dst.withColumn("_i0", F.floor(gx).cast("bigint"))
+        .withColumn("_j0", F.floor(gy).cast("bigint"))
+        .withColumn("_fx", gx - F.floor(gx))
+        .withColumn("_fy", gy - F.floor(gy))
+    )
+    corners = F.explode(
+        F.array(*[F.struct(F.lit(o).alias("o"), F.lit(p).alias("p"))
+                  for o in range(4) for p in range(4)])
+    )
+    cand = (
+        dst.withColumn("_c", corners)
+        .withColumn("_six", F.col("_i0") + F.col("_c.o") - 1)
+        .withColumn("_siy", F.col("_j0") + F.col("_c.p") - 1)
+    )
+    s = _src_prepped(src_cells, value_col, broadcast_src)
+    joined = cand.join(s, ["_six", "_siy"], "left")
+    agg = joined.groupBy("ix", "iy").agg(
+        F.max("_fx").alias("_fx"),
+        F.max("_fy").alias("_fy"),
+        *[
+            F.max(
+                F.when((F.col("_c.o") == o) & (F.col("_c.p") == p), F.col("_sv"))
+            ).alias(f"_v{o}{p}")
+            for o in range(4)
+            for p in range(4)
+        ],
+    )
+    value_expr, valid = cubic_combine_expr(
+        "_fx", "_fy", lambda o, p: f"_v{o}{p}"
+    )
+    return agg.selectExpr(
+        "ix", "iy", f"CASE WHEN {valid} THEN {value_expr} END AS value"
+    )
+
+
 def reproject_average(
     src_cells: DataFrame,
     src_grid: Grid,

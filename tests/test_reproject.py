@@ -45,6 +45,73 @@ def test_bilinear_identity_grid_is_identity(spark):
     assert out.count() == src.count()
 
 
+def test_cubic_identity_grid_is_identity(spark):
+    """On the source grid (fx=fy=0) the Keys kernel weights collapse to
+    (0, 1, 0, 0): cubic returns the source exactly wherever the full 4x4
+    stencil is valid, NULL elsewhere (masked neighbor or grid edge)."""
+    src = _elev(spark)
+    out = rp.reproject_cubic(src, SRC, SRC).withColumnRenamed("value", "got")
+    joined = out.join(src.select("ix", "iy", "value"), ["ix", "iy"])
+    # wherever cubic produced a value, it must equal the source bit-for-bit
+    assert joined.filter(
+        F.col("got").isNotNull() & (F.col("got") != F.col("value"))
+    ).count() == 0
+    # and values exist for most of the interior (only stencil-masked cells null)
+    n_vals = out.filter("value IS NOT NULL").count()
+    assert n_vals > src.count() * 0.5
+    assert out.count() == src.count()
+
+
+def test_cubic_partition_of_unity_and_linear_reproduction(spark):
+    """Keys weights sum to 1 and reproduce linear ramps: warping a constant
+    raster yields the constant (~1e-12), and a ramp v=ix yields the mapped
+    fractional coordinate, on a half-cell-shifted destination grid
+    (fx=fy=0.5 everywhere — all four weights engaged)."""
+    cells = synth.raster_cells(spark).filter("dataset = 'elevation'").select(
+        "ix", "iy", F.lit(1.0).alias("value")
+    )
+    shifted = rp.Grid(0.125, 0.125, 0.25, 0.25, 140, 124)
+    const = rp.reproject_cubic(cells, SRC, shifted)
+    bad = const.filter(
+        "value IS NOT NULL AND abs(value - 1e0) > 1e-12"
+    ).count()
+    assert bad == 0
+    assert const.filter("value IS NOT NULL").count() > 100
+
+    ramp = synth.raster_cells(spark).filter("dataset = 'elevation'").select(
+        "ix", "iy", F.col("ix").cast("double").alias("value")
+    )
+    out = rp.reproject_cubic(ramp, SRC, shifted)
+    # destination center x = 0.125 + (ix+0.5)*0.25 -> source fractional
+    # gx = (x - 0)/0.25 - 0.5 = ix + 0.5; cubic must reproduce gx exactly
+    bad = out.filter(
+        "value IS NOT NULL AND abs(value - (ix + 0.5e0)) > 1e-9"
+    ).count()
+    assert bad == 0
+
+
+def test_cubic_matches_oracle(spark, ddb):
+    """Pre-check the driver's correctness-gate row: the shared combine text
+    must evaluate bit-identically in Spark and DuckDB."""
+    import __spark_entry__ as entry
+
+    sdf = entry.queries()["reproject_cubic"](spark, None)
+    s = sorted(
+        [tuple(r) for r in sdf.collect()],
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+    d = sorted(
+        ddb.sql(entry.oracle_sql()["reproject_cubic"]).fetchall(),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+    assert len(s) == len(d) == 96 * 64
+    for a, b in zip(s, d):
+        assert a[0] == b[0] and a[1] == b[1]
+        assert (a[2] is None) == (b[2] is None)
+        if a[2] is not None:
+            assert float(a[2]) == float(b[2]), (a, b)
+
+
 def test_nearest_roundtrip_refines(spark):
     """Warping to a 2x finer grid with nearest then averaging 2x2 blocks back
     reproduces the source exactly (each child carries the parent value)."""
