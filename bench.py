@@ -6,7 +6,8 @@ driver-provided tables are small, so the point fact table is deterministically
 replicated (DEMETER_BENCH_FACTOR, default 200 -> ~1M points at sf0.1).
 
 Modes (DEMETER_BENCH_MODE):
-- "full" (default): q1 spatial join + q2 extraction + q3 kNN, end-to-end.
+- "full" (default): q1 spatial join + q4 zonal + q2 extraction + q3 kNN +
+  q5 MinHash/LSH dedup + q6 IVF multi-probe ANN, end-to-end.
 - "scaling": q1 only, against 128-vertex circle parcels with the point table
   cached (isolates the compute stage for the two-cluster-size efficiency
   protocol — see bench/scaling.py and BENCH/BASELINE.md).
@@ -95,6 +96,34 @@ def main() -> None:
         knn = joins.knn_join(base_pts, synth.gazetteer(spark), k=3, res=6)
         rows["q3_knn"] = knn.count()
         timings["q3_knn"] = time.time() - t0
+
+        # q5: the LLM-pipeline half — MinHash+LSH near-dup pairs over the
+        # dedup corpus (banded buckets + exact-Jaccard verify)
+        from demeter_spark.operators import dedup, simsearch
+
+        t0 = time.time()
+        corpus = synth.dedup_corpus(spark, sf_dir)
+        rows["q5_dedup_minhash"] = dedup.minhash_lsh_pairs(corpus, 0.8).count()
+        timings["q5_dedup_minhash"] = time.time() - t0
+
+        # q6: true-IVF multi-probe ANN (nearest-centroid lists, shuffle-free
+        # assignment) — every embedding queried against the corpus. The
+        # quantizer is seeded at the standard n_lists ~ sqrt(N) (the label
+        # column's 10 coarse cells would prune only 10x regardless of corpus
+        # size — list count must grow with N for IVF to scale).
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_emb = emb.count()
+        n_lists = max(8, int(n_emb ** 0.5))
+        emb = emb.withColumn(
+            "ivf_cell", F.pmod(F.xxhash64("vec_id"), F.lit(n_lists))
+        )
+        rows["q6_ann_multiprobe"] = simsearch.ivf_multiprobe_topk(
+            emb, emb, k=10, n_probe=3, cell_col="ivf_cell"
+        ).count()
+        timings["q6_ann_multiprobe"] = time.time() - t0
 
     total = sum(timings.values())
     throughput = (n_pts + rows["q1_spatial_join"]) / timings["q1_spatial_join"]

@@ -23,6 +23,17 @@ DOT = (
 NORM = "sqrt(aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
 
 
+def _cos(a: str, b: str, na: str, nb: str) -> F.Column:
+    """Cosine from a fresh dot product and PRECOMPUTED per-vector norms:
+    norms are O(dim) per vector, so computing them once per row instead of
+    once per candidate pair removes 2/3 of the pair-stage arithmetic — the
+    dominant cost of every top-k / near-dup join at corpus scale. The norm
+    column holds exactly the float NORM would produce inline (same
+    expression text over the same input), so scores and rankings are
+    bit-identical to the unfactored form."""
+    return F.expr(DOT.format(a=a, b=b)) / (F.col(na) * F.col(nb))
+
+
 def _ranked(pairs: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -41,21 +52,19 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of ``queries`` against all of ``embeddings``."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.expr(NORM.format(a=vec_col)).alias("_qn"),
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.expr(NORM.format(a=vec_col)).alias("_cn"),
     )
     pairs = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos",
-            F.expr(DOT.format(a="_qv", b="_cv"))
-            / (
-                F.expr(NORM.format(a="_qv")) * F.expr(NORM.format(a="_cv"))
-            ),
-        )
+        .withColumn("cos", _cos("_qv", "_cv", "_qn", "_cn"))
     )
     return _ranked(pairs, k)
 
@@ -105,26 +114,31 @@ def assign_to_centroids(
     as -cos ascending in the sort struct), centroid_id ascending on ties.
     """
     book = F.broadcast(
-        cents.agg(
+        cents.select(
+            "centroid_id",
+            "centroid",
+            F.expr(NORM.format(a="centroid")).alias("cnorm"),
+        ).agg(
             F.array_sort(
-                F.collect_list(F.struct("centroid_id", "centroid"))
+                F.collect_list(F.struct("centroid_id", "centroid", "cnorm"))
             ).alias("_book")
         )
     )
     dot = DOT.format(a="_v", b="c.centroid")
-    nv = NORM.format(a="_v")
-    nc = NORM.format(a="c.centroid")
+    # norms are hoisted: the row's norm once per ROW (not per centroid), the
+    # centroid norms once into the codebook — the lambda runs dot + divide
     topk = (
         "transform("
         f"  slice(array_sort(transform(_book, c -> struct("
-        f"    -({dot} / ({nv} * {nc})) AS nsim,"
+        f"    -({dot} / (_vnorm * c.cnorm)) AS nsim,"
         f"    c.centroid_id AS centroid_id))), 1, {int(top)}),"
         "  s -> s.centroid_id)"
     )
     return (
-        df.crossJoin(book)
+        df.withColumn("_vnorm", F.expr(NORM.format(a="_v")))
+        .crossJoin(book)
         .withColumn("centroid_id", F.explode(F.expr(topk)))
-        .drop("_book")
+        .drop("_book", "_vnorm")
     )
 
 
@@ -148,14 +162,20 @@ def ivf_multiprobe_topk(
 
     vecs = assign_to_centroids(
         embeddings.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_v"),
+            F.expr(NORM.format(a=vec_col)).alias("_cn"),
         ),
         cents,
         "neighbor_id",
         1,
     ).withColumnRenamed("_v", "_cv")
     qs = assign_to_centroids(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v")),
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_v"),
+            F.expr(NORM.format(a=vec_col)).alias("_qn"),
+        ),
         cents,
         "query_id",
         n_probe,
@@ -165,11 +185,7 @@ def ivf_multiprobe_topk(
         qs.join(vecs, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn(
-            "cos",
-            F.expr(DOT.format(a="_qv", b="_cv"))
-            / (F.expr(NORM.format(a="_qv")) * F.expr(NORM.format(a="_cv"))),
-        )
+        .withColumn("cos", _cos("_qv", "_cv", "_qn", "_cn"))
     )
     return _ranked(pairs, k)
 
@@ -185,19 +201,19 @@ def embedding_near_dup_pairs(
     Brute-force within the corpus — the exactness baseline / test oracle
     ONLY; the wired scale path is embedding_near_dup_blocked."""
     a = embeddings.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va")
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+        F.expr(NORM.format(a=vec_col)).alias("_na"),
     )
     b = embeddings.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb")
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("_vb"),
+        F.expr(NORM.format(a=vec_col)).alias("_nb"),
     )
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cos",
-            F.expr(DOT.format(a="_va", b="_vb"))
-            / (F.expr(NORM.format(a="_va")) * F.expr(NORM.format(a="_vb"))),
-        )
+        .withColumn("cos", _cos("_va", "_vb", "_na", "_nb"))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b")
     )
@@ -215,16 +231,22 @@ def near_dup_candidates(
     behind embedding_near_dup_blocked, exposed for candidate-count tests."""
     cents = F.broadcast(centroids(embeddings, cell_col, vec_col))
     assigned = assign_to_centroids(
-        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.expr(NORM.format(a=vec_col)).alias("_n"),
+        ),
         cents,
         "_id",
         n_probe,
     )
     a = assigned.select(
-        F.col("_id").alias("vec_a"), F.col("_v").alias("_va"), "centroid_id"
+        F.col("_id").alias("vec_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "centroid_id"
     )
     b = assigned.select(
-        F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"), "centroid_id"
+        F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "centroid_id"
     )
     return (
         a.join(b, "centroid_id")
@@ -250,11 +272,7 @@ def embedding_near_dup_blocked(
     brute-force baseline in tests."""
     return (
         near_dup_candidates(embeddings, n_probe, id_col, vec_col, cell_col)
-        .withColumn(
-            "cos",
-            F.expr(DOT.format(a="_va", b="_vb"))
-            / (F.expr(NORM.format(a="_va")) * F.expr(NORM.format(a="_vb"))),
-        )
+        .withColumn("cos", _cos("_va", "_vb", "_na", "_nb"))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b")
     )
@@ -276,22 +294,18 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        F.expr(NORM.format(a=vec_col)).alias("_qn"),
         F.col(cell_col).alias("_cell"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        F.expr(NORM.format(a=vec_col)).alias("_cn"),
         F.col(cell_col).alias("_cell"),
     )
     pairs = (
         q.join(c, "_cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos",
-            F.expr(DOT.format(a="_qv", b="_cv"))
-            / (
-                F.expr(NORM.format(a="_qv")) * F.expr(NORM.format(a="_cv"))
-            ),
-        )
+        .withColumn("cos", _cos("_qv", "_cv", "_qn", "_cn"))
     )
     return _ranked(pairs, k)

@@ -31,7 +31,8 @@ def test_bench_emits_driver_contract_json():
         assert key in data, key
     assert data["unit"] == "sec" and data["value"] > 0
     assert set(data["queries"]) == {
-        "q1_spatial_join", "q2_extract_text", "q3_knn", "q4_zonal"
+        "q1_spatial_join", "q2_extract_text", "q3_knn", "q4_zonal",
+        "q5_dedup_minhash", "q6_ann_multiprobe",
     }
     assert all(v >= 0 for v in data["queries"].values())
     assert data["rows"]["q1_spatial_join"] > 0
