@@ -272,6 +272,17 @@ def buffer_convex(xs: np.ndarray, ys: np.ndarray, dist: float) -> Ring:
         xs, ys = xs[keep], ys[keep]
         if len(xs) < 3:
             raise ValueError("degenerate ring: fewer than 3 non-collinear vertices")
+    # convexity guard (ADVICE r02): a concave ring would silently produce a
+    # self-intersecting offset ring, breaking the conservative-containment
+    # guarantee the filter-refine contract depends on — fail loudly instead
+    ex_ = np.roll(xs, -1) - xs
+    ey_ = np.roll(ys, -1) - ys
+    cross_ = np.roll(ex_, 1) * ey_ - np.roll(ey_, 1) * ex_
+    if (cross_ < 0.0).any():
+        raise ValueError(
+            "buffer_convex requires a convex ring: reflex vertex detected "
+            "(use a convex hull or split the ring first)"
+        )
     ex = np.roll(xs, -1) - xs
     ey = np.roll(ys, -1) - ys
     ln = np.sqrt(ex * ex + ey * ey)

@@ -38,9 +38,19 @@ def asof_join(
     ).withColumn("_is_l", F.lit(0))
     l = left.withColumn("_is_l", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
+    # the prefixed value columns join the sort key as a deterministic final
+    # tiebreak: if the right side has duplicate (key, ts) rows, last()
+    # would otherwise pick a partition-order-dependent row (ADVICE r02).
+    # Among equal timestamps the GREATEST value tuple sorts last and wins —
+    # documented, engine-stable semantics. NULLs (left rows' empty carried
+    # columns) sort first, so they never displace a real right row.
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_is_l").asc())
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("_is_l").asc(),
+            *[F.asc_nulls_first(f"{prefix}{c}") for c in carried],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for c in carried:

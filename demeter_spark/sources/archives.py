@@ -75,16 +75,39 @@ def parse_dbf(blob: bytes) -> pd.DataFrame:
     """
     import struct
 
+    if len(blob) < 12:
+        raise ValueError(f"corrupt DBF: {len(blob)} bytes is no header")
     n_records = struct.unpack_from("<I", blob, 4)[0]
     header_size = struct.unpack_from("<H", blob, 8)[0]
     record_size = struct.unpack_from("<H", blob, 10)[0]
+    # header invariants BEFORE trusting any of the three sizes: a truncated
+    # or corrupt sidecar must fail loudly, not yield empty-string garbage
+    # rows (ADVICE r02)
+    if header_size < 33 or header_size > len(blob):
+        raise ValueError(
+            f"corrupt DBF: header_size={header_size} vs {len(blob)} bytes"
+        )
+    if record_size < 1:
+        raise ValueError(f"corrupt DBF: record_size={record_size}")
+    if header_size + n_records * record_size > len(blob):
+        raise ValueError(
+            f"truncated DBF: header {header_size} + {n_records} records "
+            f"x {record_size} bytes > {len(blob)} bytes"
+        )
     fields: list[tuple[str, int]] = []  # (name, length)
     pos = 32
     while pos < header_size - 1 and blob[pos] != 0x0D:
+        if pos + 17 > len(blob):
+            raise ValueError("corrupt DBF: field descriptor past end of blob")
         name = blob[pos : pos + 11].split(b"\x00")[0].decode("ascii")
         length = blob[pos + 16]
         fields.append((name, length))
         pos += 32
+    if sum(ln for _, ln in fields) + 1 != record_size:
+        raise ValueError(
+            f"corrupt DBF: field lengths {[ln for _, ln in fields]} + deletion "
+            f"flag != record_size {record_size}"
+        )
     cols: dict[str, list[str]] = {name: [] for name, _ in fields}
     active = []
     rec = header_size

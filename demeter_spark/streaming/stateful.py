@@ -13,8 +13,10 @@ Gap semantics match the batch sessionizer
 late events may arrive any time while their session (or a later one) is
 still open; events that arrive late for a session that already CLOSED
 cannot reopen it (the streaming-vs-batch tradeoff every watermarked
-operator makes). Late events earlier than the open session's start are
-sessionized among themselves and closed.
+operator makes). Late events that chain into the open session (consecutive
+gaps <= the session gap, transitively) weld into it exactly as the batch
+sessionizer would; events before the first chain break are sessionized
+among themselves and closed.
 """
 
 from __future__ import annotations
@@ -59,8 +61,19 @@ def _sessionize(
         # the batch sessionizer keeps apart.
         if cur_n > 0:
             gap_us = SESSION_GAP_S * 1_000_000
-            pre = ts[ts < cur_s - gap_us]
-            ts = ts[ts >= cur_s - gap_us]
+            # weld-chain split (transitive, not a flat cutoff): walking the
+            # sorted batch backward from the open session's start, any
+            # suffix whose consecutive gaps are <= gap belongs to the open
+            # session — a chain t1 < cur_s-gap <= t2 with t2-t1 <= gap must
+            # weld WHOLE (the batch sessionizer would merge all of it);
+            # only events before the first break close separately.
+            thresh = cur_s
+            k = len(ts)
+            while k > 0 and thresh - int(ts[k - 1]) <= gap_us:
+                thresh = min(thresh, int(ts[k - 1]))
+                k -= 1
+            pre = ts[:k]
+            ts = ts[k:]
             if len(pre):
                 s = e = int(pre[0])
                 n = 1

@@ -32,6 +32,27 @@ def test_zip_member_extraction(spark, tmp_path):
     assert every.count() == 9
 
 
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """ADVICE r02: duplicate right (key, ts) rows must resolve
+    deterministically — the greatest value tuple wins, independent of
+    partition order (asserted stable across shuffled input orders)."""
+    ldf = spark.createDataFrame(
+        [(1, 5, 100)], "lid INT, k INT, ts BIGINT"
+    )
+    rows = [(5, 100, float(v)) for v in (3, 9, 1, 7)]  # all tie at ts=100
+    for seed in range(3):
+        import random
+
+        shuffled = rows[:]
+        random.Random(seed).shuffle(shuffled)
+        rdf = spark.createDataFrame(
+            shuffled, "k INT, ts BIGINT, value DOUBLE"
+        ).repartition(4)
+        got = asof_join(ldf, rdf, on="k", value_cols=("value",)).collect()
+        assert len(got) == 1
+        assert got[0]["r_value"] == 9.0  # greatest tuple, every time
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """Randomized parity with pandas merge_asof (backward, inclusive) across
     many keys and tie patterns."""
@@ -106,6 +127,23 @@ def _make_dbf(records, fields):
             out += val.encode("ascii").ljust(ln, b" ")[:ln]
     out += b"\x1a"
     return bytes(out)
+
+
+def test_dbf_truncated_blob_fails_loudly():
+    """ADVICE r02: a truncated/corrupt .dbf must raise, not yield
+    empty-string garbage rows."""
+    import pytest as _pytest
+
+    from demeter_spark.sources.archives import parse_dbf
+
+    fields = [("VALUE", 6), ("NHDPlusID", 14)]
+    blob = _make_dbf([("1", "55000100000.0")] * 4, fields)
+    with _pytest.raises(ValueError, match="truncated DBF"):
+        parse_dbf(blob[:-10])  # records cut short
+    with _pytest.raises(ValueError, match="corrupt DBF"):
+        parse_dbf(blob[:20])  # header cut short
+    with _pytest.raises(ValueError, match="corrupt DBF"):
+        parse_dbf(b"\x03\x00\x00\x00")  # no header at all
 
 
 def test_dbf_sidecar_to_dimension_map(spark, tmp_path):

@@ -114,3 +114,16 @@ def test_buffer_handles_collinear_and_duplicate_vertices():
     assert geom.polygon_area(bx, by) == pytest.approx(3.0 * 3.0)
     with pytest.raises(ValueError, match="degenerate"):
         geom.buffer_convex(np.array([0.0, 1.0, 2.0]), np.array([0.0, 0.0, 0.0]), 0.5)
+
+
+def test_buffer_rejects_concave_ring():
+    """ADVICE r02: a reflex vertex would make the miter offset self-
+    intersect, silently breaking conservative containment — raise instead."""
+    # L-shape: concave at (1, 1)
+    xs = np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0])
+    ys = np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
+    with pytest.raises(ValueError, match="convex"):
+        geom.buffer_convex(xs, ys, 0.3)
+    # same ring given clockwise (normalization path) must also be caught
+    with pytest.raises(ValueError, match="convex"):
+        geom.buffer_convex(xs[::-1].copy(), ys[::-1].copy(), 0.3)

@@ -315,6 +315,40 @@ def test_stateful_sessions_pre_start_late_event_splits(spark, tmp_path):
     assert got == [(100.0, 100.0, 1), (10_000.0, 10_000.0, 1)]
 
 
+def test_stateful_sessions_late_chain_welds_transitively(spark, tmp_path):
+    """ADVICE r02: a late-event CHAIN t1 < cur_s - gap <= t2 with
+    t2 - t1 <= gap must weld whole into the open session (the batch
+    sessionizer would merge all three), not split at the flat cutoff."""
+    from datetime import datetime, timezone
+
+    from demeter_spark.streaming.stateful import streaming_sessions
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+
+    def ev(eid, sec):
+        return (eid, datetime.fromtimestamp(sec, tz=timezone.utc), 5, "c", 1.0, "{}")
+
+    # open session starts at t=10000 (gap = 1800)
+    spark.createDataFrame([ev(1, 10_000)], schema).write.mode("append").parquet(in_dir)
+    streaming_sessions(spark, in_dir, out_dir, ckpt)
+    # late chain: 7000 < 10000-1800, but 7000 -> 8600 -> 10000 all gaps
+    # <= 1800 -> everything is ONE session; t=50000 then closes it
+    spark.createDataFrame(
+        [ev(2, 7_000), ev(3, 8_600), ev(4, 50_000)], schema
+    ).write.mode("append").parquet(in_dir)
+    streaming_sessions(spark, in_dir, out_dir, ckpt)
+    got = sorted(
+        (r["session_start"].timestamp(), r["session_end"].timestamp(), r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # batch twin: sessions {7000, 8600, 10000} then {50000} (still open)
+    assert got == [(7_000.0, 10_000.0, 3)]
+
+
 def test_write_increment_does_not_recommit_other_fingerprint_parts(spark, tmp_path):
     """Partitions committed under fp1 but absent from fp2's input must NOT
     be committed (with fp1's stale bytes) under fp2."""
