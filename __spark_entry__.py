@@ -669,8 +669,33 @@ def _q_reproject_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp.reproject_cubic(src, sg, dg, t, broadcast_src=True)
 
 
-def _cubic_oracle_sql() -> str:
-    """16 LEFT JOINs + the SAME combine text reproject_cubic compiles."""
+def _q_reproject_cubic_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6: cubic B-spline (smoothing) kernel — same 16-neighbor shape."""
+    from demeter_spark.operators import reproject as rp
+
+    src, sg, dg, t = _warp_setup(spark)
+    return rp.reproject_cubic_spline(src, sg, dg, t, broadcast_src=True)
+
+
+def _q_reproject_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 source-driven stat family (min/max/sum/rms/count downsampling)."""
+    from demeter_spark.operators import reproject as rp
+    from demeter_spark.sources import synth
+
+    src = synth.raster_cells(spark).filter("dataset = 'elevation'")
+    sg = rp.Grid(**_SRC_GRID)
+    dst = rp.Grid(0.0, 0.0, 1.0, 1.0, 36, 32)
+    return rp.reproject_aggregate(src, sg, dst)
+
+
+def _spline_weights():
+    from demeter_spark.operators.reproject import cubic_spline_weight_exprs
+
+    return cubic_spline_weight_exprs
+
+
+def _cubic_oracle_sql(weights=None) -> str:
+    """16 LEFT JOINs + the SAME combine text the stencil warp compiles."""
     from demeter_spark.operators.reproject import cubic_combine_expr
 
     joins = "\n            ".join(
@@ -680,7 +705,7 @@ def _cubic_oracle_sql() -> str:
         for p in range(4)
     )
     value_expr, valid = cubic_combine_expr(
-        "fx", "fy", lambda o, p: f"v{o}{p}.value"
+        "fx", "fy", lambda o, p: f"v{o}{p}.value", weights=weights
     )
     return f"""
             , dstb AS (
@@ -825,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_nearest": _q_reproject_nearest,
         "reproject_bilinear": _q_reproject_bilinear,
         "reproject_cubic": _q_reproject_cubic,
+        "reproject_cubic_spline": _q_reproject_cubic_spline,
+        "reproject_agg_stats": _q_reproject_agg,
         "carbon_stock_stats": _q_carbon_stock,
         "geojson_parcels": _q_geojson_parcels,
         "spatial_join": _q_spatial_join,
@@ -1075,6 +1102,23 @@ def oracle_sql() -> dict[str, str]:
             ("raster_cells",),
         ),
         "reproject_cubic": oracle_query(_cubic_oracle_sql(), ("raster_cells",)),
+        "reproject_cubic_spline": oracle_query(
+            _cubic_oracle_sql(weights=_spline_weights()), ("raster_cells",)
+        ),
+        "reproject_agg_stats": oracle_query(
+            """
+            SELECT CAST(floor(cx) AS BIGINT) AS ix,
+                   CAST(floor(cy) AS BIGINT) AS iy,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   sum(value) AS sum_value,
+                   CAST(count(value) AS BIGINT) AS n_valid,
+                   sqrt(sum(value * value) / count(value)) AS rms_value
+            FROM raster_cells WHERE dataset = 'elevation'
+            GROUP BY 1, 2
+            """,
+            ("raster_cells",),
+        ),
         "spatial_join": oracle_query(
             "SELECT url, parcel_id FROM point_parcel_truth"
         ),

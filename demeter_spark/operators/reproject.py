@@ -215,15 +215,17 @@ def cubic_weight_exprs(f: str) -> list[str]:
     ]
 
 
-def cubic_combine_expr(fx: str, fy: str, v) -> tuple[str, str]:
-    """(value_expr, all_valid_pred) for the 16-neighbor cubic combine:
+def cubic_combine_expr(fx: str, fy: str, v, weights=None) -> tuple[str, str]:
+    """(value_expr, all_valid_pred) for the 16-neighbor stencil combine:
     fixed-order sum of wx[o]*wy[p]*v(o, p) (o-major) plus the all-corners
-    non-null predicate. ``v(o, p)`` names the corner value column. Signed
-    cubic weights make masked-corner renormalization ill-defined (unlike
-    bilinear's nonnegative weights), so cubic requires the full 4x4
-    neighborhood valid and yields NULL otherwise."""
-    wx = cubic_weight_exprs(fx)
-    wy = cubic_weight_exprs(fy)
+    non-null predicate. ``v(o, p)`` names the corner value column;
+    ``weights`` picks the per-axis kernel family (default Keys cubic).
+    Signed cubic weights make masked-corner renormalization ill-defined
+    (unlike bilinear's nonnegative weights), so the stencil requires the
+    full 4x4 neighborhood valid and yields NULL otherwise."""
+    wfn = weights or cubic_weight_exprs
+    wx = wfn(fx)
+    wy = wfn(fy)
     terms = [
         f"({wx[o]} * {wy[p]}) * {v(o, p)}" for o in range(4) for p in range(4)
     ]
@@ -249,6 +251,43 @@ def reproject_cubic(
     expression (shared verbatim with the SQL oracle). NULL wherever any of
     the 16 neighbors is missing/masked (signed weights admit no sound
     renormalization)."""
+    return _stencil16_warp(
+        src_cells, src_grid, dst_grid, to_src, value_col, broadcast_src,
+        cubic_weight_exprs,
+    )
+
+
+def cubic_spline_weight_exprs(f: str) -> list[str]:
+    """SQL texts of the four cubic B-SPLINE weights (rasterio
+    ``Resampling.cubic_spline``, the smoothing kernel): |d|<=1 ->
+    (3|d|^3 - 6d^2 + 4)/6, 1<|d|<2 -> (2-|d|)^3/6. Same shared-text
+    contract as cubic_weight_exprs; nonnegative everywhere (so partial
+    stencils COULD renormalize, but reproject_cubic_spline keeps the
+    all-16-valid contract for symmetry with cubic)."""
+    return [
+        # d = f+1 in [1,2): (2-d)^3/6 = (1-f)^3/6
+        f"(((1e0 - {f}) * (1e0 - {f}) * (1e0 - {f})) / 6e0)",
+        # d = f in [0,1): (3f^3 - 6f^2 + 4)/6
+        f"((((3e0 * {f} - 6e0) * {f}) * {f} + 4e0) / 6e0)",
+        # d = 1-f in (0,1]: (3(1-f)^3 - 6(1-f)^2 + 4)/6
+        f"((((3e0 * (1e0 - {f}) - 6e0) * (1e0 - {f})) * (1e0 - {f}) + 4e0) / 6e0)",
+        # d = 2-f in (1,2]: (2-(2-f))^3/6 = f^3/6
+        f"((({f} * {f}) * {f}) / 6e0)",
+    ]
+
+
+def _stencil16_warp(
+    src_cells: DataFrame,
+    src_grid: Grid,
+    dst_grid: Grid,
+    to_src: Transform,
+    value_col: str,
+    broadcast_src: bool,
+    weight_exprs,
+) -> DataFrame:
+    """Shared 4x4-stencil destination-driven warp: explode 16 neighbor
+    offsets, one equi-join, pivot, fixed-order combine with the given
+    per-axis weight-text family (cubic / cubic_spline)."""
     spark = src_cells.sparkSession
     dst = grid_cells(spark, dst_grid)
     sx, sy = to_src(dst_grid.center_x(F.col("ix")), dst_grid.center_y(F.col("iy")))
@@ -283,10 +322,68 @@ def reproject_cubic(
         ],
     )
     value_expr, valid = cubic_combine_expr(
-        "_fx", "_fy", lambda o, p: f"_v{o}{p}"
+        "_fx", "_fy", lambda o, p: f"_v{o}{p}", weights=weight_exprs
     )
     return agg.selectExpr(
         "ix", "iy", f"CASE WHEN {valid} THEN {value_expr} END AS value"
+    )
+
+
+def reproject_cubic_spline(
+    src_cells: DataFrame,
+    src_grid: Grid,
+    dst_grid: Grid,
+    to_src: Transform = identity_transform,
+    value_col: str = "value",
+    broadcast_src: bool = False,
+) -> DataFrame:
+    """Cubic B-spline warp (R6 ``Resampling.cubic_spline``): the smoothing
+    sibling of reproject_cubic, same 16-neighbor join shape."""
+    return _stencil16_warp(
+        src_cells, src_grid, dst_grid, to_src, value_col, broadcast_src,
+        cubic_spline_weight_exprs,
+    )
+
+
+def reproject_aggregate(
+    src_cells: DataFrame,
+    src_grid: Grid,
+    dst_grid: Grid,
+    to_dst: Transform = identity_transform,
+    value_col: str = "value",
+) -> DataFrame:
+    """Source-driven downsampling stat family (R6 ``Resampling.min / max /
+    sum / rms`` and count): every source pixel whose forward-transformed
+    center lands in a destination cell contributes; null-skipping
+    (numpy.ma parity). One partial+final hash aggregate — the same plan
+    shape as reproject_average, all stats in a single pass.
+
+    (``lanczos`` is the one rasterio kernel deliberately NOT ported: its
+    sinc weights need trig whose bit-level results differ across engines,
+    breaking the exact-oracle contract; ``mode``/median are expressible via
+    mode()/median() if ever needed.)"""
+    dx, dy = to_dst(
+        src_grid.center_x(F.col("ix")), src_grid.center_y(F.col("iy"))
+    )
+    v = F.col("_sv")
+    return (
+        src_cells.select(
+            dst_grid.index_x(dx).alias("ix"),
+            dst_grid.index_y(dy).alias("iy"),
+            F.col(value_col).alias("_sv"),
+        )
+        .filter(
+            (F.col("ix") >= 0) & (F.col("ix") < dst_grid.nx)
+            & (F.col("iy") >= 0) & (F.col("iy") < dst_grid.ny)
+        )
+        .groupBy("ix", "iy")
+        .agg(
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+            F.sum(v).alias("sum_value"),
+            F.count(v).alias("n_valid"),
+            F.sqrt(F.sum(v * v) / F.count(v)).alias("rms_value"),
+        )
     )
 
 

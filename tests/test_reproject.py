@@ -90,26 +90,36 @@ def test_cubic_partition_of_unity_and_linear_reproduction(spark):
     assert bad == 0
 
 
-def test_cubic_matches_oracle(spark, ddb):
-    """Pre-check the driver's correctness-gate row: the shared combine text
-    must evaluate bit-identically in Spark and DuckDB."""
+@pytest.mark.parametrize(
+    "qname", ["reproject_cubic", "reproject_cubic_spline", "reproject_agg_stats"]
+)
+def test_warp_kernels_match_oracle(spark, ddb, qname):
+    """Pre-check the driver's correctness-gate rows: shared combine text
+    (cubic / B-spline) and the stat family must evaluate bit-identically in
+    Spark and DuckDB."""
     import __spark_entry__ as entry
 
-    sdf = entry.queries()["reproject_cubic"](spark, None)
-    s = sorted(
-        [tuple(r) for r in sdf.collect()],
-        key=lambda t: tuple((v is None, str(v)) for v in t),
-    )
-    d = sorted(
-        ddb.sql(entry.oracle_sql()["reproject_cubic"]).fetchall(),
-        key=lambda t: tuple((v is None, str(v)) for v in t),
-    )
-    assert len(s) == len(d) == 96 * 64
+    key = lambda t: tuple((v is None, str(v)) for v in t)
+    s = sorted([tuple(r) for r in entry.queries()[qname](spark, None).collect()], key=key)
+    d = sorted(ddb.sql(entry.oracle_sql()[qname]).fetchall(), key=key)
+    assert len(s) == len(d) > 0
     for a, b in zip(s, d):
-        assert a[0] == b[0] and a[1] == b[1]
-        assert (a[2] is None) == (b[2] is None)
-        if a[2] is not None:
-            assert float(a[2]) == float(b[2]), (a, b)
+        for va, vb in zip(a, b):
+            assert (va is None) == (vb is None)
+            if va is not None:
+                assert float(va) == float(vb), (a, b)
+
+
+def test_cubic_spline_smooths_but_preserves_constants(spark):
+    """B-spline weights are a partition of unity: a constant raster maps to
+    the constant (~1e-12) on interior stencils."""
+    cells = synth.raster_cells(spark).filter("dataset = 'elevation'").select(
+        "ix", "iy", F.lit(1.0).alias("value")
+    )
+    shifted = rp.Grid(0.125, 0.125, 0.25, 0.25, 140, 124)
+    const = rp.reproject_cubic_spline(cells, SRC, shifted)
+    assert const.filter("value IS NOT NULL AND abs(value - 1e0) > 1e-12").count() == 0
+    assert const.filter("value IS NOT NULL").count() > 100
 
 
 def test_nearest_roundtrip_refines(spark):
