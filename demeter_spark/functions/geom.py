@@ -574,3 +574,90 @@ def polygon_area(xs: np.ndarray, ys: np.ndarray) -> float:
     x1 = np.roll(xs, -1)
     y1 = np.roll(ys, -1)
     return float(abs(np.sum(xs * y1 - x1 * ys)) * 0.5)
+
+
+def points_in_parts(
+    px: np.ndarray, py: np.ndarray, parts: list[list[Ring]]
+) -> np.ndarray:
+    """Even-odd PIP against a full (multi)polygon: xor over each part's
+    rings (holes punch out), OR across parts."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(len(px), dtype=bool)
+    for rings in parts:
+        part_in = np.zeros(len(px), dtype=bool)
+        for xs, ys in rings:
+            part_in ^= points_in_ring(px, py, xs, ys)
+        inside |= part_in
+    return inside
+
+
+def segments_cross_any(
+    ax0: np.ndarray, ay0: np.ndarray, ax1: np.ndarray, ay1: np.ndarray,
+    bx0: np.ndarray, by0: np.ndarray, bx1: np.ndarray, by1: np.ndarray,
+) -> bool:
+    """True iff ANY segment of set A intersects ANY segment of set B
+    (vectorized E_A x E_B orientation test, collinear overlap included)."""
+    ax0 = np.asarray(ax0, dtype=np.float64)[:, None]
+    ay0 = np.asarray(ay0, dtype=np.float64)[:, None]
+    ax1 = np.asarray(ax1, dtype=np.float64)[:, None]
+    ay1 = np.asarray(ay1, dtype=np.float64)[:, None]
+    bx0 = np.asarray(bx0, dtype=np.float64)[None, :]
+    by0 = np.asarray(by0, dtype=np.float64)[None, :]
+    bx1 = np.asarray(bx1, dtype=np.float64)[None, :]
+    by1 = np.asarray(by1, dtype=np.float64)[None, :]
+    if ax0.shape[0] == 0 or bx0.shape[1] == 0:
+        return False
+
+    def cross(ox, oy, px_, py_, qx, qy):
+        return (px_ - ox) * (qy - oy) - (py_ - oy) * (qx - ox)
+
+    d1 = cross(bx0, by0, bx1, by1, ax0, ay0)
+    d2 = cross(bx0, by0, bx1, by1, ax1, ay1)
+    d3 = cross(ax0, ay0, ax1, ay1, bx0, by0)
+    d4 = cross(ax0, ay0, ax1, ay1, bx1, by1)
+    proper = (
+        (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    )
+    if proper.any():
+        return True
+
+    def on_seg(ox, oy, qx, qy, px_, py_):
+        # collinearity established by the caller's d == 0 mask
+        return (
+            (px_ >= np.minimum(ox, qx)) & (px_ <= np.maximum(ox, qx))
+            & (py_ >= np.minimum(oy, qy)) & (py_ <= np.maximum(oy, qy))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg(bx0, by0, bx1, by1, ax0, ay0))
+        | ((d2 == 0) & on_seg(bx0, by0, bx1, by1, ax1, ay1))
+        | ((d3 == 0) & on_seg(ax0, ay0, ax1, ay1, bx0, by0))
+        | ((d4 == 0) & on_seg(ax0, ay0, ax1, ay1, bx1, by1))
+    )
+    return bool(touch.any())
+
+
+def _part_edges(parts: list[list[Ring]]):
+    xs0 = np.concatenate([xs for rings in parts for xs, _ in rings])
+    ys0 = np.concatenate([ys for rings in parts for _, ys in rings])
+    xs1 = np.concatenate([np.roll(xs, -1) for rings in parts for xs, _ in rings])
+    ys1 = np.concatenate([np.roll(ys, -1) for rings in parts for _, ys in rings])
+    return xs0, ys0, xs1, ys1
+
+
+def parts_intersect(a: list[list[Ring]], b: list[list[Ring]]) -> bool:
+    """Do two (multi)polygons intersect? (P5 polygon-polygon variant —
+    shapely ``intersects`` parity for simple inputs.)
+
+    True iff any vertex of one lies inside the other (even-odd, so a vertex
+    inside a hole does not count), or any boundary edges cross/touch —
+    covers partial overlap and full containment either way."""
+    ax0, ay0, ax1, ay1 = _part_edges(a)
+    bx0, by0, bx1, by1 = _part_edges(b)
+    if points_in_parts(ax0, ay0, b).any():
+        return True
+    if points_in_parts(bx0, by0, a).any():
+        return True
+    return segments_cross_any(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)
