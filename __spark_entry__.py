@@ -243,6 +243,16 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(multimodal.media(spark, sf_dir))
 
 
+def _q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode: actual PNG (zlib inflate + scanline unfilter) and
+    RIFF PCM16 WAV bitstreams parsed in the Arrow kernel; the oracle derives
+    the same features closed-form from the generator parameters, so the
+    encoder and decoder are checked against an independent derivation."""
+    from demeter_spark.sources import multimodal
+
+    return multimodal.decode_real(multimodal.real_media(spark, sf_dir))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: content-hash clusters with canonical ids."""
     from demeter_spark.operators import dedup
@@ -869,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regrid_coarsen": _q_regrid_coarsen,
         "regrid_refine": _q_regrid_refine,
         "media_features": _q_media_features,
+        "media_real_decode": _q_media_real_decode,
         "ndvi_cells": _q_ndvi_cells,
         "ndvi_stats": _q_ndvi_stats,
         "dedup_exact": _q_dedup_exact,
@@ -985,6 +996,9 @@ def _ann_oracle_tail(pruned: bool) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from demeter_spark.sources.multimodal import MEDIA_ORACLE_SQL as _MEDIA_ORACLE
+    from demeter_spark.sources.multimodal import (
+        REAL_MEDIA_ORACLE_SQL as _REAL_MEDIA_ORACLE,
+    )
     from demeter_spark.sources.synth import oracle_query
 
     return {
@@ -1337,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
             ("raster_cells",),
         ),
         "media_features": _MEDIA_ORACLE,
+        "media_real_decode": _REAL_MEDIA_ORACLE,
         "ndvi_cells": oracle_query(
             "SELECT * FROM ndvi_cells_oracle", ("ndvi_cells_oracle",)
         ),

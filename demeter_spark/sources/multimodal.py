@@ -3,10 +3,12 @@
 The 100 TB training-data posture: media payloads are opaque ``binary``
 columns; decode / feature-extract / resize / frame-sample run as Arrow-
 batched ``mapInPandas`` kernels so bytes never round-trip through Python row
-objects. Real codecs (PIL/ffmpeg) are absent in this sandbox, so the *codec*
-step is stubbed (``decode_real`` raises NotImplementedError) while all the
-Spark-side plumbing — schema, batch shape, binary Arrow transfer, partition
-behavior — is real and oracle-tested against a deterministic fake format:
+objects. The codec step is REAL for PNG and PCM WAV (stdlib zlib/struct
+decoders, functions/codecs.py — ``decode_real`` + ``real_media``, oracle-
+verified against closed-form pixel/sample math); external-library codecs
+(JPEG/H.264) remain the documented NotImplementedError. The original
+fake-format plumbing below stays as the wide-shape fixture (headers with
+width/height/duration for resize planning and frame fan-out):
 
     payload = b"IMG|<width>|<height>|" + b"x" * n_fill
 
@@ -71,16 +73,125 @@ def decode_features(media_df: DataFrame) -> DataFrame:
     )
 
 
+def real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table with REAL bitstreams: even doc_ids carry an actual PNG
+    (8-bit gray gradient, pixel (x, y) = (x*7 + y*13 + doc_id) % 256, size
+    (doc_id%16+4) x (doc_id%12+4)), odd doc_ids an actual RIFF PCM16 WAV
+    (8 kHz square wave, amplitude 3000 + doc_id%1000, 800 + doc_id%100
+    samples). Payloads are deterministic, so decoded features admit a
+    closed-form DuckDB oracle — the encode+decode round trip is verified
+    against an INDEPENDENT derivation, not against itself."""
+    import numpy as np
+
+    from demeter_spark.functions import codecs
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads = []
+            kinds = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    w, h = d % 16 + 4, d % 12 + 4
+                    xs = np.arange(w)[None, :]
+                    ys = np.arange(h)[:, None]
+                    img = ((xs * 7 + ys * 13 + d) % 256).astype(np.uint8)
+                    payloads.append(codecs.png_encode(img))
+                    kinds.append("image")
+                else:
+                    n = 800 + d % 100
+                    amp = 3000 + d % 1000
+                    sq = np.where((np.arange(n) // 8) % 2 == 0, amp, -amp)
+                    payloads.append(codecs.wav_encode(sq.astype(np.int16), 8000))
+                    kinds.append("audio")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "kind": kinds, "payload": payloads}
+            )
+
+    return documents(spark, sf_dir).select("doc_id").mapInPandas(
+        _gen, "doc_id BIGINT, kind STRING, payload BINARY"
+    )
+
+
 def decode_real(media_df: DataFrame) -> DataFrame:
-    """Real-codec decode path — requires PIL/ffmpeg, absent in this sandbox."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "real media codecs are not available in this environment; "
-            "use decode_features (fake-format plumbing) instead"
-        ) from e
-    raise NotImplementedError("real decode not implemented in round 1")
+    """REAL-codec decode: sniffs the payload magic and runs the stdlib-based
+    PNG / WAV decoders (functions/codecs.py) inside the Arrow batch —
+    an actual bitstream parse (zlib inflate, scanline unfiltering, RIFF
+    chunk walk), not a header fake. Formats needing external libraries
+    (JPEG, H.264, ...) raise NotImplementedError per payload — the one
+    remaining sandbox stub, now scoped to exotic codecs only."""
+    import numpy as np
+
+    from demeter_spark.functions import codecs
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "kind": [], "width": [], "height": [],
+                "channels": [], "n_samples": [], "sample_rate": [],
+                "mean_value": [],
+            }
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(blob)
+                if blob[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = codecs.png_decode(blob)
+                    h, w, ch = img.shape
+                    rows["kind"].append("image")
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(ch)
+                    rows["n_samples"].append(None)
+                    rows["sample_rate"].append(None)
+                    rows["mean_value"].append(
+                        float(img.sum(dtype=np.int64)) / img.size
+                    )
+                elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                    rate, ch, samples = codecs.wav_decode(blob)
+                    rows["kind"].append("audio")
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["channels"].append(ch)
+                    rows["n_samples"].append(len(samples))
+                    rows["sample_rate"].append(rate)
+                    rows["mean_value"].append(
+                        float(np.abs(samples.astype(np.int64)).sum())
+                        / len(samples)
+                    )
+                else:
+                    raise NotImplementedError(
+                        "real decode supports PNG and PCM WAV in this "
+                        "environment; other codecs need external libraries"
+                    )
+                rows["doc_id"].append(d)
+            yield pd.DataFrame(rows)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        _decode,
+        "doc_id BIGINT, kind STRING, width INT, height INT, channels INT, "
+        "n_samples BIGINT, sample_rate INT, mean_value DOUBLE",
+    )
+
+
+REAL_MEDIA_ORACLE_SQL = """
+    SELECT d.doc_id, 'image' AS kind,
+           CAST(d.doc_id % 16 + 4 AS INT) AS width,
+           CAST(d.doc_id % 12 + 4 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(NULL AS BIGINT) AS n_samples,
+           CAST(NULL AS INT) AS sample_rate,
+           (SELECT CAST(sum((x.x * 7 + y.y * 13 + d.doc_id) % 256) AS DOUBLE)
+            FROM range(20) x(x), range(16) y(y)
+            WHERE x.x < d.doc_id % 16 + 4 AND y.y < d.doc_id % 12 + 4)
+             / ((d.doc_id % 16 + 4) * (d.doc_id % 12 + 4)) AS mean_value
+    FROM documents d WHERE d.doc_id % 2 = 0
+    UNION ALL
+    SELECT d.doc_id, 'audio',
+           CAST(NULL AS INT), CAST(NULL AS INT), CAST(1 AS INT),
+           CAST(800 + d.doc_id % 100 AS BIGINT),
+           CAST(8000 AS INT),
+           CAST(3000 + d.doc_id % 1000 AS DOUBLE)
+    FROM documents d WHERE d.doc_id % 2 = 1
+"""
 
 
 MEDIA_ORACLE_SQL = """
