@@ -333,7 +333,7 @@ def segments_hit_open_boxes(
         return np.zeros(bx0.shape[1], dtype=bool)
     dx = sx1 - sx0
     dy = sy1 - sy0
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         t1x = (bx0 - sx0) / dx
         t2x = (bx1 - sx0) / dx
         txmin = np.minimum(t1x, t2x)
