@@ -143,17 +143,23 @@ def scaled_page_points(spark: SparkSession, sf_dir: str, factor: int) -> DataFra
     Used by bench.py only (correctness queries use page_points); keeps the
     100 TB posture honest — the join input is a wide fact table, not a dim.
     """
-    base = page_points(spark, sf_dir).select("doc_id", "place_id", "url")
+    base = F.broadcast(page_points(spark, sf_dir).select("doc_id", "place_id", "url"))
     g = F.broadcast(gazetteer(spark).select("place_id", "lon", "lat"))
+    n_docs = base.count()
     # The broadcast-joined flagship pipeline is shuffle-free, so downstream
-    # parallelism is inherited from here: spread the generated fact table
-    # across 2x the cores (a real corpus arrives as many files and gets this
-    # from the scan; the synthetic cross join would otherwise stay at the
-    # single-file parquet's 1 partition).
+    # parallelism is inherited from here: spark.range is born evenly
+    # partitioned across 2x the cores (a real corpus arrives as many files
+    # and gets this from the scan), so the fact table is generated WITHOUT
+    # any exchange — two broadcast joins off the range, zero shuffles.
     n_parts = spark.sparkContext.defaultParallelism * 2
+    # doc_ids are dense 0..n_docs-1 (documents table contract, asserted in
+    # tests), so the (doc, rep) fan-out is a pure index decode off the range
+    seq = spark.range(0, n_docs * factor, 1, n_parts).selectExpr(
+        f"CAST(id % {n_docs} AS BIGINT) AS doc_id",
+        f"CAST(id div {n_docs} AS BIGINT) AS rep",
+    )
     return (
-        base.join(spark.range(factor).withColumnRenamed("id", "rep"))
-        .repartition(n_parts)
+        seq.join(base, "doc_id")
         .join(g, "place_id")
         .selectExpr(
             "concat(url, '#', CAST(rep AS STRING)) AS url",
