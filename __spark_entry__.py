@@ -124,6 +124,18 @@ def _q_zonal_stats_touched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.zonal_stats_touched(cells, par, synth.CELL_DEG, synth.CELL_DEG)
 
 
+def _q_zonal_stats_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted zonal stats (exactextract-style weighted mean):
+    per-pixel coverage fraction from a 4x4 subcell supersample — integer
+    weights, so the whole aggregate is exact and fully oracle-checkable."""
+    from demeter_spark.operators import zonal
+    from demeter_spark.sources import synth
+
+    return zonal.zonal_stats_weighted(
+        synth.raster_cells(spark), synth.parcels(spark), synth.CELL_DEG
+    )
+
+
 def _q_tile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/A11/R3: overlap-resolving merge, all methods in one groupBy."""
     from demeter_spark.operators import tilemerge
@@ -872,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "empty_parcels": _q_empty_parcels,
         "zonal_stats": _q_zonal_stats,
         "zonal_stats_touched": _q_zonal_stats_touched,
+        "zonal_stats_weighted": _q_zonal_stats_weighted,
         "zonal_depth_weighted": _q_zonal_depth_weighted,
         "tile_merge": _q_tile_merge,
         "merge_conflicts": _q_merge_conflicts,
@@ -912,12 +925,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_CONTAINS = """c.cx > pa.xmin AND c.cx < pa.xmax AND c.cy > pa.ymin AND c.cy < pa.ymax
+def _contains_pred(px: str, py: str) -> str:
+    """Closed-form point-in-parcel truth for the synthetic parcel kinds,
+    parameterized over the point expressions."""
+    return f"""{px} > pa.xmin AND {px} < pa.xmax AND {py} > pa.ymin AND {py} < pa.ymax
          AND (pa.kind = 'rect'
               OR (pa.kind = 'diamond' AND
-                  abs(c.cx - pa.cx) * pa.b + abs(c.cy - pa.cy) * pa.a < pa.a * pa.b)
-              OR (pa.kind = 'holed' AND NOT (c.cx > pa.cx AND c.cx < pa.a
-                                             AND c.cy > pa.cy AND c.cy < pa.b)))"""
+                  abs({px} - pa.cx) * pa.b + abs({py} - pa.cy) * pa.a < pa.a * pa.b)
+              OR (pa.kind = 'holed' AND NOT ({px} > pa.cx AND {px} < pa.a
+                                             AND {py} > pa.cy AND {py} < pa.b)))"""
+
+
+_CONTAINS = _contains_pred("c.cx", "c.cy")
 
 # all_touched=True truth (rasterize_touched semantics): a 0.25-degree pixel
 # box is touched iff the polygon's INTERIOR overlaps its open box —
@@ -1227,6 +1246,31 @@ def oracle_sql() -> dict[str, str]:
                    sum(c.value) AS sum_value
             FROM raster_cells c JOIN parcels pa ON {_TOUCHES}
             GROUP BY pa.parcel_id, c.dataset, c.depth_lo
+            """,
+            ("raster_cells", "parcels"),
+        ),
+        "zonal_stats_weighted": oracle_query(
+            f"""
+            , subhits AS (
+              SELECT pa.parcel_id, c.dataset, c.depth_lo, c.ix, c.iy, c.value,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM raster_cells c, range(16) t(sub), parcels pa
+              WHERE {_contains_pred(
+                "(c.ix * 0.25e0 + (CAST(t.sub % 4 AS DOUBLE) + 0.5e0) * 0.0625e0)",
+                "(c.iy * 0.25e0 + (CAST(t.sub // 4 AS DOUBLE) + 0.5e0) * 0.0625e0)",
+              )}
+              GROUP BY pa.parcel_id, c.dataset, c.depth_lo, c.ix, c.iy, c.value
+            )
+            SELECT parcel_id, dataset, depth_lo,
+                   sum(value * CAST(w AS DOUBLE))
+                     / sum(CASE WHEN value IS NOT NULL
+                                THEN CAST(w AS DOUBLE) END) AS w_mean,
+                   sum(CASE WHEN value IS NOT NULL
+                            THEN CAST(w AS DOUBLE) END) AS w_valid,
+                   CAST(count(value) AS BIGINT) AS n_pixels,
+                   CAST(sum(CASE WHEN value IS NOT NULL THEN w END) AS BIGINT)
+                     AS n_subhits
+            FROM subhits GROUP BY parcel_id, dataset, depth_lo
             """,
             ("raster_cells", "parcels"),
         ),

@@ -152,6 +152,52 @@ def zonal_stats_touched(
     )
 
 
+def zonal_stats_weighted(
+    cells: DataFrame,
+    parcels: DataFrame,
+    cell_deg: float,
+    supersample: int = 4,
+    res: int = 8,
+    keys: tuple[str, ...] = ("parcel_id", "dataset", "depth_lo"),
+) -> DataFrame:
+    """AREA-WEIGHTED zonal stats via supersampled coverage fractions —
+    the exactextract-style 'weighted mean' between center masking (R1
+    default) and all_touched: each pixel contributes with weight = number
+    of its supersample^2 subcell centers inside the polygon (an integer,
+    so every aggregate stays exact and engine-reproducible; the fraction is
+    w / supersample^2, quantized by design).
+
+    Plan shape: the subcenter fan-out is a Catalyst explode feeding the
+    SAME cover-join + PIP machinery as every other point workload; weights
+    reduce map-side (partial count per pixel) before the weighted mean.
+    """
+    s = int(supersample)
+    sub = float(cell_deg) / s
+    pts = cells.selectExpr(
+        "*",
+        f"explode(sequence(0, {s * s - 1})) AS _sub",
+    ).selectExpr(
+        "*",
+        # same textual arithmetic as the oracle: dyadic grid offsets
+        f"ix * {cell_deg}e0 + (CAST(_sub % {s} AS DOUBLE) + 0.5e0) * {sub}e0 AS scx",
+        f"iy * {cell_deg}e0 + (CAST(_sub div {s} AS DOUBLE) + 0.5e0) * {sub}e0 AS scy",
+    )
+    hits = spatial_join(pts, parcels, res=res, lon="scx", lat="scy")
+    per_pixel = hits.groupBy(
+        *[F.col(k) for k in keys], F.col("ix"), F.col("iy"), F.col("value")
+    ).agg(F.count("*").alias("_w"))
+    w = F.col("_w").cast("double")
+    v = F.col("value")
+    return per_pixel.groupBy(*[F.col(k) for k in keys]).agg(
+        (
+            F.sum(v * w) / F.sum(F.when(v.isNotNull(), w))
+        ).alias("w_mean"),
+        F.sum(F.when(v.isNotNull(), w)).alias("w_valid"),
+        F.count(v).alias("n_pixels"),
+        F.sum(F.when(v.isNotNull(), F.col("_w"))).cast("bigint").alias("n_subhits"),
+    )
+
+
 def depth_weighted_mean(
     cells_joined: DataFrame,
     query_lo: int,
