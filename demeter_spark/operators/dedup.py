@@ -119,16 +119,38 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = shingles(docs, id_col, text_col)
-    seeds = F.array(*[F.lit(j) for j in range(num_hashes)])
-    sig = (
-        sh.select(id_col, F.explode(seeds).alias("j"), F.col("shingle"))
-        .withColumn("h", F.xxhash64("j", "shingle"))
-        .groupBy(id_col, "j")
-        .agg(F.min("h").alias("minhash"))
-        .withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.xxhash64(F.sort_array(F.collect_list(F.struct("j", "minhash")))).alias("bucket"))
+    # all num_hashes minhashes in ONE partial+final aggregate: each is a
+    # min over xxhash64(j, shingle) computed as its own column, so the
+    # (doc, shingle) rows never fan out x num_hashes and the per-hash
+    # groupBy -> per-band groupBy second shuffle disappears (map-side
+    # combine reduces each partition to one 32-column row per doc)
+    sig_wide = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"_m{j}")
+            for j in range(num_hashes)
+        ]
     )
+    sig = sig_wide.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"_m{j}")
+                                for j in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select(id_col, "_bk.band", "_bk.bucket")
     cand = (
         sig.alias("x")
         .join(sig.alias("y"), ["band", "bucket"])
