@@ -71,8 +71,11 @@ def test_media_decode_plumbing(spark):
     row = feats.filter(F.col("doc_id") == 7).first()
     assert row["width"] == 7 % 64 + 1 and row["height"] == 7 % 48 + 1
     assert row["kind"] == "audio"
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_real(med)
+    # decode_real is a REAL bitstream decoder now (PNG/WAV,
+    # functions/codecs.py); the fake 'IMG|' format is not a supported codec
+    # and must fail loudly at execution
+    with pytest.raises(Exception, match="NotImplementedError|external libraries"):
+        multimodal.decode_real(med).collect()
 
 def test_coarsen_negative_indices_floor(spark):
     """Floor (not trunc-toward-zero) parent indexing: cells at ix=-1 and ix=0
