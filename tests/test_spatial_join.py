@@ -100,9 +100,11 @@ def test_knn_ring_doubling_sparse(spark):
     pts = synth.page_points(spark, SF_DIR)
     gaz = synth.gazetteer(spark).filter("place_id % 50 = 1")  # 4 sparse sites
     # release_caches=False keeps the live plan inspectable (the default
-    # checkpoints the result, which would collapse the plan to an RDD scan)
+    # checkpoints the result, which would collapse the plan to an RDD scan);
+    # start_ring=2 pins the doubling path (auto would start wide enough to
+    # resolve level 1 on this sparse fixture — escalation must stay covered)
     got = joins.knn_join(pts, gaz, k=2, res=6, brute_threshold=0,
-                         release_caches=False)
+                         release_caches=False, start_ring=2)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
 
