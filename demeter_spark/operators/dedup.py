@@ -482,3 +482,146 @@ def connected_components_contraction(
     ``connected_components``: (id, cluster_id = min id of component))."""
     labels, _ = _contraction_rounds(pairs, nodes, id_col, a_col, b_col, max_iter)
     return labels
+
+
+def incremental_minhash_pairs(
+    log,
+    docs_increment: DataFrame,
+    inc_id: int,
+    threshold: float,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 8,
+) -> DataFrame:
+    """Continuous-crawl near-dup detection: dedup an increment of NEW
+    documents against everything committed so far, exactly once.
+
+    State lives in a LineageLog (plans/lineage.py) — the north rule's
+    resumable-pipeline posture applied to dedup:
+
+    - stage ``dedup_corpus``: (doc_id, text), partitioned by hash bucket;
+    - stage ``dedup_sigs``: banded MinHash signatures (doc_id, band, bucket);
+    - each call verifies candidates where at least one side is NEW, so a
+      pair is emitted exactly once: in the increment that completes it.
+      Old x old pairs were emitted by earlier increments; crash/re-run of
+      the same fingerprint is healed by write_increment's idempotent
+      partition overwrite (stale signature parts are recomputed, already-
+      committed parts skipped). Partitions are keyed (inc_id, hash bucket)
+      so each increment owns DISTINCT partitions — dynamic partition
+      overwrite can never clobber an earlier increment's state (stage paths
+      are append-only across increments, overwrite-idempotent within one).
+
+    Work per increment: banding is computed for the increment only; the
+    (band, bucket) join probes the committed signature table (pre-bucketed
+    scan, no recompute); exact-Jaccard verification re-shingles ONLY the
+    docs that appear in some candidate pair (left-semi pushdown into the
+    committed corpus) — bounded by candidate count, not corpus size.
+
+    Returns the increment's verified pairs (doc_a < doc_b, jaccard >= t).
+    The union over all increments equals the batch minhash_lsh_pairs over
+    the full corpus (asserted in tests/test_incremental_dedup.py).
+
+    Replay semantics: crash recovery = re-run the LATEST increment (same
+    output, idempotent commits). Re-running an OLDER increment after later
+    arrivals re-discovers pairs whose partner arrived in between — a
+    superset, never a loss; dedup pairs are idempotent facts downstream
+    (connected components / canonical-keep absorb duplicates).
+    """
+    rows_per_band = num_hashes // bands
+    fingerprint = f"inc-{int(inc_id)}"
+    new_docs = docs_increment.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col).alias(text_col)
+    )
+    part = F.lit(int(inc_id) * n_parts) + F.pmod(
+        F.xxhash64(F.col(id_col)), F.lit(n_parts)
+    )
+
+    # 1. commit the increment's documents (idempotent per fingerprint)
+    log.write_increment(
+        "dedup_corpus", new_docs.withColumn("bucket", part), "bucket", fingerprint
+    )
+
+    # 2. banded signatures for the NEW docs only, committed alongside
+    sh_new = shingles(new_docs, id_col, text_col)
+    sig_wide = sh_new.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"_m{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    banded_new = sig_wide.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"_m{j}")
+                                for j in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
+                        ).alias("bucket_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select(id_col, "_bk.band", "_bk.bucket_key")
+    log.write_increment(
+        "dedup_sigs", banded_new.withColumn("bucket", part), "bucket", fingerprint
+    )
+
+    # 3. candidates: NEW signatures vs ALL committed signatures (includes
+    # this increment's own, so new x new pairs surface too)
+    all_sigs = log.read_stage("dedup_sigs").select(id_col, "band", "bucket_key")
+    cand = (
+        banded_new.alias("x")
+        .join(all_sigs.alias("y"), ["band", "bucket_key"])
+        .filter(F.col(f"x.{id_col}") != F.col(f"y.{id_col}"))
+        .select(
+            F.least(F.col(f"x.{id_col}"), F.col(f"y.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"x.{id_col}"), F.col(f"y.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    # drop pairs BOTH of whose members predate this increment (they were
+    # found when their second member arrived)
+    new_ids = new_docs.select(F.col(id_col).alias("_nid")).distinct()
+    cand = cand.join(
+        new_ids, (cand["doc_a"] == F.col("_nid")) | (cand["doc_b"] == F.col("_nid")),
+        "left_semi",
+    )
+
+    # 4. exact-Jaccard verify: shingle only docs appearing in candidates
+    corpus = log.read_stage("dedup_corpus").select(id_col, text_col)
+    members = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = shingles(corpus.join(members, id_col, "left_semi"), id_col, text_col)
+    sizes = sh_cand.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh_cand.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh_cand.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
