@@ -455,6 +455,37 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.text_stats(synth.documents(spark, sf_dir))
 
 
+def _q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-filter signals (top-word repetition fraction,
+    TTR, stopword evidence) + the keep flag — pure higher-order exprs."""
+    from demeter_spark.operators import textstats
+    from demeter_spark.sources import synth
+
+    return textstats.quality_flags(synth.documents(spark, sf_dir))
+
+
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL canonicalization (case/port/www/fragment/tracking-params/
+    trailing-slash normalization + param sort) over closed-form dirty URLs;
+    the oracle derives the expected canonical INDEPENDENTLY from the
+    generator parameters, not by mirroring the regex pipeline."""
+    from demeter_spark.operators.textstats import canonical_url_expr
+    from demeter_spark.sources import synth
+
+    dirty = synth.documents(spark, sf_dir).selectExpr(
+        "doc_id",
+        """concat('HTTPS://WWW.Site', CAST(doc_id % 50 AS STRING),
+                  '.Example:443/p/', CAST(doc_id AS STRING),
+                  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+                  CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'
+                       WHEN doc_id % 3 = 1 THEN '?gclid=abc' ELSE '' END,
+                  CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url""",
+    )
+    return dirty.selectExpr(
+        "doc_id", "url", canonical_url_expr("url") + " AS url_canonical"
+    )
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw + normalized content fingerprints."""
     from demeter_spark.operators import textstats
@@ -910,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _q_events_rollup,
         "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
+        "quality_flags": _q_quality_flags,
+        "url_canonical": _q_url_canonical,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_multiprobe": _q_ann_ivf_multiprobe,
@@ -1687,6 +1720,52 @@ def oracle_sql() -> dict[str, str]:
             """
             SELECT doc_id, md5(text) AS fp_raw,
                    md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp_norm
+            FROM documents
+            """,
+            (),
+        ),
+        "quality_flags": oracle_query(
+            """
+            SELECT doc_id,
+                   CAST(len(ws) AS INT) AS n_words,
+                   CAST(list_max(list_transform(list_distinct(ws),
+                        w -> len(list_filter(ws, x -> x = w)))) AS INT)
+                     AS top_word_n,
+                   CAST(list_max(list_transform(list_distinct(ws),
+                        w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+                     / len(ws) AS top_word_frac,
+                   CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+                   CAST(len(list_intersect(list_distinct(ws),
+                        ['the','a','of','and','to','in','is'])) AS INT)
+                     AS n_stop,
+                   CAST(CASE WHEN len(ws) >= 20
+                        AND CAST(list_max(list_transform(list_distinct(ws),
+                              w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+                            / len(ws) <= 0.2e0
+                        AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                            >= 0.3e0
+                        AND len(list_intersect(list_distinct(ws),
+                              ['the','a','of','and','to','in','is'])) >= 1
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+            """,
+            (),
+        ),
+        "url_canonical": oracle_query(
+            """
+            SELECT doc_id,
+                   concat('HTTPS://WWW.Site', CAST(doc_id % 50 AS VARCHAR),
+                          '.Example:443/p/', CAST(doc_id AS VARCHAR),
+                          CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+                          CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'
+                               WHEN doc_id % 3 = 1 THEN '?gclid=abc'
+                               ELSE '' END,
+                          CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
+                     AS url,
+                   concat('https://site', CAST(doc_id % 50 AS VARCHAR),
+                          '.example/p/', CAST(doc_id AS VARCHAR),
+                          CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2'
+                               ELSE '' END) AS url_canonical
             FROM documents
             """,
             (),

@@ -53,3 +53,87 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         f"md5({text_col}) AS fp_raw",
         f"md5(lower(regexp_replace({text_col}, ' +', ' '))) AS fp_norm",
     )
+
+
+def quality_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_top_word_frac: float = 0.2,
+    min_ttr: float = 0.3,
+) -> DataFrame:
+    """Gopher-style quality-filter signals (repetition + lexical-diversity
+    heuristics of the published web-corpus filtering recipes), pure JVM
+    higher-order expressions — no UDF:
+
+    - n_words bounds (too-short documents),
+    - top_word_frac: occurrences of the most frequent token / n_words (the
+      'fraction of the most common word' repetition filter),
+    - ttr: type-token ratio,
+    - n_stop: distinct stopwords present (language-evidence filter),
+    - keep: the conjunction actually used to gate training data.
+
+    O(L^2) per doc for the repetition scan (L = tokens, bounded by the
+    tokenizer upstream) inside codegen — cheaper than a groupBy explode at
+    corpus scale because nothing leaves the row.
+    """
+    ws = "split(%s, ' ')" % text_col
+    top = (
+        f"array_max(transform(array_distinct({ws}),"
+        f" w -> size(filter({ws}, x -> x = w))))"
+    )
+    return docs.selectExpr(
+        id_col,
+        f"CAST(size({ws}) AS INT) AS n_words",
+        f"CAST({top} AS INT) AS top_word_n",
+        f"CAST({top} AS DOUBLE) / size({ws}) AS top_word_frac",
+        f"CAST(size(array_distinct({ws})) AS DOUBLE) / size({ws}) AS ttr",
+        "CAST(size(array_intersect(split(%s, ' '), array('the','a','of','and','to','in','is'))) AS INT) AS n_stop"
+        % text_col,
+    ).selectExpr(
+        id_col,
+        "n_words",
+        "top_word_n",
+        "top_word_frac",
+        "ttr",
+        "n_stop",
+        f"CAST(CASE WHEN n_words >= {min_words}"
+        f" AND top_word_frac <= {max_top_word_frac}e0"
+        f" AND ttr >= {min_ttr}e0 AND n_stop >= 1"
+        " THEN 1 ELSE 0 END AS INT) AS keep",
+    )
+
+
+def canonical_url_expr(col: str) -> str:
+    """Spark SQL text canonicalizing a crawl URL — the dedup key every web
+    pipeline needs before exact URL dedup:
+
+    lowercase scheme+host, strip default ports (:80 http / :443 https) and
+    a leading 'www.', drop the fragment, remove tracking parameters
+    (utm_*, fbclid, gclid, ref), sort surviving query params, trim a
+    trailing slash on non-root paths. Pure Catalyst string/array exprs.
+    """
+    u = f"regexp_replace({col}, '#.*$', '')"  # fragment off first
+    proto = f"lower(regexp_extract({u}, '^([A-Za-z]+)://', 1))"
+    hostport = f"lower(regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1))"
+    host = (
+        f"regexp_replace(regexp_replace({hostport},"
+        f" CASE WHEN {proto} = 'https' THEN ':443$' ELSE ':80$' END, ''),"
+        " '^www\\\\.', '')"
+    )
+    path0 = f"regexp_extract({u}, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)"
+    path = (
+        f"CASE WHEN {path0} != '/' THEN regexp_replace({path0}, '/$', '')"
+        f" ELSE {path0} END"
+    )
+    params = (
+        f"array_sort(filter(split(regexp_extract({u}, '\\\\?([^#]*)', 1), '&'),"
+        " p -> p != '' AND NOT (p LIKE 'utm\\\\_%' OR p LIKE 'fbclid=%'"
+        " OR p LIKE 'gclid=%' OR p LIKE 'ref=%')))"
+    )
+    q = (
+        f"CASE WHEN size({params}) > 0"
+        f" THEN concat('?', concat_ws('&', {params})) ELSE '' END"
+    )
+    return f"concat({proto}, '://', {host}, {path}, {q})"
