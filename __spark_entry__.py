@@ -455,6 +455,15 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.text_stats(synth.documents(spark, sf_dir))
 
 
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinctive-term extraction (integer-exact TF-IDF ranking:
+    tf desc, df asc, token asc — no float log, bit-stable across engines)."""
+    from demeter_spark.operators import textstats
+    from demeter_spark.sources import synth
+
+    return textstats.top_terms(synth.documents(spark, sf_dir), k=3)
+
+
 def _q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality-filter signals (top-word repetition fraction,
     TTR, stopword evidence) + the keep flag — pure higher-order exprs."""
@@ -942,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
         "quality_flags": _q_quality_flags,
+        "top_terms": _q_top_terms,
         "url_canonical": _q_url_canonical,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
@@ -1721,6 +1731,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fp_raw,
                    md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp_norm
             FROM documents
+            """,
+            (),
+        ),
+        "top_terms": oracle_query(
+            """
+            WITH tf AS (
+              SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              GROUP BY doc_id, t
+            ),
+            dfx AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+              GROUP BY token
+            )
+            SELECT doc_id, token, tf, df, rnk FROM (
+              SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, dfx.df, tf.token
+                     ) AS rnk
+              FROM tf JOIN dfx USING (token)
+            ) WHERE rnk <= 3
             """,
             (),
         ),

@@ -137,3 +137,33 @@ def canonical_url_expr(col: str) -> str:
         f" THEN concat('?', concat_ws('&', {params})) ELSE '' END"
     )
     return f"concat({proto}, '://', {host}, {path}, {q})"
+
+
+def top_terms(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document distinctive terms — the TF-IDF keyword-extraction step
+    with integer-exact ranking: order by term frequency desc, document
+    frequency asc (rarer beats common at equal tf), token asc. Skipping the
+    float log keeps the ranking bit-identical across engines while ranking
+    the same way log-TF-IDF would for fixed tf (log is monotone in 1/df).
+
+    Two hash aggregates (tf per (doc, token), df per token — both partial+
+    final) + one broadcastable join + one window: corpus-scale shape.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(df_, "token")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "token", "tf", "df", "rnk")
+    )
