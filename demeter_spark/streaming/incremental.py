@@ -100,3 +100,46 @@ def incremental_spatial_join(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    threshold: float = 0.8,
+) -> None:
+    """Continuous-crawl near-dup detection as a STREAM: newly-arrived
+    document files are deduplicated against everything committed so far.
+
+    foreachBatch bridges Structured Streaming's exactly-once file-source
+    offsets to the batch-incremental dedup state machine
+    (operators/dedup.incremental_minhash_pairs over plans/lineage.py):
+    the micro-batch id doubles as the increment id, so a replayed batch
+    (crash between state commit and sink commit) recommits idempotently and
+    re-emits the same pairs into the (transactional) parquet sink. Pair
+    semantics match the batch path: the union of all emitted micro-batches
+    equals minhash_lsh_pairs over the full corpus (pytest-verified).
+    """
+    from demeter_spark.operators.dedup import incremental_minhash_pairs
+    from demeter_spark.plans.lineage import LineageLog
+
+    log = LineageLog(spark, state_dir)
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(
+        input_dir
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_minhash_pairs(
+            log, batch_df, int(batch_id), threshold
+        )
+        pairs.write.mode("append").parquet(output_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -57,3 +57,29 @@ def test_incremental_equals_batch_and_exactly_once(spark, tmp_path):
     )
     assert old_again >= per_inc[1]
     corpus.unpersist()
+
+
+def test_streaming_dedup_equals_batch(spark, tmp_path):
+    """Two file arrivals through the AvailableNow stream: the union of
+    emitted pair batches equals batch MinHash over the full corpus."""
+    from demeter_spark.streaming.incremental import streaming_dedup
+
+    corpus = synth.dedup_corpus(spark, SF_DIR).persist()
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    corpus.filter("doc_id < 100000").write.mode("append").parquet(in_dir)
+    streaming_dedup(spark, in_dir, out_dir, ckpt, state)
+    corpus.filter("doc_id >= 100000").write.mode("append").parquet(in_dir)
+    streaming_dedup(spark, in_dir, out_dir, ckpt, state)
+
+    got = _pair_set(spark.read.parquet(out_dir))
+    batch = _pair_set(dedup.minhash_lsh_pairs(corpus, 0.8))
+    assert got == batch
+    # a third run with nothing new arrives at the committed offsets and
+    # emits nothing
+    streaming_dedup(spark, in_dir, out_dir, ckpt, state)
+    assert _pair_set(spark.read.parquet(out_dir)) == batch
+    corpus.unpersist()

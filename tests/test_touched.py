@@ -116,6 +116,49 @@ def test_touched_superset_of_center_assignment(spark):
     assert c_set < t_set  # proper superset: edge pixels were being dropped
 
 
+def test_touched_scales_through_shuffle_join(spark):
+    """Scale path: thousands of parcels, broadcast disabled — the mask
+    assignment runs as a shuffle join and still matches the closed-form
+    rect-overlap truth computed independently in numpy."""
+    par = (
+        synth.many_parcels(spark, 18000)
+        .filter("xmax < 36 AND ymax < 32")
+        .persist()
+    )
+    cells = synth.raster_cells(spark).filter("dataset = 'elevation'")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = {
+            (r["parcel_id"], r["ix"], r["iy"])
+            for r in zonal.touched_cells_in_parcels(
+                cells, par, synth.CELL_DEG, synth.CELL_DEG,
+                broadcast_mask=False,
+            ).select("parcel_id", "ix", "iy").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    # independent truth: open-interval overlap of each 0.25-degree box with
+    # each open rect, vectorized in numpy
+    P = par.select("parcel_id", "xmin", "ymin", "xmax", "ymax").collect()
+    want = set()
+    cd = synth.CELL_DEG
+    for r in P:
+        ix0 = int(np.floor(r["xmin"] / cd))
+        ix1 = int(np.floor(r["xmax"] / cd))
+        iy0 = int(np.floor(r["ymin"] / cd))
+        iy1 = int(np.floor(r["ymax"] / cd))
+        for ix in range(max(ix0, 0), min(ix1, synth.GRID_NX - 1) + 1):
+            for iy in range(max(iy0, 0), min(iy1, synth.GRID_NY - 1) + 1):
+                if (
+                    (ix + 1) * cd > r["xmin"] and ix * cd < r["xmax"]
+                    and (iy + 1) * cd > r["ymin"] and iy * cd < r["ymax"]
+                ):
+                    want.add((r["parcel_id"], ix, iy))
+    par.unpersist()
+    assert len(P) > 3000  # the dimension is genuinely non-tiny
+    assert got == want
+
+
 def test_zonal_stats_touched_matches_oracle(spark, ddb):
     """End-to-end pre-check of the driver's correctness gate row."""
     import __spark_entry__ as entry
