@@ -394,7 +394,18 @@ def touched_grid_boxes(
     box overlapping the interior without containing its center must be
     crossed by the boundary, and every boundary point of a positive-area
     ring is a limit of interior points.
+
+    Requires rx > 0 and ry > 0 (south-up grid, matching raster_cells'
+    convention). A north-up transform (ry < 0) would silently produce
+    inverted boxes — fail loudly instead; callers flip the origin/sign
+    before rasterizing (ADVICE r03).
     """
+    if rx <= 0 or ry <= 0:
+        raise ValueError(
+            f"touched_grid_boxes requires rx > 0 and ry > 0, got ({rx}, {ry});"
+            " normalize a north-up transform (negative ry) by flipping the"
+            " origin before rasterizing"
+        )
     allx = np.concatenate([xs for rings in parts for xs, _ in rings])
     ally = np.concatenate([ys for rings in parts for _, ys in rings])
     ix0 = int(np.floor((allx.min() - ox) / rx))

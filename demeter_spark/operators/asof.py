@@ -31,30 +31,33 @@ def asof_join(
     ``{prefix}{ts}`` (the matched right timestamp); NULLs when no right row
     precedes the left row."""
     carried = [ts, *[c for c in value_cols if c != ts]]
+    # ONE struct carries the whole right row, so the matched values are
+    # always row-consistent: last(ignorenulls) picks a single winning right
+    # row and every output column comes from it (per-column last() could
+    # stitch together values from different duplicate rows when some carried
+    # columns are NULL — ADVICE r03).
     r = right.select(
         F.col(on),
         F.col(ts),
-        *[F.col(c).alias(f"{prefix}{c}") for c in carried],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("_r_row"),
     ).withColumn("_is_l", F.lit(0))
     l = left.withColumn("_is_l", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
-    # the prefixed value columns join the sort key as a deterministic final
-    # tiebreak: if the right side has duplicate (key, ts) rows, last()
-    # would otherwise pick a partition-order-dependent row (ADVICE r02).
-    # Among equal timestamps the GREATEST value tuple sorts last and wins —
-    # documented, engine-stable semantics. NULLs (left rows' empty carried
-    # columns) sort first, so they never displace a real right row.
+    # Struct comparison is lexicographic by field (ts first, then the value
+    # columns), giving a deterministic final tiebreak: among duplicate
+    # (key, ts) right rows the GREATEST (ts, *values) tuple sorts last and
+    # wins — documented, engine-stable semantics. NULL structs (left rows)
+    # sort first, so they never displace a real right row.
     w = (
         Window.partitionBy(on)
         .orderBy(
             F.col(ts).asc(),
             F.col("_is_l").asc(),
-            *[F.asc_nulls_first(f"{prefix}{c}") for c in carried],
+            F.asc_nulls_first("_r_row"),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("_r_row", F.last("_r_row", ignorenulls=True).over(w))
     for c in carried:
-        u = u.withColumn(
-            f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w)
-        )
-    return u.filter(F.col("_is_l") == 1).drop("_is_l")
+        u = u.withColumn(f"{prefix}{c}", F.col("_r_row").getField(c))
+    return u.filter(F.col("_is_l") == 1).drop("_is_l", "_r_row")

@@ -33,7 +33,14 @@ def enrich_points(
     components: DataFrame,
     horizons: DataFrame,
     res: int = 8,
+    broadcast_elevation: bool = False,
 ) -> DataFrame:
+    """``broadcast_elevation`` defaults False: a continental DEM is a
+    fact-sized table (the reference's merged raster is 14934x4791 px for ten
+    polygons, demeter/raster/usgs/topography.py) — broadcasting it is a
+    100x-scale OOM. The (_ix,_iy) equi-join already has the right shape; let
+    AQE pick the strategy, and opt in only for genuinely small rasters
+    (VERDICT r03 #3)."""
     # source 1: containing parcel (1:1 by min id; count kept as a metric col)
     hits = joins.spatial_join(points, parcels, res=res).groupBy("url").agg(
         F.min("parcel_id").alias("parcel_id"),
@@ -47,20 +54,14 @@ def enrich_points(
             "_iy": F.floor(F.col("lat") / CELL_DEG).cast("int"),
         }
     )
-    elev = (
-        px.join(
-            F.broadcast(
-                elevation_cells.select(
-                    F.col("ix").alias("_ix"),
-                    F.col("iy").alias("_iy"),
-                    F.col("value").alias("elevation"),
-                )
-            ),
-            ["_ix", "_iy"],
-            "left",
-        )
-        .select("url", "elevation")
+    cells = elevation_cells.select(
+        F.col("ix").alias("_ix"),
+        F.col("iy").alias("_iy"),
+        F.col("value").alias("elevation"),
     )
+    if broadcast_elevation:
+        cells = F.broadcast(cells)
+    elev = px.join(cells, ["_ix", "_iy"], "left").select("url", "elevation")
 
     # source 3: nearest place (kNN k=1)
     nn = joins.knn_join(points, gazetteer, k=1, res=6).select(

@@ -34,6 +34,20 @@ unchanged), keeping per-commit manifest-scan cost O(compact_every) instead
 of O(total commits). The rewrite uses a write-tmp / swap / drop-old
 sequence; a crash mid-swap loses only the manifest (data partitions are
 untouched), which the resume protocol heals by recomputing idempotently.
+Compaction is LOCAL-FILESYSTEM ONLY (the swap is os.rename): on an
+HDFS/S3/file-scheme base_dir it is skipped automatically (manifest scans
+degrade to O(total commits) but stay correct); a real catalog's own
+compaction replaces it there. During the swap there is a window where
+``snapshots()`` sees no manifest — the single-writer contract therefore
+also excludes CONCURRENT READERS during compaction, not just writers
+(ADVICE r03).
+
+Schema evolution: increments may ADD columns over time. Reads merge parquet
+footers (``mergeSchema``), so ``read_stage`` always returns the UNION
+schema; partitions written before a column existed surface NULL for it —
+the standard add-column evolution contract (pytest-verified in
+tests/test_resume_skew.py). Renames/drops/type-changes need a real
+catalog's column-id mapping and are out of scope for the parquet stand-in.
 """
 
 from __future__ import annotations
@@ -63,6 +77,12 @@ class LineageLog:
             return self.spark.read.parquet(self.manifest_path)
         except Exception:
             return self.spark.createDataFrame([], SNAPSHOT_SCHEMA)
+
+    def _read_merged(self, path: str) -> DataFrame:
+        """Stage read with add-column schema evolution: merge parquet
+        footers so increments written before a column existed read as NULL
+        (module docstring, Schema evolution)."""
+        return self.spark.read.option("mergeSchema", "true").parquet(path)
 
     def committed_parts(self, stage: str, fingerprint: str) -> DataFrame:
         return (
@@ -155,7 +175,12 @@ class LineageLog:
         """Rewrite the manifest to one file (rows preserved exactly) so the
         per-commit max(seq)/committed_parts scans stay O(compact_every)
         files regardless of commit count. Single-writer protocol (see module
-        docstring): write tmp -> swap -> drop old."""
+        docstring) — during the swap, concurrent READERS may observe a
+        missing manifest, so the contract excludes them too. The swap is
+        os.rename: local POSIX paths only; skipped (correct, just slower
+        scans) for remote URIs."""
+        if "://" in self.manifest_path or not os.path.isdir(self.manifest_path):
+            return
         tmp = self.manifest_path + ".compact-tmp"
         old = self.manifest_path + ".compact-old"
         for stale in (tmp, old):
@@ -182,7 +207,7 @@ class LineageLog:
         already-committed partition invalidates older snapshots of that
         partition (as snapshot expiry does in a real table format) — use a
         fresh stage path per fingerprint, as write_increment documents."""
-        df = self.spark.read.parquet(os.path.join(self.base_dir, stage))
+        df = self._read_merged(os.path.join(self.base_dir, stage))
         if as_of is None:
             return df
         snaps = self.snapshots().filter(F.col("stage") == stage)

@@ -37,12 +37,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _get_json(url: str, params: dict | None = None, timeout: float = 30.0) -> dict:
+    # non-2xx raises urllib.error.HTTPError from urlopen itself; no dead
+    # status check needed here (ADVICE r03)
     if params:
         url = f"{url}?{urllib.parse.urlencode(params)}"
     with urllib.request.urlopen(url, timeout=timeout) as resp:
-        if resp.status != 200:
-            raise RuntimeError(f"catalog request failed: HTTP {resp.status} {url}")
         return json.loads(resp.read().decode("utf-8"))
+
+
+def _check_next_link(nxt: str, origin_url: str) -> str:
+    """Guard pagination follow-ups: a catalog response controls
+    @odata.nextLink, so an attacker-controlled page could redirect the
+    client to an arbitrary scheme (urllib accepts file://) or host — an
+    SSRF/local-read vector (ADVICE r03). Only http(s) links on the SAME
+    host as the original endpoint are followed."""
+    got = urllib.parse.urlparse(nxt)
+    want = urllib.parse.urlparse(origin_url)
+    if got.scheme not in ("http", "https") or got.netloc != want.netloc:
+        raise ValueError(
+            f"refusing to follow @odata.nextLink off-origin: {nxt!r}"
+            f" (endpoint host {want.netloc!r})"
+        )
+    return nxt
 
 
 # ---------------------------------------------------------------------------
@@ -107,7 +123,7 @@ def odata_find_keys(
         nxt = payload.get("@odata.nextLink")
         if not nxt:
             return keys
-        url = nxt
+        url = _check_next_link(nxt, endpoint)
     raise RuntimeError(f"OData pagination exceeded {max_pages} pages")
 
 

@@ -117,10 +117,14 @@ def streaming_dedup(
     offsets to the batch-incremental dedup state machine
     (operators/dedup.incremental_minhash_pairs over plans/lineage.py):
     the micro-batch id doubles as the increment id, so a replayed batch
-    (crash between state commit and sink commit) recommits idempotently and
-    re-emits the same pairs into the (transactional) parquet sink. Pair
-    semantics match the batch path: the union of all emitted micro-batches
-    equals minhash_lsh_pairs over the full corpus (pytest-verified).
+    (crash between the batch function and the checkpoint commit) recommits
+    the state idempotently, and the sink write is made idempotent BY the
+    batch id: pairs land partitioned by ``batch_id`` with dynamic partition
+    overwrite, so a replay overwrites its own partition instead of appending
+    duplicates (foreachBatch sinks are the caller's responsibility to
+    de-duplicate by batch_id — ADVICE r03). Pair semantics match the batch
+    path: the union of all emitted micro-batches equals minhash_lsh_pairs
+    over the full corpus (pytest-verified).
     """
     from demeter_spark.operators.dedup import incremental_minhash_pairs
     from demeter_spark.plans.lineage import LineageLog
@@ -134,7 +138,13 @@ def streaming_dedup(
         pairs = incremental_minhash_pairs(
             log, batch_df, int(batch_id), threshold
         )
-        pairs.write.mode("append").parquet(output_dir)
+        (
+            pairs.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
 
     q = (
         stream.writeStream.foreachBatch(_process)

@@ -285,6 +285,34 @@ def test_read_stage_as_of_snapshot(spark, tmp_path):
         log.read_stage("s", as_of="nope")
 
 
+def test_read_stage_schema_evolution_add_column(spark, tmp_path):
+    """Add-column evolution (VERDICT r03 #9): a later increment carries an
+    extra column; read_stage returns the union schema, older partitions
+    surface NULL for it, and snapshot-pinned reads of the pre-evolution
+    commit still work."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.plans.lineage import LineageLog
+
+    log = LineageLog(spark, str(tmp_path))
+    df = spark.range(100).selectExpr("id", "CAST(id % 4 AS LONG) AS b")
+    log.write_increment("s", df.filter("b < 2"), "b", "fp1")
+    evolved = df.withColumn("score", (F.col("id") * 2).cast("long"))
+    log.write_increment("s", evolved, "b", "fp1")  # parts 2,3 w/ new column
+    out = log.read_stage("s")
+    assert "score" in out.columns
+    assert out.count() == 100
+    # pre-evolution partitions read as NULL for the added column
+    assert out.filter("_part < 2 AND score IS NOT NULL").count() == 0
+    assert out.filter("_part >= 2 AND score IS NULL").count() == 0
+    assert out.filter("_part >= 2 AND score = id * 2").count() == 50
+    # the pre-evolution snapshot still reads (union schema, all-NULL score)
+    snaps = log.snapshot_ids("s")
+    first = log.read_stage("s", as_of=snaps[0])
+    assert first.count() == 50
+    assert first.filter("score IS NOT NULL").count() == 0
+
+
 def test_stateful_sessions_pre_start_late_event_splits(spark, tmp_path):
     """A late event more than a gap BEFORE the open session's start must
     close as its own session, not weld into the open one (batch parity)."""
