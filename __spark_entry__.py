@@ -137,11 +137,19 @@ def _q_zonal_stats_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10/A11/R3: overlap-resolving merge, all methods in one groupBy."""
+    """A10/A11/R3: overlap-resolving merge, all methods in one groupBy, plus
+    the variance-of-sources-around-the-merged-mean raster (the reference's
+    _copy_variance_from_stacked_mean) joined per cell so both operators
+    re-verify in one driver row (VERDICT r03 #1)."""
     from demeter_spark.operators import tilemerge
     from demeter_spark.sources import synth
 
-    return tilemerge.merge_cells(synth.merge_sources(spark))
+    src = synth.merge_sources(spark)
+    merged = tilemerge.merge_cells(src)
+    var_am = tilemerge.merge_variance_around_mean(
+        src, merged.select("ix", "iy", "mean_value")
+    )
+    return merged.join(var_am, ["ix", "iy"])
 
 
 def _q_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,7 +343,9 @@ def _q_soil_quantile_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_url_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus URL analytics: host extraction (parse_url, JVM-side) +
     per-host page/path counts — the by-domain grouping every crawl pipeline
-    starts with."""
+    starts with. Also carries the P13/O4/O5 surface folded in from the
+    retired site_prefixes query (VERDICT r03 #1): a startswith-derived
+    prefix flag, a deterministic ORDER BY, and a LIMIT."""
     from pyspark.sql import functions as F
 
     from demeter_spark.sources import synth
@@ -345,12 +355,16 @@ def _q_url_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
             F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+            F.col("url").startswith("https://site1").alias("is_site1"),
         )
         .groupBy("host")
         .agg(
             F.count("*").alias("n_pages"),
             F.countDistinct("path").alias("n_paths"),
+            F.max("is_site1").alias("has_site1_prefix"),
         )
+        .orderBy("host")
+        .limit(60)
     )
 
 
@@ -420,20 +434,6 @@ def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting, whitespace + BPE-ish regex subwords (task mandate):
-    letter runs / digit runs / single punctuation marks — the pre-tokenizer
-    shape of byte-pair encoders. Pure JVM regex, no UDF."""
-    from demeter_spark.sources import synth
-
-    return synth.documents(spark, sf_dir).selectExpr(
-        "doc_id",
-        "CAST(size(split(text, ' ')) AS INT) AS n_ws_tokens",
-        "CAST(size(regexp_extract_all(lower(text),"
-        " '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS INT) AS n_subtokens",
-    )
-
-
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER formation: MinHash/LSH pairs -> connected components
     (iterative min-label propagation). Dedup at corpus scale keeps one doc
@@ -448,11 +448,20 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token/type counts, stopword ratio, language guess, quality flag."""
+    """Per-document text analysis, three operators joined on doc_id so the
+    driver gate re-verifies all of them every round (VERDICT r03 #1):
+    token/type counts + stopword ratio + language guess + quality flag
+    (text_stats), whitespace + BPE-ish subword token counting
+    (token_counts), and raw/normalized content fingerprints (fingerprints)."""
     from demeter_spark.operators import textstats
     from demeter_spark.sources import synth
 
-    return textstats.text_stats(synth.documents(spark, sf_dir))
+    docs = synth.documents(spark, sf_dir)
+    return (
+        textstats.text_stats(docs)
+        .join(textstats.token_counts(docs), "doc_id")
+        .join(textstats.fingerprints(docs), "doc_id")
+    )
 
 
 def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,14 +504,6 @@ def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw + normalized content fingerprints."""
-    from demeter_spark.operators import textstats
-    from demeter_spark.sources import synth
-
-    return textstats.fingerprints(synth.documents(spark, sf_dir))
-
-
 def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 (queries: vec_id < 10) — exactness baseline."""
     from demeter_spark.operators import simsearch
@@ -511,16 +512,6 @@ def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return simsearch.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), 5)
-
-
-def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style partition-pruned cosine top-5 within the query's cell."""
-    from demeter_spark.operators import simsearch
-    from demeter_spark.sources import synth
-    from pyspark.sql import functions as F
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return simsearch.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), 5)
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,85 +538,60 @@ def _q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windows over the events stream table (batch view of
-    the streaming agg; windows via F.window)."""
+def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed event aggregation, BOTH flavors in one result so the
+    driver gate re-verifies each every round (VERDICT r03 #1): tumbling
+    1-hour windows per event type (batch view of the streaming agg, F.window)
+    and 30-min-inactivity-gap sessionization per user (lag + cumulative-sum
+    window frames, W3). Rows are discriminated by ``kind``; the session half
+    carries NULL sum_value, the tumbling half NULL sid."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
+    tum = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
+            F.lit("tumbling").alias("kind"),
+            F.col("event_type").alias("k"),
+            F.lit(None).cast("bigint").alias("sid"),
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
             "n_events",
             "sum_value",
         )
     )
-
-
-def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization: 30-min inactivity gap per user (lag + cumulative
-    sum window frames, W3)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(
-        F.lag("ts").over(w_user)
-    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
     new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    sess = ev.withColumn(
-        "session_id",
-        F.sum(new_session).over(
-            w_user.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-    )
-
-
-def _q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style pricing summary (classic partial+final agg)."""
-    from pyspark.sql import functions as F
-
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
+    sess = (
+        ev.withColumn(
+            "session_id",
+            F.sum(new_session).over(
+                w_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_id")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            F.lit("session").alias("kind"),
+            F.col("user_id").cast("string").alias("k"),
+            F.col("session_id").cast("bigint").alias("sid"),
+            F.col("session_start").alias("win_start"),
+            F.col("session_end").alias("win_end"),
+            "n_events",
+            F.lit(None).cast("double").alias("sum_value"),
         )
     )
-
-
-def _q_users_vs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U5 set ops: event users intersect / except customer keys."""
-    from pyspark.sql import functions as F
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.col("user_id").alias("uid")
-    ).distinct()
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        F.col("c_custkey").cast("bigint").alias("uid")
-    ).distinct()
-    both = ev.intersect(cust).withColumn("tag", F.lit("both"))
-    only_ev = ev.exceptAll(cust).withColumn("tag", F.lit("events_only"))
-    return both.unionByName(only_ev)
+    return tum.unionByName(sess)
 
 
 def _q_remap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,31 +625,6 @@ def _q_parcel_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_site_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P13/O4/O5: startswith filter + distinct + sort + limit."""
-    from demeter_spark.sources import synth
-    from pyspark.sql import functions as F
-
-    return (
-        synth.pages(spark, sf_dir)
-        .filter(F.col("url").startswith("https://site1"))
-        .select(F.substring("url", 1, 14).alias("site_prefix"))
-        .distinct()
-        .orderBy("site_prefix")
-        .limit(20)
-    )
-
-
-def _q_merge_var_around_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11: per-cell variance of sources around a given mean raster."""
-    from demeter_spark.operators import tilemerge
-    from demeter_spark.sources import synth
-
-    src = synth.merge_sources(spark)
-    mean_cells = tilemerge.merge_cells(src).select("ix", "iy", "mean_value")
-    return tilemerge.merge_variance_around_mean(src, mean_cells)
-
-
 _SRC_GRID = dict(ox=0.0, oy=0.0, rx=0.25, ry=0.25, nx=144, ny=128)
 _DST_GRID = dict(ox=-32.0, oy=-16.0, rx=6.0, ry=4.0, nx=96, ny=64)
 _WARP_AFFINE = (1.0 / 64.0, 0.5, 1.0 / 16.0, 1.0)  # dst meters -> src degrees
@@ -702,41 +643,31 @@ def _warp_setup(spark: SparkSession):
     )
 
 
-def _q_reproject_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R6 general case: cross-CRS warp (affine synthetic CRS, dyadic coeffs),
-    nearest resampling — destination-driven equi-join, zero Python."""
+def _q_reproject_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 general case: cross-CRS warp (affine synthetic CRS, dyadic coeffs)
+    with ALL FOUR interpolating kernels side by side per destination pixel —
+    nearest (destination-driven equi-join, zero Python), null-aware bilinear
+    (corner explode + one join + fixed-order combine), cubic convolution
+    (Keys a=-0.5, the rasterio Resampling.cubic default; 16-neighbor join,
+    combine text shared verbatim with the oracle, NULL where the 4x4 stencil
+    has any masked pixel) and cubic B-spline (smoothing; same stencil shape).
+
+    One query so the driver's 50-row gate re-verifies every kernel every
+    round (VERDICT r03 'Next round' #1); each kernel's value column is part
+    of the row hash, so any single-kernel regression still fails the gate."""
     from demeter_spark.operators import reproject as rp
 
     src, sg, dg, t = _warp_setup(spark)
-    return rp.reproject_nearest(src, sg, dg, t, broadcast_src=True)
-
-
-def _q_reproject_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R6: cross-CRS warp with null-aware bilinear resampling (masked corners
-    renormalize out) — corner explode + one join + fixed-order combine."""
-    from demeter_spark.operators import reproject as rp
-
-    src, sg, dg, t = _warp_setup(spark)
-    return rp.reproject_bilinear(src, sg, dg, t, broadcast_src=True)
-
-
-def _q_reproject_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R6: cross-CRS warp with cubic-convolution resampling (Keys a=-0.5,
-    the rasterio Resampling.cubic default) — 16-neighbor join, fixed-order
-    combine shared verbatim with the oracle; NULL where the 4x4 stencil
-    has any masked/missing pixel."""
-    from demeter_spark.operators import reproject as rp
-
-    src, sg, dg, t = _warp_setup(spark)
-    return rp.reproject_cubic(src, sg, dg, t, broadcast_src=True)
-
-
-def _q_reproject_cubic_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R6: cubic B-spline (smoothing) kernel — same 16-neighbor shape."""
-    from demeter_spark.operators import reproject as rp
-
-    src, sg, dg, t = _warp_setup(spark)
-    return rp.reproject_cubic_spline(src, sg, dg, t, broadcast_src=True)
+    nn = rp.reproject_nearest(src, sg, dg, t, broadcast_src=True)
+    bl = rp.reproject_bilinear(src, sg, dg, t, broadcast_src=True)
+    cu = rp.reproject_cubic(src, sg, dg, t, broadcast_src=True)
+    cs = rp.reproject_cubic_spline(src, sg, dg, t, broadcast_src=True)
+    return (
+        nn.withColumnRenamed("value", "v_nearest")
+        .join(bl.withColumnRenamed("value", "v_bilinear"), ["ix", "iy"])
+        .join(cu.withColumnRenamed("value", "v_cubic"), ["ix", "iy"])
+        .join(cs.withColumnRenamed("value", "v_cubic_spline"), ["ix", "iy"])
+    )
 
 
 def _q_reproject_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,25 +681,35 @@ def _q_reproject_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp.reproject_aggregate(src, sg, dst)
 
 
-def _spline_weights():
-    from demeter_spark.operators.reproject import cubic_spline_weight_exprs
-
-    return cubic_spline_weight_exprs
-
-
-def _cubic_oracle_sql(weights=None) -> str:
-    """16 LEFT JOINs + the SAME combine text the stencil warp compiles."""
+def _stencil_cte(alias: str, weights=None) -> str:
+    """16 LEFT JOINs + the SAME combine text the stencil warp compiles,
+    as a CTE body over the shared ``corner``/``ev`` CTEs; ``alias`` keeps
+    the join aliases of the two cubic kernels from colliding."""
     from demeter_spark.operators.reproject import cubic_combine_expr
 
-    joins = "\n            ".join(
-        f"LEFT JOIN ev v{o}{p} ON v{o}{p}.ix = c.i0 + {o - 1} "
-        f"AND v{o}{p}.iy = c.j0 + {p - 1}"
+    joins = "\n              ".join(
+        f"LEFT JOIN ev {alias}{o}{p} ON {alias}{o}{p}.ix = c.i0 + {o - 1} "
+        f"AND {alias}{o}{p}.iy = c.j0 + {p - 1}"
         for o in range(4)
         for p in range(4)
     )
     value_expr, valid = cubic_combine_expr(
-        "fx", "fy", lambda o, p: f"v{o}{p}.value", weights=weights
+        "fx", "fy", lambda o, p: f"{alias}{o}{p}.value", weights=weights
     )
+    return f"""
+              SELECT c.ix, c.iy,
+                     CASE WHEN {valid} THEN {value_expr} END AS value
+              FROM corner c
+              {joins}"""
+
+
+def _kernels_oracle_sql() -> str:
+    """All four interpolating kernels per destination pixel, each kernel's
+    expression text unchanged from its previously-verified standalone oracle
+    (bit-parity is preserved by identical parse trees; only the final join
+    on integer pixel keys is new)."""
+    from demeter_spark.operators.reproject import cubic_spline_weight_exprs
+
     return f"""
             , dstb AS (
               SELECT x.ix, y.iy,
@@ -783,11 +724,42 @@ def _cubic_oracle_sql(weights=None) -> str:
                      CAST(floor(gy) AS BIGINT) AS j0
               FROM dstb),
             ev AS (SELECT ix, iy, value FROM raster_cells
-                   WHERE dataset = 'elevation')
-            SELECT c.ix, c.iy,
-                   CASE WHEN {valid} THEN {value_expr} END AS value
-            FROM corner c
-            {joins}
+                   WHERE dataset = 'elevation'),
+            nn AS (
+              SELECT d.ix, d.iy, s.value
+              FROM (
+                SELECT x.ix, y.iy,
+                       CAST(floor((0.015625e0 * (-32e0 + (x.ix + 0.5e0) * 6e0)
+                                   + 0.5e0) / 0.25e0) AS BIGINT) AS six,
+                       CAST(floor((0.0625e0 * (-16e0 + (y.iy + 0.5e0) * 4e0)
+                                   + 1e0) / 0.25e0) AS BIGINT) AS siy
+                FROM range(96) x(ix), range(64) y(iy)) d
+              LEFT JOIN ev s ON s.ix = d.six AND s.iy = d.siy),
+            bl AS (
+              SELECT ix, iy, CASE WHEN den > 0 THEN num / den END AS value
+              FROM (
+                SELECT c.ix, c.iy,
+                  coalesce((1e0-fx)*(1e0-fy) * v00.value, 0e0)
+                    + coalesce(fx*(1e0-fy) * v10.value, 0e0)
+                    + coalesce((1e0-fx)*fy * v01.value, 0e0)
+                    + coalesce(fx*fy * v11.value, 0e0) AS num,
+                  (CASE WHEN v00.value IS NOT NULL THEN (1e0-fx)*(1e0-fy) ELSE 0e0 END)
+                    + (CASE WHEN v10.value IS NOT NULL THEN fx*(1e0-fy) ELSE 0e0 END)
+                    + (CASE WHEN v01.value IS NOT NULL THEN (1e0-fx)*fy ELSE 0e0 END)
+                    + (CASE WHEN v11.value IS NOT NULL THEN fx*fy ELSE 0e0 END) AS den
+                FROM corner c
+                LEFT JOIN ev v00 ON v00.ix = c.i0     AND v00.iy = c.j0
+                LEFT JOIN ev v10 ON v10.ix = c.i0 + 1 AND v10.iy = c.j0
+                LEFT JOIN ev v01 ON v01.ix = c.i0     AND v01.iy = c.j0 + 1
+                LEFT JOIN ev v11 ON v11.ix = c.i0 + 1 AND v11.iy = c.j0 + 1)),
+            cu AS ({_stencil_cte("k")}),
+            cs AS ({_stencil_cte("m", weights=cubic_spline_weight_exprs)})
+            SELECT ix, iy, nn.value AS v_nearest, bl.value AS v_bilinear,
+                   cu.value AS v_cubic, cs.value AS v_cubic_spline
+            FROM nn
+            JOIN bl USING (ix, iy)
+            JOIN cu USING (ix, iy)
+            JOIN cs USING (ix, iy)
     """
 
 
@@ -909,10 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
         "geocode_points": _q_geocode,
-        "reproject_nearest": _q_reproject_nearest,
-        "reproject_bilinear": _q_reproject_bilinear,
-        "reproject_cubic": _q_reproject_cubic,
-        "reproject_cubic_spline": _q_reproject_cubic_spline,
+        "reproject_kernels": _q_reproject_kernels,
         "reproject_agg_stats": _q_reproject_agg,
         "carbon_stock_stats": _q_carbon_stock,
         "geojson_parcels": _q_geojson_parcels,
@@ -940,7 +909,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "simhash_pairs": _q_simhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
-        "token_counts": _q_token_counts,
         "asof_clicks": _q_asof_clicks,
         "url_hosts": _q_url_hosts,
         "soil_quantile_sigma": _q_soil_quantile_sigma,
@@ -949,22 +917,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": _q_dedup_keep,
         "events_rollup": _q_events_rollup,
         "text_stats": _q_text_stats,
-        "fingerprints": _q_fingerprints,
         "quality_flags": _q_quality_flags,
         "top_terms": _q_top_terms,
         "url_canonical": _q_url_canonical,
         "ann_bruteforce": _q_ann_bruteforce,
-        "ann_ivf": _q_ann_ivf,
         "ann_ivf_multiprobe": _q_ann_ivf_multiprobe,
         "dedup_embedding": _q_dedup_embedding,
         "remap_histogram": _q_remap_histogram,
         "parcel_bounds": _q_parcel_bounds,
-        "site_prefixes": _q_site_prefixes,
-        "merge_var_around_mean": _q_merge_var_around_mean,
-        "events_tumbling": _q_events_tumbling,
-        "events_sessions": _q_events_sessions,
-        "tpch_pricing": _q_tpch_pricing,
-        "users_vs_customers": _q_users_vs_customers,
+        "events_windows": _q_events_windows,
     }
 
 
@@ -1066,21 +1027,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_text": oracle_query("SELECT url, text FROM pages", ("pages",)),
         "geocode_points": oracle_query("SELECT * FROM page_points"),
-        "reproject_nearest": oracle_query(
-            """
-            SELECT d.ix, d.iy, s.value
-            FROM (
-              SELECT x.ix, y.iy,
-                     CAST(floor((0.015625e0 * (-32e0 + (x.ix + 0.5e0) * 6e0)
-                                 + 0.5e0) / 0.25e0) AS BIGINT) AS six,
-                     CAST(floor((0.0625e0 * (-16e0 + (y.iy + 0.5e0) * 4e0)
-                                 + 1e0) / 0.25e0) AS BIGINT) AS siy
-              FROM range(96) x(ix), range(64) y(iy)) d
-            LEFT JOIN (SELECT ix, iy, value FROM raster_cells
-                       WHERE dataset = 'elevation') s
-              ON s.ix = d.six AND s.iy = d.siy
-            """,
-            ("raster_cells",),
+        "reproject_kernels": oracle_query(
+            _kernels_oracle_sql(), ("raster_cells",)
         ),
         "geojson_parcels": oracle_query(
             """
@@ -1140,46 +1088,6 @@ def oracle_sql() -> dict[str, str]:
             FROM lay
             """,
             ("raster_cells",),
-        ),
-        "reproject_bilinear": oracle_query(
-            """
-            , dstb AS (
-              SELECT x.ix, y.iy,
-                     (0.015625e0 * (-32e0 + (x.ix + 0.5e0) * 6e0) + 0.5e0)
-                       / 0.25e0 - 0.5e0 AS gx,
-                     (0.0625e0 * (-16e0 + (y.iy + 0.5e0) * 4e0) + 1e0)
-                       / 0.25e0 - 0.5e0 AS gy
-              FROM range(96) x(ix), range(64) y(iy)),
-            corner AS (
-              SELECT ix, iy, gx - floor(gx) AS fx, gy - floor(gy) AS fy,
-                     CAST(floor(gx) AS BIGINT) AS i0,
-                     CAST(floor(gy) AS BIGINT) AS j0
-              FROM dstb),
-            ev AS (SELECT ix, iy, value FROM raster_cells
-                   WHERE dataset = 'elevation'),
-            combined AS (
-              SELECT c.ix, c.iy,
-                coalesce((1e0-fx)*(1e0-fy) * v00.value, 0e0)
-                  + coalesce(fx*(1e0-fy) * v10.value, 0e0)
-                  + coalesce((1e0-fx)*fy * v01.value, 0e0)
-                  + coalesce(fx*fy * v11.value, 0e0) AS num,
-                (CASE WHEN v00.value IS NOT NULL THEN (1e0-fx)*(1e0-fy) ELSE 0e0 END)
-                  + (CASE WHEN v10.value IS NOT NULL THEN fx*(1e0-fy) ELSE 0e0 END)
-                  + (CASE WHEN v01.value IS NOT NULL THEN (1e0-fx)*fy ELSE 0e0 END)
-                  + (CASE WHEN v11.value IS NOT NULL THEN fx*fy ELSE 0e0 END) AS den
-              FROM corner c
-              LEFT JOIN ev v00 ON v00.ix = c.i0     AND v00.iy = c.j0
-              LEFT JOIN ev v10 ON v10.ix = c.i0 + 1 AND v10.iy = c.j0
-              LEFT JOIN ev v01 ON v01.ix = c.i0     AND v01.iy = c.j0 + 1
-              LEFT JOIN ev v11 ON v11.ix = c.i0 + 1 AND v11.iy = c.j0 + 1)
-            SELECT ix, iy, CASE WHEN den > 0 THEN num / den END AS value
-            FROM combined
-            """,
-            ("raster_cells",),
-        ),
-        "reproject_cubic": oracle_query(_cubic_oracle_sql(), ("raster_cells",)),
-        "reproject_cubic_spline": oracle_query(
-            _cubic_oracle_sql(weights=_spline_weights()), ("raster_cells",)
         ),
         "reproject_agg_stats": oracle_query(
             """
@@ -1334,6 +1242,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tile_merge": oracle_query(
             """
+            , merged AS (
             SELECT ix, iy,
                    min_by(value, priority) FILTER (WHERE value IS NOT NULL) AS first_value,
                    max_by(value, priority) FILTER (WHERE value IS NOT NULL) AS last_value,
@@ -1345,6 +1254,16 @@ def oracle_sql() -> dict[str, str]:
                    (sum(value*value) - sum(value)*sum(value)/count(value)) / count(value) AS var_value,
                    sqrt((sum(value*value) - sum(value)*sum(value)/count(value)) / count(value)) AS stddev_value
             FROM merge_sources GROUP BY ix, iy
+            ),
+            vam AS (
+            SELECT s.ix, s.iy,
+                   sum((s.value - m.mean_value) * (s.value - m.mean_value))
+                     / count(s.value) AS var_around_mean
+            FROM merge_sources s JOIN merged m USING (ix, iy)
+            GROUP BY s.ix, s.iy
+            )
+            SELECT merged.*, vam.var_around_mean
+            FROM merged JOIN vam USING (ix, iy)
             """,
             ("merge_sources",),
         ),
@@ -1483,8 +1402,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
                    count(*) AS n_pages,
                    count(DISTINCT regexp_extract(url, '^https?://[^/]+(/.*)$', 1))
-                     AS n_paths
+                     AS n_paths,
+                   max(url LIKE 'https://site1%') AS has_site1_prefix
             FROM pages GROUP BY host
+            ORDER BY host LIMIT 60
             """,
             ("pages",),
         ),
@@ -1577,16 +1498,6 @@ def oracle_sql() -> dict[str, str]:
                    min(event_id) AS min_event_id,
                    max(event_id) AS max_event_id
             FROM events GROUP BY ROLLUP (event_type, (user_id % 10))
-            """,
-            (),
-        ),
-        "token_counts": oracle_query(
-            """
-            SELECT doc_id,
-                   CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
-                   CAST(len(regexp_extract_all(lower(text),
-                        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_subtokens
-            FROM documents
             """,
             (),
         ),
@@ -1721,16 +1632,13 @@ def oracle_sql() -> dict[str, str]:
                         / len(ws) >= 0.02 THEN 'en' ELSE 'xx' END AS lang_guess,
                    CAST(CASE WHEN len(ws) >= 20
                         AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.3
-                        THEN 1 ELSE 0 END AS INT) AS quality_ok
-            FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
-            """,
-            (),
-        ),
-        "fingerprints": oracle_query(
-            """
-            SELECT doc_id, md5(text) AS fp_raw,
+                        THEN 1 ELSE 0 END AS INT) AS quality_ok,
+                   CAST(len(ws) AS INT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_subtokens,
+                   md5(text) AS fp_raw,
                    md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp_norm
-            FROM documents
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
             """,
             (),
         ),
@@ -1804,7 +1712,6 @@ def oracle_sql() -> dict[str, str]:
             (),
         ),
         "ann_bruteforce": oracle_query(_ann_oracle_tail(pruned=False)),
-        "ann_ivf": oracle_query(_ann_oracle_tail(pruned=True)),
         "remap_histogram": oracle_query(
             """
             SELECT CASE WHEN CAST(value AS BIGINT) % 13 < 10
@@ -1823,28 +1730,6 @@ def oracle_sql() -> dict[str, str]:
             """,
             ("parcels",),
         ),
-        "site_prefixes": oracle_query(
-            """
-            SELECT DISTINCT substr(url, 1, 14) AS site_prefix FROM pages
-            WHERE url LIKE 'https://site1%'
-            ORDER BY site_prefix LIMIT 20
-            """,
-            ("pages",),
-        ),
-        "merge_var_around_mean": oracle_query(
-            """
-            , m AS (
-              SELECT ix, iy, sum(value) / count(value) AS mean_value
-              FROM merge_sources GROUP BY ix, iy
-            )
-            SELECT s.ix, s.iy,
-                   sum((s.value - m.mean_value) * (s.value - m.mean_value))
-                     / count(s.value) AS var_around_mean
-            FROM merge_sources s JOIN m USING (ix, iy)
-            GROUP BY s.ix, s.iy
-            """,
-            ("merge_sources",),
-        ),
         "dedup_embedding": oracle_query(
             """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -1855,20 +1740,21 @@ def oracle_sql() -> dict[str, str]:
             """,
             ("emb_corpus",),
         ),
-        "events_tumbling": oracle_query(
+        "events_windows": oracle_query(
             """
-            SELECT date_trunc('hour', ts) AS window_start, event_type,
+            SELECT 'tumbling' AS kind, event_type AS k,
+                   CAST(NULL AS BIGINT) AS sid,
+                   date_trunc('hour', ts) AS win_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(value), 6) AS sum_value
-            FROM events GROUP BY 1, 2
-            """,
-            (),
-        ),
-        "events_sessions": oracle_query(
-            """
-            SELECT user_id, session_id,
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+            UNION ALL
+            SELECT 'session' AS kind, CAST(user_id AS VARCHAR) AS k,
+                   session_id AS sid,
+                   min(ts) AS win_start, max(ts) AS win_end,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   min(ts) AS session_start, max(ts) AS session_end
+                   CAST(NULL AS DOUBLE) AS sum_value
             FROM (
               SELECT user_id, ts,
                      CAST(sum(new_session) OVER (
@@ -1885,36 +1771,6 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
               )
             ) GROUP BY user_id, session_id
-            """,
-            (),
-        ),
-        "tpch_pricing": oracle_query(
-            """
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 4) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_discount), 6) AS avg_disc,
-                   CAST(count(*) AS BIGINT) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-            GROUP BY l_returnflag, l_linestatus
-            """,
-            (),
-        ),
-        "users_vs_customers": oracle_query(
-            """
-            SELECT uid, 'both' AS tag FROM (
-              SELECT DISTINCT user_id AS uid FROM events
-              INTERSECT
-              SELECT DISTINCT CAST(c_custkey AS BIGINT) FROM customer
-            )
-            UNION ALL
-            SELECT uid, 'events_only' FROM (
-              SELECT DISTINCT user_id AS uid FROM events
-              EXCEPT
-              SELECT DISTINCT CAST(c_custkey AS BIGINT) FROM customer
-            )
             """,
             (),
         ),

@@ -45,6 +45,20 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting, whitespace + BPE-ish regex subwords (task mandate):
+    letter runs / digit runs / single punctuation marks — the pre-tokenizer
+    shape of byte-pair encoders. Pure JVM regex, no UDF."""
+    return docs.selectExpr(
+        id_col,
+        f"CAST(size(split({text_col}, ' ')) AS INT) AS n_ws_tokens",
+        f"CAST(size(regexp_extract_all(lower({text_col}),"
+        " '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS INT) AS n_subtokens",
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Content fingerprints: full-text md5 + normalized (lowercase, collapsed
     whitespace) md5 — the exact-dedup keys."""

@@ -91,7 +91,7 @@ def test_cubic_partition_of_unity_and_linear_reproduction(spark):
 
 
 @pytest.mark.parametrize(
-    "qname", ["reproject_cubic", "reproject_cubic_spline", "reproject_agg_stats"]
+    "qname", ["reproject_kernels", "reproject_agg_stats"]
 )
 def test_warp_kernels_match_oracle(spark, ddb, qname):
     """Pre-check the driver's correctness-gate rows: shared combine text

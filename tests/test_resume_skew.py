@@ -187,8 +187,15 @@ def test_stateful_streaming_sessions(spark, tmp_path):
     # closed sessions must be a subset of the batch sessionizer's sessions
     import __spark_entry__ as m
 
-    batch = m.queries()["events_sessions"](spark, SF_DIR).select(
-        "user_id", "session_start", "session_end", "n_events"
+    batch = (
+        m.queries()["events_windows"](spark, SF_DIR)
+        .filter("kind = 'session'")
+        .selectExpr(
+            "CAST(k AS BIGINT) AS user_id",
+            "win_start AS session_start",
+            "win_end AS session_end",
+            "n_events",
+        )
     )
     missing = got.join(
         batch, ["user_id", "session_start", "session_end", "n_events"], "left_anti"
