@@ -5,9 +5,20 @@ Throughput metric (BASELINE.json): spatial-join + tiling rows/sec. The
 driver-provided tables are small, so the point fact table is deterministically
 replicated (DEMETER_BENCH_FACTOR, default 200 -> ~1M points at sf0.1).
 
+Every query runs DEMETER_BENCH_TRIALS times (default 3); the headline
+``queries`` map reports the BEST trial and ``queries_median``/
+``queries_trials`` expose the median and full spread, so round-over-round
+deltas can be separated from shared-host noise (VERDICT r03 #2 — the r03
+regression vs r02 was single-trial measurement noise).
+
 Modes (DEMETER_BENCH_MODE):
 - "full" (default): q1 spatial join + q4 zonal + q2 extraction + q3 kNN +
-  q5 MinHash/LSH dedup + q6 IVF multi-probe ANN, end-to-end.
+  q5 MinHash/LSH dedup + q6 IVF multi-probe ANN, end-to-end; plus a
+  ``skew`` section — the same cover join through the SHUFFLE path
+  (broadcast_cover=False) on the skewed world (the hot place holds ~25% of
+  pages), with and without explicit hot-cell salting, reporting wall time
+  AND max task time from the Spark status store (VERDICT r03 #8: salting
+  must demonstrably flatten the straggler task, not just match row sets).
 - "scaling": q1 only, against 128-vertex circle parcels with the point table
   cached (isolates the compute stage for the two-cluster-size efficiency
   protocol — see bench/scaling.py and BENCH/BASELINE.md).
@@ -17,10 +28,35 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _max_task_ms(sc, group: str) -> int:
+    """Max completed-task duration (ms) across all stages of all jobs in a
+    job group — straggler evidence from the in-process status store (the UI
+    REST server is disabled in the sandbox session)."""
+    tracker = sc.statusTracker()
+    stage_ids = set()
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        if info is not None:
+            stage_ids.update(info.stageIds)
+    store = sc._jsc.sc().statusStore()
+    worst = 0
+    for sid in stage_ids:
+        try:
+            tl = store.taskList(sid, 0, 1 << 20)
+        except Exception:
+            continue
+        for i in range(tl.size()):
+            d = tl.apply(i).duration()
+            if d.isDefined():
+                worst = max(worst, int(d.get()))
+    return worst
 
 
 def main() -> None:
@@ -29,6 +65,7 @@ def main() -> None:
     factor = int(os.environ.get("DEMETER_BENCH_FACTOR", "200"))
     mode = os.environ.get("DEMETER_BENCH_MODE", "full")
     res = int(os.environ.get("DEMETER_BENCH_RES", "10"))
+    trials = int(os.environ.get("DEMETER_BENCH_TRIALS", "3"))
 
     from demeter_spark.operators import joins
     from demeter_spark.session import get_spark
@@ -42,14 +79,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
+
+    def timed(name: str, fn, n_trials: int | None = None) -> None:
+        ts: list[float] = []
+        for _ in range(n_trials or trials):
+            t0 = time.time()
+            rows[name] = fn()
+            ts.append(time.time() - t0)
+        timings[name] = min(ts)
+        medians[name] = statistics.median(ts)
+        spreads[name] = [round(t, 3) for t in ts]
 
     base_count = synth.page_points(spark, sf_dir).count()  # warmup off-clock
     n_pts = base_count * factor
 
     pts = synth.scaled_page_points(spark, sf_dir, factor)
     covers = None
-    trials = 1
     if mode == "scaling":
         nvert = int(os.environ.get("DEMETER_BENCH_VERTS", "512"))
         trials = int(os.environ.get("DEMETER_BENCH_TRIALS", "3"))
@@ -65,46 +113,49 @@ def main() -> None:
     else:
         par = synth.parcels(spark)
 
-    best = None
-    for _ in range(trials):
-        t0 = time.time()
-        joined = joins.spatial_join(pts, par, res=res, covers=covers)
-        rows["q1_spatial_join"] = joined.count()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    timings["q1_spatial_join"] = best
+    timed(
+        "q1_spatial_join",
+        lambda: joins.spatial_join(pts, par, res=res, covers=covers).count(),
+    )
 
+    skew_report = None
     if mode != "scaling":
         # q4: raster<->vector tiling/zonal stats (the "tiling" half of the
         # headline metric): cells -> cover join -> per-parcel aggregates
         from demeter_spark.operators import zonal
 
-        t0 = time.time()
-        z = zonal.zonal_stats(synth.raster_cells(spark), synth.parcels(spark))
-        rows["q4_zonal"] = z.count()
-        timings["q4_zonal"] = time.time() - t0
+        timed(
+            "q4_zonal",
+            lambda: zonal.zonal_stats(
+                synth.raster_cells(spark), synth.parcels(spark)
+            ).count(),
+        )
 
-        t0 = time.time()
         pages = synth.pages(spark, sf_dir)
-        rows["q2_extract_text"] = pages.selectExpr(
-            f"{synth.extract_text_expr('html')} AS text"
-        ).filter("text IS NOT NULL").count()
-        timings["q2_extract_text"] = time.time() - t0
+        timed(
+            "q2_extract_text",
+            lambda: pages.selectExpr(
+                f"{synth.extract_text_expr('html')} AS text"
+            ).filter("text IS NOT NULL").count(),
+        )
 
-        t0 = time.time()
         base_pts = synth.page_points(spark, sf_dir)
-        knn = joins.knn_join(base_pts, synth.gazetteer(spark), k=3, res=6)
-        rows["q3_knn"] = knn.count()
-        timings["q3_knn"] = time.time() - t0
+        timed(
+            "q3_knn",
+            lambda: joins.knn_join(
+                base_pts, synth.gazetteer(spark), k=3, res=6
+            ).count(),
+        )
 
         # q5: the LLM-pipeline half — MinHash+LSH near-dup pairs over the
         # dedup corpus (banded buckets + exact-Jaccard verify)
         from demeter_spark.operators import dedup, simsearch
 
-        t0 = time.time()
         corpus = synth.dedup_corpus(spark, sf_dir)
-        rows["q5_dedup_minhash"] = dedup.minhash_lsh_pairs(corpus, 0.8).count()
-        timings["q5_dedup_minhash"] = time.time() - t0
+        timed(
+            "q5_dedup_minhash",
+            lambda: dedup.minhash_lsh_pairs(corpus, 0.8).count(),
+        )
 
         # q6: true-IVF multi-probe ANN (nearest-centroid lists, shuffle-free
         # assignment) — every embedding queried against the corpus. The
@@ -113,37 +164,92 @@ def main() -> None:
         # size — list count must grow with N for IVF to scale).
         from pyspark.sql import functions as F
 
-        t0 = time.time()
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n_emb = emb.count()
         n_lists = max(8, int(n_emb ** 0.5))
         emb = emb.withColumn(
             "ivf_cell", F.pmod(F.xxhash64("vec_id"), F.lit(n_lists))
         )
-        rows["q6_ann_multiprobe"] = simsearch.ivf_multiprobe_topk(
-            emb, emb, k=10, n_probe=3, cell_col="ivf_cell"
-        ).count()
-        timings["q6_ann_multiprobe"] = time.time() - t0
+        timed(
+            "q6_ann_multiprobe",
+            lambda: simsearch.ivf_multiprobe_topk(
+                emb, emb, k=10, n_probe=3, cell_col="ivf_cell"
+            ).count(),
+        )
+
+        # --- skew evidence (VERDICT r03 #8): the cover join through a REAL
+        # shuffle join (auto-broadcast disabled — at 100 TB the continental
+        # cover is not broadcastable) on the hot-place world, where at res 6
+        # one cell holds ~33% of all points. Plain vs hot-cell-salted,
+        # 2 trials each, reporting wall AND max completed-task time: at 32
+        # local threads the job is one task wave, so wall barely moves (and
+        # pays the 2-key sort overhead), but the straggler task — the bound
+        # that dominates wall on a 1000-executor cluster with many waves —
+        # must demonstrably flatten.
+        from demeter_spark.functions.spark_udfs import cell_of
+        from demeter_spark.plans import skew as skewmod
+
+        skew_res = int(os.environ.get("DEMETER_BENCH_SKEW_RES", "6"))
+        sc = spark.sparkContext
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            spts = pts.persist()
+            spts.count()
+            scovers = joins.parcel_covers(par, res=skew_res).persist()
+            scovers.count()
+            hot = skewmod.detect_hot_cells(
+                spts.withColumn(
+                    "_cell", cell_of(F.col("lon"), F.col("lat"), skew_res)
+                ),
+                threshold_ratio=0.2,
+            )
+            skew_report = {"n_hot_cells": len(hot)}
+            for tag, hc in (("plain", None), ("salted", hot)):
+                walls, max_tasks = [], []
+                for trial in range(2):
+                    group = f"skew_{tag}_{trial}"
+                    sc.setJobGroup(group, group)
+                    t0 = time.time()
+                    n = joins.spatial_join(
+                        spts, par, res=skew_res, broadcast_cover=False,
+                        hot_cells=hc, covers=scovers,
+                    ).count()
+                    walls.append(round(time.time() - t0, 3))
+                    max_tasks.append(_max_task_ms(sc, group))
+                skew_report[f"wall_{tag}"] = min(walls)
+                skew_report[f"max_task_ms_{tag}"] = min(max_tasks)
+                skew_report[f"trials_{tag}"] = {
+                    "wall": walls, "max_task_ms": max_tasks,
+                }
+                skew_report["rows"] = n
+                sc.setJobGroup("idle", "idle")
+            spts.unpersist()
+            scovers.unpersist()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
     total = sum(timings.values())
     throughput = (n_pts + rows["q1_spatial_join"]) / timings["q1_spatial_join"]
-    print(
-        json.dumps(
-            {
-                "metric": "spatial_join_tiling_total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in timings.items()},
-                "sf": sf_dir,
-                "rows": rows,
-                "n_points": n_pts,
-                "spatial_join_rows_per_sec": round(throughput),
-                "cpus": cpus,
-                "bench_factor": factor,
-                "mode": mode,
-            }
-        )
-    )
+    out = {
+        "metric": "spatial_join_tiling_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries_median": {k: round(v, 3) for k, v in medians.items()},
+        "queries_trials": spreads,
+        "sf": sf_dir,
+        "rows": rows,
+        "n_points": n_pts,
+        "spatial_join_rows_per_sec": round(throughput),
+        "cpus": cpus,
+        "bench_factor": factor,
+        "trials": trials,
+        "mode": mode,
+    }
+    if skew_report is not None:
+        out["skew"] = skew_report
+    print(json.dumps(out))
     spark.stop()
 
 
