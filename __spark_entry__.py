@@ -682,6 +682,54 @@ def _q_reproject_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ALBERS = dict(phi1=8.0, phi2=24.0, phi0=16.0, lon0=18.0)
+_ALBERS_DST = dict(ox=-1536000.0, oy=-1280000.0, rx=32000.0, ry=32000.0,
+                   nx=96, ny=80)
+
+
+def _q_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 through a CONIC CRS (VERDICT r03 #5): nearest-kernel warp of the
+    elevation raster onto an Albers equal-area grid (spherical closed form,
+    std parallels 8/24, origin 16N 18E — the EPSG:5070 construction scaled
+    to the synthetic world's extent; reference: demeter/api.py:183-219
+    to_crs(5070)). Nearest is the oracle-able kernel through trig: only
+    floor() agreement is needed and every source coordinate clears cell
+    boundaries by >=5e-5 cells (asserted in tests/test_albers.py);
+    interpolating kernels through the conic are pytest-verified."""
+    from demeter_spark.operators import reproject as rp
+    from demeter_spark.sources import synth
+
+    src = synth.raster_cells(spark).filter("dataset = 'elevation'")
+    return rp.reproject_nearest(
+        src,
+        rp.Grid(**_SRC_GRID),
+        rp.Grid(**_ALBERS_DST),
+        rp.albers_to_lonlat(**_ALBERS),
+        broadcast_src=True,
+    )
+
+
+def _albers_oracle_sql() -> str:
+    from demeter_spark.operators.reproject import albers_inverse_sql
+
+    lon, lat = albers_inverse_sql(
+        "(-1536000e0 + (x.ix + 0.5e0) * 32000e0)",
+        "(-1280000e0 + (y.iy + 0.5e0) * 32000e0)",
+        **_ALBERS,
+    )
+    return f"""
+            SELECT d.ix, d.iy, s.value
+            FROM (
+              SELECT x.ix, y.iy,
+                     CAST(floor(({lon} - 0e0) / 0.25e0) AS BIGINT) AS six,
+                     CAST(floor(({lat} - 0e0) / 0.25e0) AS BIGINT) AS siy
+              FROM range(96) x(ix), range(80) y(iy)) d
+            LEFT JOIN (SELECT ix, iy, value FROM raster_cells
+                       WHERE dataset = 'elevation') s
+              ON s.ix = d.six AND s.iy = d.siy
+    """
+
+
 def _q_reproject_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 source-driven stat family (min/max/sum/rms/count downsampling)."""
     from demeter_spark.operators import reproject as rp
@@ -772,6 +820,48 @@ def _kernels_oracle_sql() -> str:
             JOIN bl USING (ix, iy)
             JOIN cu USING (ix, iy)
             JOIN cs USING (ix, iy)
+    """
+
+
+def _q_reproject_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 order-statistic kernels (VERDICT r03 #7): rasterio Resampling.mode
+    /.med/.q1/.q3 as one sorted-array pass per destination cell, explicit
+    rank/tie semantics shared with the oracle (engine-native quantile
+    aggregates interpolate differently and are deliberately avoided)."""
+    from demeter_spark.operators import reproject as rp
+    from demeter_spark.sources import synth
+
+    src = synth.raster_cells(spark).filter("dataset = 'elevation'")
+    return rp.reproject_order_stats(
+        src,
+        rp.Grid(**_SRC_GRID),
+        rp.Grid(0.0, 0.0, 1.0, 1.0, 36, 32),
+        mode_quantize=8.0,
+    )
+
+
+def _quantiles_oracle_sql() -> str:
+    from demeter_spark.operators.reproject import order_stat_oracle_exprs
+
+    k = order_stat_oracle_exprs("s")
+    kq = order_stat_oracle_exprs("sq")
+    return f"""
+            , cellagg AS (
+              SELECT CAST(floor(cx) AS BIGINT) AS ix,
+                     CAST(floor(cy) AS BIGINT) AS iy,
+                     list_sort(list(value) FILTER (WHERE value IS NOT NULL)) AS s,
+                     list_sort(list(floor(value / 8e0) * 8e0)
+                               FILTER (WHERE value IS NOT NULL)) AS sq,
+                     count(value) AS n_valid
+              FROM raster_cells WHERE dataset = 'elevation'
+              GROUP BY 1, 2)
+            SELECT ix, iy,
+                   {k["med"]} AS med_value,
+                   {k["q1"]} AS q1_value,
+                   {k["q3"]} AS q3_value,
+                   {kq["mode"]} AS mode_value,
+                   CAST(n_valid AS INT) AS n_valid
+            FROM cellagg
     """
 
 
@@ -894,7 +984,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": _q_extract_text,
         "geocode_points": _q_geocode,
         "reproject_kernels": _q_reproject_kernels,
+        "reproject_albers": _q_reproject_albers,
         "reproject_agg_stats": _q_reproject_agg,
+        "reproject_agg_quantiles": _q_reproject_quantiles,
         "carbon_stock_stats": _q_carbon_stock,
         "geojson_parcels": _q_geojson_parcels,
         "spatial_join": _q_spatial_join,
@@ -1043,6 +1135,12 @@ def oracle_sql() -> dict[str, str]:
         "geocode_points": oracle_query("SELECT * FROM page_points"),
         "reproject_kernels": oracle_query(
             _kernels_oracle_sql(), ("raster_cells",)
+        ),
+        "reproject_albers": oracle_query(
+            _albers_oracle_sql(), ("raster_cells",)
+        ),
+        "reproject_agg_quantiles": oracle_query(
+            _quantiles_oracle_sql(), ("raster_cells",)
         ),
         "geojson_parcels": oracle_query(
             """

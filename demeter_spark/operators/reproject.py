@@ -276,18 +276,16 @@ def cubic_spline_weight_exprs(f: str) -> list[str]:
     ]
 
 
-def _stencil16_warp(
+def _stencil16_agg(
     src_cells: DataFrame,
     src_grid: Grid,
     dst_grid: Grid,
     to_src: Transform,
     value_col: str,
     broadcast_src: bool,
-    weight_exprs,
 ) -> DataFrame:
-    """Shared 4x4-stencil destination-driven warp: explode 16 neighbor
-    offsets, one equi-join, pivot, fixed-order combine with the given
-    per-axis weight-text family (cubic / cubic_spline)."""
+    """Shared 4x4-stencil join/pivot: per destination cell, the fractional
+    position (_fx, _fy) and the 16 neighbor values _v00.._v33 as columns."""
     spark = src_cells.sparkSession
     dst = grid_cells(spark, dst_grid)
     sx, sy = to_src(dst_grid.center_x(F.col("ix")), dst_grid.center_y(F.col("iy")))
@@ -320,6 +318,24 @@ def _stencil16_warp(
             for o in range(4)
             for p in range(4)
         ],
+    )
+    return agg
+
+
+def _stencil16_warp(
+    src_cells: DataFrame,
+    src_grid: Grid,
+    dst_grid: Grid,
+    to_src: Transform,
+    value_col: str,
+    broadcast_src: bool,
+    weight_exprs,
+) -> DataFrame:
+    """Text-weight 4x4-stencil warp (cubic / cubic_spline): fixed-order
+    combine with the given per-axis weight-text family, shared verbatim
+    with the SQL oracle."""
+    agg = _stencil16_agg(
+        src_cells, src_grid, dst_grid, to_src, value_col, broadcast_src
     )
     value_expr, valid = cubic_combine_expr(
         "_fx", "_fy", lambda o, p: f"_v{o}{p}", weights=weight_exprs
@@ -559,3 +575,309 @@ def tm_to_lonlat(lon0: float, k0: float = 0.9996) -> Transform:
         return lon, lat
 
     return t
+
+
+# ---------------------------------------------------------------------------
+# Albers equal-area conic (spherical closed form) — VERDICT r03 'What's
+# missing' #2. Reference anchor: demeter/api.py:183-219 reprojects CONUS
+# hydrography to EPSG:5070 (Albers, std parallels 29.5/45.5, origin 23N
+# 96W) via pyproj/rasterio; here the spherical closed form (the standard
+# conic equations: n = (sin p1 + sin p2)/2, C = cos^2 p1 + 2 n sin p1,
+# rho = R sqrt(C - 2 n sin phi)/n, theta = n (lon - lon0)) as pluggable
+# Catalyst Transforms plus a shared-constant SQL text builder so the
+# NEAREST-kernel warp admits a DuckDB oracle: nearest only needs floor()
+# agreement between engines, which survives ~1-ulp cross-engine trig
+# differences as long as no source coordinate sits within ~1e-9 of a cell
+# boundary (asserted by tests/test_albers.py on the oracle grid).
+# Interpolating kernels through the conic are pytest-verified instead —
+# trig-derived weights are NOT bit-stable across engines (BENCH/PLANS
+# documented exclusion, same policy as lanczos).
+
+
+def albers_constants(
+    phi1: float, phi2: float, phi0: float, lon0: float, radius: float = EARTH_R
+) -> tuple[float, float, float]:
+    """(n, C, rho0) — computed once in Python and embedded as double
+    literals in BOTH engines' expressions, so the only cross-engine trig is
+    over the per-row coordinates."""
+    n = (math.sin(phi1 * DEG) + math.sin(phi2 * DEG)) / 2.0
+    c = math.cos(phi1 * DEG) ** 2 + 2.0 * n * math.sin(phi1 * DEG)
+    rho0 = radius * math.sqrt(c - 2.0 * n * math.sin(phi0 * DEG)) / n
+    return n, c, rho0
+
+
+def _flit(v: float) -> str:
+    """Float literal that parses as DOUBLE in both Spark SQL and DuckDB
+    (decimal-looking literals become DECIMAL in DuckDB; force an exponent —
+    17 significant digits round-trips IEEE doubles exactly)."""
+    return format(v, ".17e")
+
+
+def lonlat_to_albers(
+    phi1: float, phi2: float, phi0: float, lon0: float, radius: float = EARTH_R
+) -> Transform:
+    """Forward: (lon, lat) degrees -> (x, y) meters. Pure Catalyst trig."""
+    n, c, rho0 = albers_constants(phi1, phi2, phi0, lon0, radius)
+
+    def t(lon: Column, lat: Column) -> tuple[Column, Column]:
+        theta = F.lit(n) * ((lon - F.lit(lon0)) * F.lit(DEG))
+        rho = F.lit(radius / n) * F.sqrt(
+            F.lit(c) - F.lit(2.0 * n) * F.sin(lat * F.lit(DEG))
+        )
+        return rho * F.sin(theta), F.lit(rho0) - rho * F.cos(theta)
+
+    return t
+
+
+def albers_to_lonlat(
+    phi1: float, phi2: float, phi0: float, lon0: float, radius: float = EARTH_R
+) -> Transform:
+    """Inverse: (x, y) meters -> (lon, lat) degrees. Operation order matches
+    albers_inverse_sql exactly."""
+    n, c, rho0 = albers_constants(phi1, phi2, phi0, lon0, radius)
+
+    def t(x: Column, y: Column) -> tuple[Column, Column]:
+        ry = F.lit(rho0) - y
+        lon = F.lit(lon0) + F.atan2(x, ry) / F.lit(n) / F.lit(DEG)
+        rho_sq = x * x + ry * ry
+        lat = (
+            F.asin(
+                (F.lit(c) - rho_sq * F.lit((n / radius) ** 2)) / F.lit(2.0 * n)
+            )
+            / F.lit(DEG)
+        )
+        return lon, lat
+
+    return t
+
+
+def albers_inverse_sql(
+    x: str,
+    y: str,
+    phi1: float,
+    phi2: float,
+    phi0: float,
+    lon0: float,
+    radius: float = EARTH_R,
+) -> tuple[str, str]:
+    """The inverse as SQL text over the ``x``/``y`` sub-expressions — the
+    DuckDB-oracle side of albers_to_lonlat (same constants, same operation
+    order)."""
+    n, c, rho0 = albers_constants(phi1, phi2, phi0, lon0, radius)
+    ry = f"({_flit(rho0)} - ({y}))"
+    lon = f"({_flit(lon0)} + atan2({x}, {ry}) / {_flit(n)} / {_flit(DEG)})"
+    rho_sq = f"(({x}) * ({x}) + {ry} * {ry})"
+    lat = (
+        f"(asin(({_flit(c)} - {rho_sq} * {_flit((n / radius) ** 2)})"
+        f" / {_flit(2.0 * n)}) / {_flit(DEG)})"
+    )
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# R6 order-statistic downsampling kernels (VERDICT r03 #7): rasterio's
+# Resampling.mode / .med / .q1 / .q3 (reprojection.py:18-44 passes the full
+# enum through). Engine-portable EXPLICIT semantics instead of engine-native
+# quantile aggregates (whose interpolation rules differ): sort the cell's
+# contributing values, index with a closed-form rank, and break mode ties
+# toward the SMALLEST value — the same expression text evaluates identically
+# in Spark and DuckDB, so all four kernels are exact-oracle-backed.
+# (gauss/lanczos stay pytest-invariant-only: trig/exp weights are not
+# bit-stable across engines — same policy as the cubic-family exclusion
+# notes above.)
+
+ORDER_STAT_EXPRS = {
+    # {s} = the SORTED value array (nulls already dropped)
+    "med": (
+        "CASE WHEN size({s}) % 2 = 1"
+        " THEN element_at({s}, CAST((size({s}) + 1) / 2 AS INT))"
+        " ELSE (element_at({s}, CAST(size({s}) / 2 AS INT))"
+        "     + element_at({s}, CAST(size({s}) / 2 + 1 AS INT))) / 2e0 END"
+    ),
+    "q1": "element_at({s}, GREATEST(1, CAST(ceil(0.25e0 * size({s})) AS INT)))",
+    "q3": "element_at({s}, GREATEST(1, CAST(ceil(0.75e0 * size({s})) AS INT)))",
+    # max over (count, -value) structs == most frequent, ties -> smallest
+    "mode": (
+        "-array_max(transform(array_distinct({s}), x ->"
+        " struct(size(filter({s}, y -> y = x)) AS cnt, -x AS negv))).negv"
+    ),
+}
+
+
+def order_stat_oracle_exprs(s: str) -> dict[str, str]:
+    """The same four kernels as DuckDB text over a sorted-list expression
+    ``s`` (DuckDB spellings: len/list element brackets/list_* higher-order;
+    rank arithmetic and tie rules identical to ORDER_STAT_EXPRS)."""
+    return {
+        "med": (
+            f"CASE WHEN len({s}) % 2 = 1"
+            f" THEN {s}[CAST((len({s}) + 1) / 2 AS INT)]"
+            f" ELSE ({s}[CAST(len({s}) / 2 AS INT)]"
+            f"     + {s}[CAST(len({s}) / 2 + 1 AS INT)]) / 2e0 END"
+        ),
+        "q1": f"{s}[GREATEST(1, CAST(ceil(0.25e0 * len({s})) AS INT))]",
+        "q3": f"{s}[GREATEST(1, CAST(ceil(0.75e0 * len({s})) AS INT))]",
+        "mode": (
+            f"-list_max(list_transform(list_distinct({s}), x ->"
+            f" {{'cnt': len(list_filter({s}, y -> y = x)), 'negv': -x}})).negv"
+        ),
+    }
+
+
+def reproject_order_stats(
+    src_cells: DataFrame,
+    src_grid: Grid,
+    dst_grid: Grid,
+    to_dst: Transform = identity_transform,
+    value_col: str = "value",
+    mode_quantize: float | None = None,
+) -> DataFrame:
+    """Source-driven mode/med/q1/q3 downsampling: forward-transform source
+    centers into destination cells, collect+sort each cell's values once,
+    then evaluate every order statistic from the one sorted array (a single
+    shuffle — same plan shape as reproject_aggregate, with a per-cell sort
+    whose cost is bounded by the downsampling factor, e.g. 16 values for a
+    4x4 reduction). ``mode_quantize`` optionally buckets values
+    (floor(v/q)*q) for the mode kernel only — the GDAL-style usage where
+    mode is computed over classified rasters."""
+    dx, dy = to_dst(
+        src_grid.center_x(F.col("ix")), src_grid.center_y(F.col("iy"))
+    )
+    base = (
+        src_cells.select(
+            dst_grid.index_x(dx).alias("ix"),
+            dst_grid.index_y(dy).alias("iy"),
+            F.col(value_col).alias("_sv"),
+        )
+        .filter(
+            (F.col("ix") >= 0) & (F.col("ix") < dst_grid.nx)
+            & (F.col("iy") >= 0) & (F.col("iy") < dst_grid.ny)
+        )
+        .filter(F.col("_sv").isNotNull())
+    )
+    mode_src = (
+        F.expr(f"floor(_sv / {_flit(mode_quantize)}) * {_flit(mode_quantize)}")
+        if mode_quantize
+        else F.col("_sv")
+    )
+    agg = base.groupBy("ix", "iy").agg(
+        F.array_sort(F.collect_list("_sv")).alias("_s"),
+        F.array_sort(F.collect_list(mode_src)).alias("_sq"),
+    )
+    return agg.select(
+        "ix",
+        "iy",
+        F.expr(ORDER_STAT_EXPRS["med"].format(s="_s")).alias("med_value"),
+        F.expr(ORDER_STAT_EXPRS["q1"].format(s="_s")).alias("q1_value"),
+        F.expr(ORDER_STAT_EXPRS["q3"].format(s="_s")).alias("q3_value"),
+        F.expr(ORDER_STAT_EXPRS["mode"].format(s="_sq")).alias("mode_value"),
+        F.size("_s").alias("n_valid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gauss / Lanczos stencil kernels (VERDICT r03 #7, second half): the two
+# rasterio resampling enums whose weights need exp/trig — deliberately NOT
+# exact-oracle-backed (transcendental bit-level results differ across
+# engines; same documented policy as the lanczos exclusion note on
+# reproject_aggregate) but REAL kernels on the same 4x4-stencil join shape,
+# verified by pytest invariants mirroring the reference's resampling tests
+# (/root/reference/tests/raster/utils/test_reprojection.py:19-101):
+# constant preservation, interpolation at exact lattice positions
+# (lanczos), and smooth-field tracking.
+
+
+def _stencil16_column_warp(
+    src_cells: DataFrame,
+    src_grid: Grid,
+    dst_grid: Grid,
+    to_src: Transform,
+    value_col: str,
+    broadcast_src: bool,
+    wfn,
+    require_all: bool,
+) -> DataFrame:
+    """Column-weight 4x4-stencil warp with weight normalization:
+    value = sum(w*v) / sum(w). ``wfn(d)`` maps a signed center distance
+    Column to a weight Column. ``require_all``: NULL unless every neighbor
+    is valid (needed for signed-weight kernels like lanczos, where
+    renormalizing over a partial stencil is unsound); else renormalize over
+    the valid neighbors (nonnegative kernels, bilinear-style)."""
+    agg = _stencil16_agg(
+        src_cells, src_grid, dst_grid, to_src, value_col, broadcast_src
+    )
+    fx, fy = F.col("_fx"), F.col("_fy")
+    wxs = [wfn(fx - F.lit(float(o - 1))) for o in range(4)]
+    wys = [wfn(fy - F.lit(float(p - 1))) for p in range(4)]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    all_valid = F.lit(True)
+    for o in range(4):
+        wx = wxs[o]
+        for p in range(4):
+            w = wx * wys[p]
+            v = F.col(f"_v{o}{p}")
+            num = num + F.when(v.isNotNull(), w * v).otherwise(F.lit(0.0))
+            den = den + F.when(v.isNotNull(), w).otherwise(F.lit(0.0))
+            all_valid = all_valid & v.isNotNull()
+    value = F.when(F.abs(den) > 1e-12, num / den)
+    if require_all:
+        value = F.when(all_valid, value)
+    return agg.select("ix", "iy", value.alias("value"))
+
+
+def reproject_gauss(
+    src_cells: DataFrame,
+    src_grid: Grid,
+    dst_grid: Grid,
+    to_src: Transform = identity_transform,
+    value_col: str = "value",
+    broadcast_src: bool = False,
+    sigma: float = 0.6,
+) -> DataFrame:
+    """Gaussian-weighted warp (R6 ``Resampling.gauss``): normalized
+    exp(-d^2 / 2 sigma^2) weights over the 4x4 stencil; nonnegative, so
+    masked neighbors renormalize out (bilinear-style)."""
+    inv2s2 = 1.0 / (2.0 * sigma * sigma)
+
+    def w(d: Column) -> Column:
+        return F.exp(-(d * d) * F.lit(inv2s2))
+
+    return _stencil16_column_warp(
+        src_cells, src_grid, dst_grid, to_src, value_col, broadcast_src,
+        w, require_all=False,
+    )
+
+
+def reproject_lanczos(
+    src_cells: DataFrame,
+    src_grid: Grid,
+    dst_grid: Grid,
+    to_src: Transform = identity_transform,
+    value_col: str = "value",
+    broadcast_src: bool = False,
+    a: int = 2,
+) -> DataFrame:
+    """Lanczos warp (R6 ``Resampling.lanczos``, a=2 over the 4x4 stencil):
+    w(d) = sinc(d) * sinc(d/a) for |d| < a, normalized by the truncated
+    window's weight sum. Signed weights -> the full stencil must be valid
+    (NULL otherwise), matching the cubic-family masking contract."""
+    pi = math.pi
+
+    def w(d: Column) -> Column:
+        px = d * F.lit(pi)
+        sinc = F.when(F.abs(d) < 1e-12, F.lit(1.0)).otherwise(
+            F.sin(px) / px
+        )
+        pxa = d * F.lit(pi / a)
+        sinca = F.when(F.abs(d) < 1e-12, F.lit(1.0)).otherwise(
+            F.sin(pxa) / pxa
+        )
+        return F.when(F.abs(d) < F.lit(float(a)), sinc * sinca).otherwise(
+            F.lit(0.0)
+        )
+
+    return _stencil16_column_warp(
+        src_cells, src_grid, dst_grid, to_src, value_col, broadcast_src,
+        w, require_all=True,
+    )
