@@ -74,13 +74,18 @@ def decode_features(media_df: DataFrame) -> DataFrame:
 
 
 def real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media table with REAL bitstreams: even doc_ids carry an actual PNG
-    (8-bit gray gradient, pixel (x, y) = (x*7 + y*13 + doc_id) % 256, size
-    (doc_id%16+4) x (doc_id%12+4)), odd doc_ids an actual RIFF PCM16 WAV
-    (8 kHz square wave, amplitude 3000 + doc_id%1000, 800 + doc_id%100
-    samples). Payloads are deterministic, so decoded features admit a
-    closed-form DuckDB oracle — the encode+decode round trip is verified
-    against an INDEPENDENT derivation, not against itself."""
+    """Media table with REAL bitstreams, cycling by doc_id % 3:
+    0 -> an actual PNG (8-bit gray gradient, pixel (x, y) =
+    (x*7 + y*13 + doc_id) % 256, size (doc_id%16+4) x (doc_id%12+4));
+    1 -> an actual RIFF PCM16 WAV (8 kHz square wave, amplitude
+    3000 + doc_id%1000, 800 + doc_id%100 samples); 2 -> an actual baseline
+    grayscale JPEG built from DC-only quantized coefficient blocks
+    (q00 = 16, DC(i, j) = (i*5 + j*11 + doc_id) % 128 - 64, so each 8x8
+    block decodes to the flat value 2*DC + 128 — analytically exact through
+    the full Huffman + IDCT path). Payloads are deterministic, so decoded
+    features admit a closed-form DuckDB oracle — the encode+decode round
+    trip is verified against an INDEPENDENT derivation, not against
+    itself."""
     import numpy as np
 
     from demeter_spark.functions import codecs
@@ -91,19 +96,31 @@ def real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             kinds = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                if d % 2 == 0:
+                if d % 3 == 0:
                     w, h = d % 16 + 4, d % 12 + 4
                     xs = np.arange(w)[None, :]
                     ys = np.arange(h)[:, None]
                     img = ((xs * 7 + ys * 13 + d) % 256).astype(np.uint8)
                     payloads.append(codecs.png_encode(img))
                     kinds.append("image")
-                else:
+                elif d % 3 == 1:
                     n = 800 + d % 100
                     amp = 3000 + d % 1000
                     sq = np.where((np.arange(n) // 8) % 2 == 0, amp, -amp)
                     payloads.append(codecs.wav_encode(sq.astype(np.int16), 8000))
                     kinds.append("audio")
+                else:
+                    bx, by = d % 4 + 1, d % 3 + 1
+                    q = np.ones((8, 8), dtype=np.int64)
+                    q[0, 0] = 16
+                    co = np.zeros((by, bx, 8, 8), dtype=np.int64)
+                    for j in range(by):
+                        for i in range(bx):
+                            co[j, i, 0, 0] = (i * 5 + j * 11 + d) % 128 - 64
+                    payloads.append(
+                        codecs.jpeg_encode_blocks(co, q, bx * 8, by * 8)
+                    )
+                    kinds.append("image")
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "kind": kinds, "payload": payloads}
             )
@@ -115,11 +132,12 @@ def real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decode_real(media_df: DataFrame) -> DataFrame:
     """REAL-codec decode: sniffs the payload magic and runs the stdlib-based
-    PNG / WAV decoders (functions/codecs.py) inside the Arrow batch —
-    an actual bitstream parse (zlib inflate, scanline unfiltering, RIFF
-    chunk walk), not a header fake. Formats needing external libraries
-    (JPEG, H.264, ...) raise NotImplementedError per payload — the one
-    remaining sandbox stub, now scoped to exotic codecs only."""
+    PNG / WAV / baseline-JPEG decoders (functions/codecs.py) inside the
+    Arrow batch — an actual bitstream parse (zlib inflate, scanline
+    unfiltering, RIFF chunk walk, Huffman entropy decode + IDCT), not a
+    header fake. Formats needing external libraries (H.264-class video)
+    raise NotImplementedError per payload — the one remaining sandbox
+    stub."""
     import numpy as np
 
     from demeter_spark.functions import codecs
@@ -157,10 +175,23 @@ def decode_real(media_df: DataFrame) -> DataFrame:
                         float(np.abs(samples.astype(np.int64)).sum())
                         / len(samples)
                     )
+                elif blob[:2] == b"\xff\xd8":
+                    img = codecs.jpeg_decode(blob)
+                    h, w = img.shape
+                    rows["kind"].append("image")
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(1)
+                    rows["n_samples"].append(None)
+                    rows["sample_rate"].append(None)
+                    rows["mean_value"].append(
+                        float(img.sum(dtype=np.int64)) / img.size
+                    )
                 else:
                     raise NotImplementedError(
-                        "real decode supports PNG and PCM WAV in this "
-                        "environment; other codecs need external libraries"
+                        "real decode supports PNG, PCM WAV and baseline "
+                        "grayscale JPEG in this environment; H.264-class "
+                        "codecs need external libraries"
                     )
                 rows["doc_id"].append(d)
             yield pd.DataFrame(rows)
@@ -183,14 +214,28 @@ REAL_MEDIA_ORACLE_SQL = """
             FROM range(20) x(x), range(16) y(y)
             WHERE x.x < d.doc_id % 16 + 4 AND y.y < d.doc_id % 12 + 4)
              / ((d.doc_id % 16 + 4) * (d.doc_id % 12 + 4)) AS mean_value
-    FROM documents d WHERE d.doc_id % 2 = 0
+    FROM documents d WHERE d.doc_id % 3 = 0
     UNION ALL
     SELECT d.doc_id, 'audio',
            CAST(NULL AS INT), CAST(NULL AS INT), CAST(1 AS INT),
            CAST(800 + d.doc_id % 100 AS BIGINT),
            CAST(8000 AS INT),
            CAST(3000 + d.doc_id % 1000 AS DOUBLE)
-    FROM documents d WHERE d.doc_id % 2 = 1
+    FROM documents d WHERE d.doc_id % 3 = 1
+    UNION ALL
+    -- baseline JPEG: DC-only blocks with q00 = 16 decode to the flat value
+    -- 2*DC + 128 = 2*((i*5 + j*11 + doc_id) % 128); equal-size blocks, so
+    -- the pixel mean is the block-value mean
+    SELECT d.doc_id, 'image',
+           CAST((d.doc_id % 4 + 1) * 8 AS INT),
+           CAST((d.doc_id % 3 + 1) * 8 AS INT),
+           CAST(1 AS INT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INT),
+           (SELECT CAST(sum(2 * ((i.i * 5 + j.j * 11 + d.doc_id) % 128)) AS DOUBLE)
+            FROM range(4) i(i), range(3) j(j)
+            WHERE i.i < d.doc_id % 4 + 1 AND j.j < d.doc_id % 3 + 1)
+             / ((d.doc_id % 4 + 1) * (d.doc_id % 3 + 1)) AS mean_value
+    FROM documents d WHERE d.doc_id % 3 = 2
 """
 
 

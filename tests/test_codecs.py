@@ -77,8 +77,90 @@ def test_real_media_decode_matches_oracle(spark, ddb):
 def test_decode_real_rejects_unknown_codec(spark):
     from demeter_spark.sources import multimodal
 
+    # an H.264-class payload (no supported magic) hits the documented stub
     df = spark.createDataFrame(
-        [(1, bytearray(b"\xff\xd8\xff\xe0 fake jpeg"))], "doc_id BIGINT, payload BINARY"
+        [(1, bytearray(b"\x00\x00\x00\x01\x67 h264 nal"))],
+        "doc_id BIGINT, payload BINARY",
     )
     with pytest.raises(Exception, match="NotImplementedError|external libraries"):
         multimodal.decode_real(df).collect()
+    # a JPEG-magic payload with a torn body now reaches the REAL decoder
+    # and fails loudly there (it is no longer the stub path)
+    torn = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0 fake jpeg"))],
+        "doc_id BIGINT, payload BINARY",
+    )
+    with pytest.raises(Exception, match="missing SOF/SOS"):
+        multimodal.decode_real(torn).collect()
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (VERDICT r03 #6)
+
+
+def test_jpeg_dc_only_closed_form():
+    """DC-only blocks with q00=16 decode to flat 2*DC + 128 exactly —
+    the analytic contract the driver oracle relies on."""
+    import numpy as np
+
+    q = np.ones((8, 8), dtype=np.int64)
+    q[0, 0] = 16
+    co = np.zeros((3, 4, 8, 8), dtype=np.int64)
+    for j in range(3):
+        for i in range(4):
+            co[j, i, 0, 0] = (i * 5 + j * 11 + 7) % 128 - 64
+    img = codecs.jpeg_decode(codecs.jpeg_encode_blocks(co, q, 32, 24))
+    want = np.zeros((24, 32))
+    for j in range(3):
+        for i in range(4):
+            want[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8] = 2 * co[j, i, 0, 0] + 128
+    assert np.array_equal(img, want)
+
+
+def test_jpeg_roundtrip_matches_independent_idct():
+    """Dense random coefficients through the full Huffman path (ZRL, EOB,
+    long runs, negative magnitudes) must decode to exactly the IDCT of the
+    encoded coefficients — the entropy layer is lossless."""
+    import numpy as np
+
+    q = np.ones((8, 8), dtype=np.int64)
+    q[0, 0] = 16
+    rng = np.random.RandomState(7)
+    co = rng.randint(-40, 40, size=(5, 6, 8, 8))
+    co[np.abs(co) < 30] = 0  # long zero runs -> ZRL coverage
+    img = codecs.jpeg_decode(codecs.jpeg_encode_blocks(co, q, 48, 40))
+    A = codecs._IDCT_A
+    ref = np.zeros((40, 48))
+    for j in range(5):
+        for i in range(6):
+            ref[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8] = A.T @ (co[j, i] * q) @ A
+    assert np.array_equal(img, np.clip(np.round(ref) + 128, 0, 255))
+
+
+def test_jpeg_nonsquare_quant_and_crop():
+    """Non-trivial quant table + width/height not multiples of 8 (decoder
+    crops the padded MCU grid)."""
+    import numpy as np
+
+    q = (np.arange(64).reshape(8, 8) % 7 + 1).astype(np.int64)
+    co = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    co[0, 0, 0, 0] = 30
+    co[1, 1, 2, 3] = -9
+    img = codecs.jpeg_decode(codecs.jpeg_encode_blocks(co, q, 13, 11))
+    assert img.shape == (11, 13)
+
+
+def test_jpeg_unsupported_fail_loudly():
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.jpeg_decode(b"\x00\x01\x02\x03")
+    # progressive SOF2 must be rejected, not mis-decoded
+    q = np.ones((8, 8), dtype=np.int64)
+    co = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    blob = bytearray(codecs.jpeg_encode_blocks(co, q, 8, 8))
+    idx = bytes(blob).find(b"\xff\xc0")
+    blob[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        codecs.jpeg_decode(bytes(blob))
