@@ -1,9 +1,11 @@
-"""Real media codecs from the standard library: PNG (zlib) and WAV (struct).
+"""Real media codecs from the standard library: PNG (zlib), WAV (struct),
+baseline grayscale JPEG (canonical Huffman + IDCT) and GeoTIFF (IFD walk,
+strips/tiles, DEFLATE/LZW/PackBits, predictor, geo tags).
 
 The task mandate allows stubbing media decode because image/audio libraries
-are absent in this container — but PNG and PCM WAV need nothing beyond
-stdlib zlib/struct plus numpy, so the decode step is REAL for these formats
-(JPEG/H.264-class codecs remain the documented stub in
+are absent in this container — but these formats need nothing beyond stdlib
+zlib/struct/math plus numpy, so the decode step is REAL for all of them
+(only H.264-class video remains the documented stub in
 sources/multimodal.decode_real). The point is an honest end-to-end
 multimodal path: Spark-side plumbing AND an actual bitstream decode, with
 the decoded features verified against a closed-form DuckDB oracle (the
@@ -288,14 +290,22 @@ def tiff_encode(
     if predictor == 2 and sample_format == 3:
         raise ValueError("predictor 2 is for integer samples")
     h, w = img.shape
-    comp_code = {"none": 1, "deflate": 8}[compression]
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[
+        compression
+    ]
 
     def _segment_bytes(seg: "np.ndarray") -> bytes:
         if predictor == 2:
             seg = seg.copy()
             seg[:, 1:] = seg[:, 1:] - seg[:, :-1]
         raw = seg.astype(img.dtype.newbyteorder(order)).tobytes()
-        return zlib.compress(raw, 6) if comp_code == 8 else raw
+        if comp_code == 8:
+            return zlib.compress(raw, 6)
+        if comp_code == 5:
+            return _lzw_encode(raw)
+        if comp_code == 32773:
+            return _packbits_encode(raw)
+        return raw
 
     segments: list[bytes] = []
     if tile is None:
@@ -402,7 +412,7 @@ def tiff_decode(
     predictor, sample_format = one(317, 1), one(339, 1)
     if spp != 1 or photo not in (0, 1):
         raise ValueError(f"unsupported TIFF: samples={spp} photometric={photo}")
-    if comp not in (1, 8, 32946):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"unsupported TIFF compression {comp}")
     dt = _TIFF_DTYPES.get((sample_format, bits))
     if dt is None:
@@ -419,6 +429,10 @@ def tiff_decode(
             raise ValueError("truncated TIFF segment")
         if comp in (8, 32946):
             raw = zlib.decompress(raw)
+        elif comp == 5:
+            raw = _lzw_decode(raw)
+        elif comp == 32773:
+            raw = _packbits_decode(raw)
         arr = np.frombuffer(raw, dtype=dtype, count=seg_h * seg_w).reshape(seg_h, seg_w)
         if predictor == 2:
             arr = np.cumsum(arr.astype(np.int64), axis=1).astype(dtype)
@@ -765,3 +779,150 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
             pix = _IDCT_A.T @ f @ _IDCT_A
             out[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8] = pix
     return np.clip(np.round(out) + 128, 0, 255).astype(np.uint8)[:height, :width]
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW (compression 5) + PackBits (32773): the remaining compressions a
+# real-world GeoTIFF commonly uses. LZW is the TIFF variant: MSB-first
+# variable-width codes (9->12 bits), ClearCode 256 / EOI 257, and the
+# "early change" width bump one code before the power of two (libtiff
+# semantics). PackBits is the classic byte-RLE.
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(_LZW_CLEAR, width)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # early change: bump the width as soon as the NEXT code to write
+        # could be next_code - 1 == (1 << width) - 2
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:
+            put(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        put(table[w], width)
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    put(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    pos = acc = nbits = 0
+    width = 9
+
+    def get() -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return _LZW_EOI
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        v = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        return v
+
+    table: list[bytes] = []
+    prev: bytes | None = None
+    while True:
+        code = get()
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out.extend(entry)
+        prev = entry
+        # decoder's table lags the encoder's by one entry: bump one earlier
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run & 0xFF)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += 1
+        while (
+            i < n
+            and i - lit_start < 128
+            and not (i + 1 < n and data[i + 1] == data[i])
+        ):
+            i += 1
+        out.append(i - lit_start - 1)
+        out.extend(data[lit_start:i])
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out.extend(data[i : i + n + 1])
+            i += n + 1
+        elif n > 128:
+            out.extend(bytes([data[i]]) * (257 - n))
+            i += 1
+        # n == 128: noop
+    return bytes(out)

@@ -3,10 +3,11 @@
 The 100 TB training-data posture: media payloads are opaque ``binary``
 columns; decode / feature-extract / resize / frame-sample run as Arrow-
 batched ``mapInPandas`` kernels so bytes never round-trip through Python row
-objects. The codec step is REAL for PNG and PCM WAV (stdlib zlib/struct
-decoders, functions/codecs.py — ``decode_real`` + ``real_media``, oracle-
-verified against closed-form pixel/sample math); external-library codecs
-(JPEG/H.264) remain the documented NotImplementedError. The original
+objects. The codec step is REAL for PNG, PCM WAV, baseline grayscale JPEG
+and GeoTIFF (stdlib decoders, functions/codecs.py — ``decode_real`` /
+``decode_tiff`` + ``real_media`` / ``tiff_media``, oracle-verified against
+closed-form pixel/sample math); only H.264-class video codecs remain the
+documented NotImplementedError. The original
 fake-format plumbing below stays as the wide-shape fixture (headers with
 width/height/duration for resize planning and frame fan-out):
 
@@ -323,7 +324,9 @@ def tiff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (d % 100) * 0.5, (d % 16) * 0.25, 0.25, -0.25,
                         ),
                         epsg=[4326, 4269, 32610][d % 3],
-                        compression="deflate" if d % 2 == 0 else "none",
+                        compression=["deflate", "none", "lzw", "packbits"][
+                            (d // 4) % 4
+                        ],
                         tile=16 if d % 3 == 0 else None,
                         predictor=2 if (d % 5 == 0 and d % 4 != 3) else 1,
                         big_endian=d % 7 == 0,

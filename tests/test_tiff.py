@@ -21,7 +21,7 @@ def _img(dtype, w=37, h=21):
 
 
 @pytest.mark.parametrize("dtype", ["uint8", "uint16", "int16", "int32", "float32", "float64"])
-@pytest.mark.parametrize("compression", ["none", "deflate"])
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw", "packbits"])
 @pytest.mark.parametrize("tile", [None, 16])
 @pytest.mark.parametrize("big_endian", [False, True])
 def test_roundtrip_matrix(dtype, compression, tile, big_endian):
@@ -40,9 +40,10 @@ def test_roundtrip_matrix(dtype, compression, tile, big_endian):
 
 @pytest.mark.parametrize("dtype", ["uint8", "uint16", "int32"])
 @pytest.mark.parametrize("tile", [None, 16])
-def test_roundtrip_predictor(dtype, tile):
+@pytest.mark.parametrize("compression", ["deflate", "lzw"])
+def test_roundtrip_predictor(dtype, tile, compression):
     img = _img(dtype)
-    blob = codecs.tiff_encode(img, compression="deflate", tile=tile, predictor=2)
+    blob = codecs.tiff_encode(img, compression=compression, tile=tile, predictor=2)
     out, _, _ = codecs.tiff_decode(blob)
     np.testing.assert_array_equal(out, img)
     # predictor + deflate should beat plain deflate on smooth data
