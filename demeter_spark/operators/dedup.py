@@ -119,16 +119,18 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = shingles(docs, id_col, text_col)
-    # all num_hashes minhashes in ONE partial+final aggregate: each is a
-    # min over xxhash64(j, shingle) computed as its own column, so the
-    # (doc, shingle) rows never fan out x num_hashes and the per-hash
-    # groupBy -> per-band groupBy second shuffle disappears (map-side
-    # combine reduces each partition to one 32-column row per doc)
+    # all num_hashes minhashes AND the shingle-set size in ONE partial+final
+    # aggregate: each minhash is a min over xxhash64(j, shingle) computed as
+    # its own column, so the (doc, shingle) rows never fan out x num_hashes,
+    # the per-hash groupBy -> per-band groupBy second shuffle disappears
+    # (map-side combine reduces each partition to one 33-column row per
+    # doc), and the Jaccard denominator needs no separate shingle scan
     sig_wide = sh.groupBy(id_col).agg(
+        F.count("*").alias("n_sh"),
         *[
             F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"_m{j}")
             for j in range(num_hashes)
-        ]
+        ],
     )
     sig = sig_wide.select(
         id_col,
@@ -161,13 +163,18 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact-Jaccard verification restricted to candidates
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # exact-Jaccard verification restricted to candidates, CANDIDATE-DRIVEN:
+    # fan each candidate pair out by doc_a's shingles and semi-probe doc_b's
+    # (doc, shingle) set — work is bounded by |candidates| x shingles/doc.
+    # (Joining the shingle table to itself and THEN semi-filtering would
+    # re-materialize the full co-occurrence blowup that LSH banding exists
+    # to avoid — every hot shingle shared by d docs costs O(d^2) rows.)
+    sizes = sig_wide.select(id_col, "n_sh")
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"], "left_semi")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -608,9 +615,12 @@ def incremental_minhash_pairs(
     sizes = sh_cand.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh_cand.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh_cand.select(F.col(id_col).alias("doc_b"), "shingle")
+    # candidate-driven intersection (same shape as minhash_lsh_pairs):
+    # bounded by |candidates| x shingles/doc, never the shingle-co-occurrence
+    # self-join blowup
     inter = (
-        a.join(b, "shingle")
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"], "left_semi")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
