@@ -20,7 +20,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env.setdefault("DEMETER_BENCH_MODE", "scaling")
-    env.setdefault("DEMETER_BENCH_TRIALS", "2")
+    env.setdefault("DEMETER_BENCH_TRIALS", "4")
     env.setdefault("DEMETER_BENCH_FACTOR", "12000")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -92,10 +92,23 @@ def main() -> None:
         "bus — the efficiency floor is the task-parallel fraction, not this",
         "box's contention.",
     ]
+    # preserve any hand-written sections below the marker (round-N notes):
+    # only the protocol block above the marker is regenerated
+    marker = "<!-- scaling-protocol-end -->"
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    extra = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            extra = old.split(marker, 1)[1]
+        else:
+            # legacy file: keep everything after the noise section verbatim
+            tail_key = "box's contention.\n"
+            if tail_key in old:
+                extra = old.split(tail_key, 1)[1]
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(json.dumps({"tp8": tp8, "tp32": tp32, "efficiency": round(eff, 3)}))
+        f.write("\n".join(lines) + "\n" + marker + "\n" + extra)
+    print(json.dumps({"tp_lo": tp8, "tp_hi": tp32, "efficiency": round(eff, 3)}))
 
 
 if __name__ == "__main__":

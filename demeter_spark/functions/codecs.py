@@ -232,12 +232,15 @@ def wav_decode(data: bytes) -> tuple[int, int, np.ndarray]:
 # front door is Raster.from_file over real .tif bytes
 # (/root/reference/demeter/raster/__init__.py:36-47, rasterio-backed); this
 # is the same capability as a from-scratch bitstream parser with no GDAL.
-# Subset: single-band baseline TIFF, little- or big-endian, STRIPED or
-# TILED, compression none(1) / DEFLATE(8, zlib), horizontal-differencing
-# predictor(2) for integer samples, dtypes uint8/uint16/int16/int32/
-# float32/float64, plus the GeoTIFF georeferencing tags (ModelPixelScale
-# 33550 + ModelTiepoint 33922 -> north-up affine transform; GeoKeyDirectory
-# 34735 -> EPSG code). Unsupported layouts raise ValueError loudly.
+# Subset: baseline TIFF, single- or multi-band INTERLEAVED
+# (PlanarConfiguration=1, the GDAL default), little- or big-endian, STRIPED
+# or TILED, compression none(1) / LZW(5) / DEFLATE(8, zlib) /
+# PackBits(32773), per-channel horizontal-differencing predictor(2) for
+# integer samples, dtypes uint8/uint16/int16/int32/float32/float64, plus
+# the GeoTIFF georeferencing tags (ModelPixelScale 33550 + ModelTiepoint
+# 33922 -> north-up affine transform; GeoKeyDirectory 34735 -> EPSG code).
+# Unsupported layouts (planar band-separate, palette, JPEG-in-TIFF, float
+# predictor) raise ValueError loudly.
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
 
@@ -273,23 +276,27 @@ def tiff_encode(
     predictor: int = 1,
     big_endian: bool = False,
 ) -> bytes:
-    """2-D array -> single-band (Geo)TIFF bytes.
+    """(H, W) or (H, W, S) array -> (Geo)TIFF bytes; S > 1 writes a
+    multi-band interleaved image (PlanarConfiguration=1, chunky — the GDAL
+    default for multi-band satellite rasters).
 
     ``transform`` is (ox, oy, rx, ry) with ry < 0 (north-up): world
     coordinates of the TOP-LEFT corner plus pixel sizes, written as
     ModelTiepoint (0,0,0 -> ox,oy,0) + ModelPixelScale (rx, -ry, 0).
     ``tile``: None = one strip per 8 rows; else square tile edge (TIFF
     requires multiples of 16 for real readers; the decoder only requires
-    consistency). ``predictor=2`` applies horizontal differencing
-    (integer dtypes only, as in the TIFF spec)."""
+    consistency). ``predictor=2`` applies horizontal differencing per
+    sample channel (integer dtypes only, as in the TIFF spec)."""
     img = np.ascontiguousarray(img)
-    if img.ndim != 2:
-        raise ValueError("tiff_encode: single-band 2-D arrays only")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3:
+        raise ValueError("tiff_encode: 2-D (single-band) or 3-D (H, W, S) arrays only")
     order = ">" if big_endian else "<"
     sample_format, bits = _TIFF_FORMATS[img.dtype.str[1:]]
     if predictor == 2 and sample_format == 3:
         raise ValueError("predictor 2 is for integer samples")
-    h, w = img.shape
+    h, w, spp = img.shape
     comp_code = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[
         compression
     ]
@@ -297,7 +304,8 @@ def tiff_encode(
     def _segment_bytes(seg: "np.ndarray") -> bytes:
         if predictor == 2:
             seg = seg.copy()
-            seg[:, 1:] = seg[:, 1:] - seg[:, :-1]
+            # horizontal differencing per sample channel (TIFF predictor 2)
+            seg[:, 1:, :] = seg[:, 1:, :] - seg[:, :-1, :]
         raw = seg.astype(img.dtype.newbyteorder(order)).tobytes()
         if comp_code == 8:
             return zlib.compress(raw, 6)
@@ -315,9 +323,9 @@ def tiff_encode(
     else:
         for ty in range(0, h, tile):
             for tx in range(0, w, tile):
-                block = np.zeros((tile, tile), dtype=img.dtype)
-                part = img[ty : ty + tile, tx : tx + tile]
-                block[: part.shape[0], : part.shape[1]] = part
+                block = np.zeros((tile, tile, spp), dtype=img.dtype)
+                part = img[ty : ty + tile, tx : tx + tile, :]
+                block[: part.shape[0], : part.shape[1], :] = part
                 segments.append(_segment_bytes(block))
 
     header_len = 8
@@ -337,10 +345,11 @@ def tiff_encode(
     tags: list[tuple[int, int, list]] = [
         (256, 4, [w]),
         (257, 4, [h]),
-        (258, 3, [bits]),
+        (258, 3, [bits] * spp),
         (259, 3, [comp_code]),
-        (262, 3, [1]),
-        (277, 3, [1]),
+        (262, 3, [2 if spp >= 3 else 1]),
+        (277, 3, [spp]),
+        (284, 3, [1]),
         (317, 3, [predictor]),
         (339, 3, [sample_format]),
         (33550, 12, [rx, -ry, 0.0]),
@@ -371,12 +380,13 @@ def tiff_encode(
 def tiff_decode(
     data: bytes,
 ) -> tuple["np.ndarray", tuple[float, float, float, float], int | None]:
-    """(Geo)TIFF bytes -> (pixels, (ox, oy, rx, ry), epsg or None).
+    """(Geo)TIFF bytes -> (pixels, (ox, oy, rx, ry), epsg or None); pixels
+    is (H, W) for single-band, (H, W, S) for multi-band interleaved.
 
     Real bitstream parse: endian-aware IFD walk, strip/tile reassembly,
-    zlib inflate for DEFLATE segments, horizontal-predictor undo, GeoTIFF
-    tag extraction. Raises ValueError on unsupported layouts (multi-band,
-    palette, PackBits/LZW/JPEG-in-TIFF, float predictor)."""
+    DEFLATE/LZW/PackBits decompression, per-channel horizontal-predictor
+    undo, GeoTIFF tag extraction. Raises ValueError on unsupported layouts
+    (planar band-separate, palette, JPEG-in-TIFF, float predictor)."""
     if len(data) < 8 or data[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF: bad byte-order mark")
     order = "<" if data[:2] == b"II" else ">"
@@ -407,11 +417,18 @@ def tiff_decode(
         return v[0]
 
     w, h = one(256), one(257)
-    bits, comp = one(258, 8), one(259, 1)
+    comp = one(259, 1)
     spp, photo = one(277, 1), one(262, 1)
+    planar = one(284, 1)
     predictor, sample_format = one(317, 1), one(339, 1)
-    if spp != 1 or photo not in (0, 1):
-        raise ValueError(f"unsupported TIFF: samples={spp} photometric={photo}")
+    bps = tags.get(258, [8])
+    if len(set(bps)) != 1:
+        raise ValueError(f"unsupported TIFF: mixed bits-per-sample {bps}")
+    bits = bps[0]
+    if photo not in (0, 1, 2):
+        raise ValueError(f"unsupported TIFF: photometric={photo}")
+    if planar != 1:
+        raise ValueError("unsupported TIFF: planar (band-separate) layout")
     if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"unsupported TIFF compression {comp}")
     dt = _TIFF_DTYPES.get((sample_format, bits))
@@ -433,12 +450,15 @@ def tiff_decode(
             raw = _lzw_decode(raw)
         elif comp == 32773:
             raw = _packbits_decode(raw)
-        arr = np.frombuffer(raw, dtype=dtype, count=seg_h * seg_w).reshape(seg_h, seg_w)
+        arr = np.frombuffer(raw, dtype=dtype, count=seg_h * seg_w * spp).reshape(
+            seg_h, seg_w, spp
+        )
         if predictor == 2:
+            # undo per-channel horizontal differencing
             arr = np.cumsum(arr.astype(np.int64), axis=1).astype(dtype)
         return arr
 
-    out = np.zeros((h, w), dtype=dtype.newbyteorder("="))
+    out = np.zeros((h, w, spp), dtype=dtype.newbyteorder("="))
     if 322 in tags:  # tiled
         tw, th = one(322), one(323)
         offs, cnts = tags[324], tags[325]
@@ -450,8 +470,8 @@ def tiff_decode(
             ty, tx = divmod(i, tiles_x)
             block = _segment(off, cnt, th, tw)
             y0, x0 = ty * th, tx * tw
-            out[y0 : y0 + th, x0 : x0 + tw] = block[
-                : min(th, h - y0), : min(tw, w - x0)
+            out[y0 : y0 + th, x0 : x0 + tw, :] = block[
+                : min(th, h - y0), : min(tw, w - x0), :
             ]
     else:  # striped
         rows_per_strip = one(278, h)
@@ -459,7 +479,7 @@ def tiff_decode(
         for i, (off, cnt) in enumerate(zip(offs, cnts)):
             y0 = i * rows_per_strip
             seg_h = min(rows_per_strip, h - y0)
-            out[y0 : y0 + seg_h] = _segment(off, cnt, seg_h, w)
+            out[y0 : y0 + seg_h, :, :] = _segment(off, cnt, seg_h, w)
 
     transform = (0.0, 0.0, 1.0, -1.0)
     if 33550 in tags and 33922 in tags:
@@ -477,6 +497,8 @@ def tiff_decode(
         for k in range(4, len(gk) - 3, 4):
             if gk[k] in (2048, 3072) and gk[k + 1] == 0:
                 epsg = int(gk[k + 3])
+    if spp == 1:
+        out = out[:, :, 0]
     return out, transform, epsg
 
 

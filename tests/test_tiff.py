@@ -61,7 +61,7 @@ def test_unsupported_paths_fail_loudly():
     with pytest.raises(ValueError, match="byte-order"):
         codecs.tiff_decode(b"XXYY" + b"\0" * 16)
     with pytest.raises(ValueError, match="2-D"):
-        codecs.tiff_encode(np.zeros((2, 2, 3), dtype=np.uint8))
+        codecs.tiff_encode(np.zeros((2, 2, 3, 1), dtype=np.uint8))
     with pytest.raises(ValueError, match="predictor 2"):
         codecs.tiff_encode(_img("float32"), predictor=2)
     # corrupt a segment: truncating the payload must not pass silently
@@ -70,6 +70,30 @@ def test_unsupported_paths_fail_loudly():
 
     with pytest.raises((ValueError, _z.error)):
         codecs.tiff_decode(blob[:40] + b"\0" * 10 + blob[50:])
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw", "packbits"])
+@pytest.mark.parametrize("tile", [None, 16])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_multiband_roundtrip(compression, tile, predictor):
+    """Multi-band interleaved (PlanarConfiguration=1, the GDAL default for
+    satellite rasters): 4-band uint16, per-channel predictor."""
+    base = _img("uint16", w=37, h=21)
+    img = np.stack([base + b * 1000 for b in range(4)], axis=-1)
+    blob = codecs.tiff_encode(
+        img, compression=compression, tile=tile, predictor=predictor,
+        epsg=32610,
+    )
+    out, _, epsg = codecs.tiff_decode(blob)
+    assert out.shape == (21, 37, 4)
+    np.testing.assert_array_equal(out, img)
+    assert epsg == 32610
+
+
+def test_rgb_photometric_roundtrip():
+    img = np.stack([_img("uint8")] * 3, axis=-1)
+    out, _, _ = codecs.tiff_decode(codecs.tiff_encode(img))
+    np.testing.assert_array_equal(out, img)
 
 
 def test_non_multiple_tile_crop():
