@@ -377,23 +377,14 @@ def tiff_encode(
     return magic + b"".join(segments) + ifd + bytes(data_area)
 
 
-def tiff_decode(
-    data: bytes,
-) -> tuple["np.ndarray", tuple[float, float, float, float], int | None]:
-    """(Geo)TIFF bytes -> (pixels, (ox, oy, rx, ry), epsg or None); pixels
-    is (H, W) for single-band, (H, W, S) for multi-band interleaved.
-
-    Real bitstream parse: endian-aware IFD walk, strip/tile reassembly,
-    DEFLATE/LZW/PackBits decompression, per-channel horizontal-predictor
-    undo, GeoTIFF tag extraction. Raises ValueError on unsupported layouts
-    (planar band-separate, palette, JPEG-in-TIFF, float predictor)."""
+def _tiff_tags(data: bytes) -> tuple[str, dict]:
+    """Endian-aware IFD walk: (struct byte-order char, {tag: [values]})."""
     if len(data) < 8 or data[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF: bad byte-order mark")
     order = "<" if data[:2] == b"II" else ">"
     magic, ifd_offset = struct.unpack_from(f"{order}HI", data, 2)
     if magic != 42:
         raise ValueError("not a TIFF: bad magic")
-
     (n_tags,) = struct.unpack_from(f"{order}H", data, ifd_offset)
     tags: dict[int, list] = {}
     for i in range(n_tags):
@@ -407,6 +398,46 @@ def tiff_decode(
         fmt = {1: "B", 2: "c", 3: "H", 4: "I", 5: "I", 11: "f", 12: "d"}[ttype]
         n = count * (2 if ttype == 5 else 1)
         tags[tag] = list(struct.unpack_from(f"{order}{n}{fmt}", data, off))
+    return order, tags
+
+
+def tiff_info(data: bytes) -> dict:
+    """Header-only metadata read (the COG 'read the IFD, fetch tiles later'
+    pattern): width/height/samples/dtype/compression/tiled flag without
+    touching any pixel segment."""
+    _, tags = _tiff_tags(data)
+    bits = tags.get(258, [8])[0]
+    fmt = tags.get(339, [1])[0]
+    dt = _TIFF_DTYPES.get((fmt, bits))
+    return {
+        "width": tags[256][0],
+        "height": tags[257][0],
+        "samples_per_pixel": tags.get(277, [1])[0],
+        "dtype": dt,
+        "compression": tags.get(259, [1])[0],
+        "tiled": 322 in tags,
+    }
+
+
+def tiff_decode(
+    data: bytes,
+    window: tuple[int, int, int, int] | None = None,
+) -> tuple["np.ndarray", tuple[float, float, float, float], int | None]:
+    """(Geo)TIFF bytes -> (pixels, (ox, oy, rx, ry), epsg or None); pixels
+    is (H, W) for single-band, (H, W, S) for multi-band interleaved.
+
+    ``window`` = (x0, y0, x1, y1) half-open pixel bounds (row 0 = top):
+    decode ONLY the strips/tiles intersecting the window — the
+    cloud-optimized-GeoTIFF access pattern (S2/S3 windowed reads on real
+    bytes): segments outside the window are never decompressed or even
+    touched (pytest proves it by corrupting an out-of-window tile). The
+    returned transform's origin is shifted to the window's top-left corner.
+
+    Real bitstream parse: endian-aware IFD walk, strip/tile reassembly,
+    DEFLATE/LZW/PackBits decompression, per-channel horizontal-predictor
+    undo, GeoTIFF tag extraction. Raises ValueError on unsupported layouts
+    (planar band-separate, palette, JPEG-in-TIFF, float predictor)."""
+    order, tags = _tiff_tags(data)
 
     def one(tag, default=None):
         v = tags.get(tag)
@@ -458,7 +489,13 @@ def tiff_decode(
             arr = np.cumsum(arr.astype(np.int64), axis=1).astype(dtype)
         return arr
 
-    out = np.zeros((h, w, spp), dtype=dtype.newbyteorder("="))
+    if window is None:
+        wx0, wy0, wx1, wy1 = 0, 0, w, h
+    else:
+        wx0, wy0, wx1, wy1 = window
+        if not (0 <= wx0 < wx1 <= w and 0 <= wy0 < wy1 <= h):
+            raise ValueError(f"TIFF window {window} outside image {w}x{h}")
+    out = np.zeros((wy1 - wy0, wx1 - wx0, spp), dtype=dtype.newbyteorder("="))
     if 322 in tags:  # tiled
         tw, th = one(322), one(323)
         offs, cnts = tags[324], tags[325]
@@ -468,10 +505,14 @@ def tiff_decode(
             raise ValueError("TIFF tile count mismatch")
         for i, (off, cnt) in enumerate(zip(offs, cnts)):
             ty, tx = divmod(i, tiles_x)
-            block = _segment(off, cnt, th, tw)
             y0, x0 = ty * th, tx * tw
-            out[y0 : y0 + th, x0 : x0 + tw, :] = block[
-                : min(th, h - y0), : min(tw, w - x0), :
+            iy0, iy1 = max(y0, wy0), min(y0 + th, h, wy1)
+            ix0, ix1 = max(x0, wx0), min(x0 + tw, w, wx1)
+            if iy0 >= iy1 or ix0 >= ix1:
+                continue  # tile outside the window: bytes never touched
+            block = _segment(off, cnt, th, tw)
+            out[iy0 - wy0 : iy1 - wy0, ix0 - wx0 : ix1 - wx0, :] = block[
+                iy0 - y0 : iy1 - y0, ix0 - x0 : ix1 - x0, :
             ]
     else:  # striped
         rows_per_strip = one(278, h)
@@ -479,7 +520,13 @@ def tiff_decode(
         for i, (off, cnt) in enumerate(zip(offs, cnts)):
             y0 = i * rows_per_strip
             seg_h = min(rows_per_strip, h - y0)
-            out[y0 : y0 + seg_h, :, :] = _segment(off, cnt, seg_h, w)
+            iy0, iy1 = max(y0, wy0), min(y0 + seg_h, wy1)
+            if iy0 >= iy1:
+                continue  # strip outside the window
+            seg = _segment(off, cnt, seg_h, w)
+            out[iy0 - wy0 : iy1 - wy0, :, :] = seg[
+                iy0 - y0 : iy1 - y0, wx0:wx1, :
+            ]
 
     transform = (0.0, 0.0, 1.0, -1.0)
     if 33550 in tags and 33922 in tags:
@@ -489,7 +536,8 @@ def tiff_decode(
         # top-left-corner origin convention
         ox = tp[3] - tp[0] * sx
         oy = tp[4] + tp[1] * sy
-        transform = (ox, oy, sx, -sy)
+        # shift the origin to the window's top-left corner
+        transform = (ox + wx0 * sx, oy - wy0 * sy, sx, -sy)
 
     epsg = None
     if 34735 in tags:

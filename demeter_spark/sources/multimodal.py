@@ -378,12 +378,20 @@ def decode_tiff(media_df: DataFrame) -> DataFrame:
     )
 
 
-def tiff_cells(media_df: DataFrame) -> DataFrame:
+def tiff_cells(
+    media_df: DataFrame,
+    window: tuple[int, int, int, int] | None = None,
+) -> DataFrame:
     """GeoTIFF bytes -> the engine's cells-table raster model
     (doc_id, ix, iy, value, world cx/cy): the actual S1 ingestion path —
     every downstream raster operator (zonal, merge, reproject) consumes this
     shape. North-up ry < 0 is normalized into the south-up cell convention
-    (iy counts up from the BOTTOM edge) so rasterize/zonal guards hold."""
+    (iy counts up from the BOTTOM edge) so rasterize/zonal guards hold.
+
+    ``window`` = (x0, y0, x1, y1) full-image pixel bounds: the COG access
+    pattern — only intersecting strips/tiles are decompressed per payload
+    (codecs.tiff_decode window support), and emitted (ix, iy) stay in
+    FULL-image coordinates so windowed ingests of the same raster align."""
     import numpy as np
 
     from demeter_spark.functions import codecs
@@ -392,11 +400,28 @@ def tiff_cells(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for d, blob in zip(pdf["doc_id"], pdf["payload"]):
-                arr, (ox, oy, rx, ry), _ = codecs.tiff_decode(bytes(blob))
+                blob = bytes(blob)
+                arr, (ox, oy, rx, ry), _ = codecs.tiff_decode(
+                    blob, window=window
+                )
                 h, w = arr.shape
                 iy, ix = np.mgrid[0:h, 0:w]
-                # row 0 is the TOP row (north-up); flip to south-up indices
-                siy = (h - 1) - iy
+                if window is not None:
+                    # keep FULL-image pixel indices (windowed ingests of the
+                    # same raster must align); the south-up flip needs the
+                    # full-image height, read from the IFD alone
+                    full_h = codecs.tiff_info(blob)["height"]
+                    ix = ix + window[0]
+                    fiy = iy + window[1]
+                else:
+                    full_h = h
+                    fiy = iy
+                # row 0 of the FULL image is the TOP row (north-up); flip to
+                # south-up indices against the full-image height
+                siy = (full_h - 1) - fiy
+                # world coords: the decoder already shifted (ox, oy) to the
+                # window's top-left corner, so centers derive from the
+                # window-LOCAL offsets (iy counts down from the top, ry < 0)
                 out.append(
                     pd.DataFrame(
                         {
@@ -404,8 +429,8 @@ def tiff_cells(media_df: DataFrame) -> DataFrame:
                             "ix": ix.ravel().astype("int64"),
                             "iy": siy.ravel().astype("int64"),
                             "value": arr.astype(np.float64).ravel(),
-                            "cx": ox + (ix.ravel() + 0.5) * rx,
-                            "cy": (oy + h * ry) + (siy.ravel() + 0.5) * (-ry),
+                            "cx": ox + (np.mgrid[0:h, 0:w][1].ravel() + 0.5) * rx,
+                            "cy": oy + (iy.ravel() + 0.5) * ry,
                         }
                     )
                 )

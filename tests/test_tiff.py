@@ -143,3 +143,71 @@ def test_tiff_query_matches_oracle(spark, ddb):
     want = sorted(ddb.sql(entry.oracle_sql()["tiff_decode"]).fetchall(), key=key)
     assert len(got) == len(want) == 500
     assert got == want
+
+
+@pytest.mark.parametrize("tile", [None, 16])
+@pytest.mark.parametrize("compression", ["deflate", "lzw"])
+def test_windowed_read_equals_crop(tile, compression):
+    """COG-style windowed decode: equals the full-decode crop, with the
+    transform origin shifted to the window corner."""
+    img = _img("int32", w=37, h=21)
+    tf = (10.0, 5.0, 0.5, -0.5)
+    blob = codecs.tiff_encode(img, transform=tf, compression=compression, tile=tile)
+    win = (9, 6, 30, 19)
+    out, wtf, _ = codecs.tiff_decode(blob, window=win)
+    np.testing.assert_array_equal(out, img[6:19, 9:30])
+    assert wtf == (10.0 + 9 * 0.5, 5.0 - 6 * 0.5, 0.5, -0.5)
+
+
+def test_windowed_read_never_touches_outside_segments():
+    """Corrupt a tile OUTSIDE the window: windowed decode must still
+    succeed (selective byte access, the point of COG), while a full decode
+    of the same corrupted bytes fails."""
+    img = _img("uint16", w=64, h=48)
+    blob = bytearray(codecs.tiff_encode(img, compression="deflate", tile=16))
+    # tiles are 4x3; corrupt the LAST tile's bytes (bottom-right corner)
+    full, _, _ = codecs.tiff_decode(bytes(blob))
+    np.testing.assert_array_equal(full, img)
+    # find the last tile's offset from a fresh parse: encode layout places
+    # segments in order right after the 8-byte header — corrupt the final
+    # segment region by zeroing 64 bytes just before the IFD
+    import struct as _s
+
+    ifd_offset = _s.unpack_from("<I", bytes(blob), 4)[0]
+    blob[ifd_offset - 64 : ifd_offset - 8] = b"\0" * 56
+    with pytest.raises(Exception):
+        codecs.tiff_decode(bytes(blob))
+    # a window confined to the top-left tile decodes fine
+    out, _, _ = codecs.tiff_decode(bytes(blob), window=(0, 0, 16, 16))
+    np.testing.assert_array_equal(out, img[0:16, 0:16])
+
+
+def test_window_bounds_validated():
+    blob = codecs.tiff_encode(_img("uint8"))
+    with pytest.raises(ValueError, match="window"):
+        codecs.tiff_decode(blob, window=(0, 0, 1000, 10))
+
+
+def test_tiff_cells_windowed_aligns_with_full(spark):
+    """COG-style windowed ingestion: cells from a pixel window must be
+    exactly the matching subset of the full ingest (same full-image (ix,
+    iy) keys, same world coords, same values) — so windowed reads of a big
+    raster compose with downstream operators identically."""
+    from demeter_spark.sources import multimodal
+    from tests.conftest import SF_DIR
+
+    media = multimodal.tiff_media(spark, SF_DIR).filter("doc_id = 9")
+    d = 9
+    w, h = d % 37 + 4, d % 23 + 4  # 13 x 13
+    win = (3, 2, 11, 9)
+    full = {
+        (r["ix"], r["iy"]): (r["value"], r["cx"], r["cy"])
+        for r in multimodal.tiff_cells(media).collect()
+    }
+    got = {
+        (r["ix"], r["iy"]): (r["value"], r["cx"], r["cy"])
+        for r in multimodal.tiff_cells(media, window=win).collect()
+    }
+    assert len(got) == (win[2] - win[0]) * (win[3] - win[1])
+    for k, v in got.items():
+        assert full[k] == v, (k, v, full[k])
