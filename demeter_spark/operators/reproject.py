@@ -739,7 +739,12 @@ def reproject_order_stats(
     whose cost is bounded by the downsampling factor, e.g. 16 values for a
     4x4 reduction). ``mode_quantize`` optionally buckets values
     (floor(v/q)*q) for the mode kernel only — the GDAL-style usage where
-    mode is computed over classified rasters."""
+    mode is computed over classified rasters.
+
+    Destination cells with ZERO valid (non-null) source pixels are absent
+    from the output (nodata-by-omission, matching reproject_aggregate's
+    groupBy semantics); callers needing a dense grid left-join against
+    grid_cells."""
     dx, dy = to_dst(
         src_grid.center_x(F.col("ix")), src_grid.center_y(F.col("iy"))
     )

@@ -187,3 +187,24 @@ def test_parts_intersect_kernel():
     ]
     assert not geom.parts_intersect(holed, sq(1.5, 1.5, 2.5, 2.5))
     assert geom.parts_intersect(holed, sq(0.5, 0.5, 2.5, 2.5))
+
+
+def test_next_link_ssrf_guard():
+    """ADVICE r03: @odata.nextLink from a (possibly compromised) catalog
+    response must not redirect pagination off-origin or to a non-http
+    scheme (urllib would happily open file://)."""
+    import pytest as _pytest
+
+    from demeter_spark.sources.catalog import _check_next_link
+
+    origin = "http://localhost:8080/odata/v1/Products"
+    ok = "http://localhost:8080/odata/v1/Products?$skip=100"
+    assert _check_next_link(ok, origin) == ok
+    for bad in (
+        "file:///etc/passwd",
+        "http://evil.example/odata",
+        "https://localhost:9999/x",  # different port = different netloc
+        "ftp://localhost:8080/x",
+    ):
+        with _pytest.raises(ValueError, match="off-origin"):
+            _check_next_link(bad, origin)
