@@ -634,6 +634,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.buf)
 
+    def marker(self, m: int) -> None:
+        """Byte-align (1-padded) and emit a bare marker (markers are not
+        byte-stuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf.append(0xFF)
+        self.buf.append(m)
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -677,6 +686,19 @@ class _BitReader:
                 return sym
         raise ValueError("invalid JPEG Huffman code")
 
+    def restart(self) -> None:
+        """Consume an RSTn marker at an MCU boundary: drop partial padding
+        bits, then expect 0xFF 0xD0-0xD7."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("JPEG missing expected restart marker")
+        self.pos += 2
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """JPEG magnitude coding: (category, appended bits)."""
@@ -693,22 +715,33 @@ def _extend(bits_val: int, s: int) -> int:
 
 
 def jpeg_encode_blocks(
-    coeffs: "np.ndarray", quant: "np.ndarray", width: int, height: int
+    coeffs: "np.ndarray", quant: "np.ndarray", width: int, height: int,
+    restart_interval: int | None = None,
 ) -> bytes:
     """Quantized DCT coefficient blocks -> baseline grayscale JPEG bytes.
 
     ``coeffs``: (n_blocks_y, n_blocks_x, 8, 8) integer quantized
     coefficients (natural order); ``quant``: 8x8 quantization table.
-    Encoding from coefficients (rather than pixels) keeps the test fixtures
-    closed-form: DC-only blocks decode to analytically-known flat pixels."""
+    ``restart_interval``: emit a DRI segment and an RSTn marker every N
+    MCUs (DC prediction resets) — what libjpeg-based encoders produce for
+    large images. Encoding from coefficients (rather than pixels) keeps
+    the test fixtures closed-form: DC-only blocks decode to
+    analytically-known flat pixels."""
     coeffs = np.asarray(coeffs, dtype=np.int64)
     by, bx = coeffs.shape[:2]
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     w = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for j in range(by):
         for i in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.marker(0xD0 + rst % 8)
+                rst += 1
+                prev_dc = 0
+            mcu += 1
             zz = coeffs[j, i].ravel()[_ZIGZAG]
             s, bits_val = _magnitude(int(zz[0]) - prev_dc)
             prev_dc = int(zz[0])
@@ -750,7 +783,12 @@ def jpeg_encode_blocks(
         + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS),
     )
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return (b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9")
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9")
 
 
 def jpeg_decode(data: bytes) -> "np.ndarray":
@@ -763,6 +801,7 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
     ac_tables: dict[int, dict] = {}
     width = height = None
     comp_q = comp_dc = comp_ac = 0
+    restart_interval = 0
     scan_start = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -805,8 +844,8 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
                 inv = {(c, l): sym for sym, (c, l) in codes.items()}
                 (dc_tables if tc == 0 else ac_tables)[th] = inv
                 b += 17 + n
-        elif marker == 0xDD:
-            raise ValueError("unsupported JPEG: restart intervals")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
             scan_start = pos + 2 + length
@@ -821,8 +860,13 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
     r = _BitReader(data[scan_start:])
     out = np.zeros((by * 8, bx * 8), dtype=np.float64)
     prev_dc = 0
+    mcu = 0
     for j in range(by):
         for i in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.restart()
+                prev_dc = 0
+            mcu += 1
             zz = np.zeros(64, dtype=np.int64)
             s = r.huff(dc_t)
             prev_dc += _extend(r.bits(s), s) if s else 0

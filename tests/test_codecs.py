@@ -164,3 +164,34 @@ def test_jpeg_unsupported_fail_loudly():
     blob[idx + 1] = 0xC2
     with pytest.raises(ValueError, match="non-baseline"):
         codecs.jpeg_decode(bytes(blob))
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn support (what libjpeg emits for large images): DC
+    prediction resets at each restart; decode must be exact for any
+    interval, including interval 1."""
+    import numpy as np
+
+    q = np.ones((8, 8), dtype=np.int64)
+    q[0, 0] = 16
+    rng = np.random.RandomState(11)
+    co = rng.randint(-40, 40, size=(5, 6, 8, 8))
+    co[np.abs(co) < 30] = 0
+    A = codecs._IDCT_A
+    ref = np.zeros((40, 48))
+    for j in range(5):
+        for i in range(6):
+            ref[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8] = A.T @ (co[j, i] * q) @ A
+    want = np.clip(np.round(ref) + 128, 0, 255)
+    for ri in (1, 3, 7, 30):
+        blob = codecs.jpeg_encode_blocks(co, q, 48, 40, restart_interval=ri)
+        assert np.array_equal(codecs.jpeg_decode(blob), want), ri
+    # a missing restart marker fails loudly
+    blob = bytearray(codecs.jpeg_encode_blocks(co, q, 48, 40, restart_interval=3))
+    idx = bytes(blob).find(b"\xff\xd0")
+    assert idx > 0
+    blob[idx + 1] = 0x00  # turn RST0 into a stuffed byte
+    import pytest
+
+    with pytest.raises(ValueError):
+        codecs.jpeg_decode(bytes(blob))

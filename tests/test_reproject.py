@@ -394,3 +394,19 @@ def test_lanczos_interpolates_lattice_exactly_and_masks(spark):
         "value IS NULL AND ix BETWEEN 48 AND 51 AND iy BETWEEN 48 AND 51"
     ).count()
     assert n_null == 16
+
+
+def test_order_stats_single_shuffle_plan(spark):
+    """reproject_order_stats must compile to ONE shuffle (the partial+final
+    hash aggregate on destination keys) — same plan budget as
+    reproject_aggregate; the order statistics ride the sorted collect_list
+    arrays, not extra exchanges or windows."""
+    import re
+
+    src = _elev(spark)
+    dst = rp.Grid(0.0, 0.0, 1.0, 1.0, 36, 32)
+    out = rp.reproject_order_stats(src, SRC, dst, mode_quantize=8.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    n_shuffles = len(re.findall(r"(?<!Broadcast)Exchange", plan))
+    assert n_shuffles == 1, plan
