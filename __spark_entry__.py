@@ -672,13 +672,27 @@ def _q_reproject_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, sg, dg, t = _warp_setup(spark)
     nn = rp.reproject_nearest(src, sg, dg, t, broadcast_src=True)
     bl = rp.reproject_bilinear(src, sg, dg, t, broadcast_src=True)
-    cu = rp.reproject_cubic(src, sg, dg, t, broadcast_src=True)
-    cs = rp.reproject_cubic_spline(src, sg, dg, t, broadcast_src=True)
+    # the two cubic kernels SHARE one 16-neighbor join/pivot: both combine
+    # expressions (texts unchanged from their oracles) evaluate over the
+    # same _stencil16_agg output, halving the stencil-join work per round
+    agg = rp._stencil16_agg(src, sg, dg, t, "value", True)
+    cu_expr, cu_valid = rp.cubic_combine_expr(
+        "_fx", "_fy", lambda o, p: f"_v{o}{p}"
+    )
+    cs_expr, cs_valid = rp.cubic_combine_expr(
+        "_fx", "_fy", lambda o, p: f"_v{o}{p}",
+        weights=rp.cubic_spline_weight_exprs,
+    )
+    stencils = agg.selectExpr(
+        "ix",
+        "iy",
+        f"CASE WHEN {cu_valid} THEN {cu_expr} END AS v_cubic",
+        f"CASE WHEN {cs_valid} THEN {cs_expr} END AS v_cubic_spline",
+    )
     return (
         nn.withColumnRenamed("value", "v_nearest")
         .join(bl.withColumnRenamed("value", "v_bilinear"), ["ix", "iy"])
-        .join(cu.withColumnRenamed("value", "v_cubic"), ["ix", "iy"])
-        .join(cs.withColumnRenamed("value", "v_cubic_spline"), ["ix", "iy"])
+        .join(stencils, ["ix", "iy"])
     )
 
 

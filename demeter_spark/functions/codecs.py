@@ -337,9 +337,11 @@ def tiff_encode(
     ifd_offset = pos
 
     ox, oy, rx, ry = transform
-    # GeoKeyDirectory: version 1.1.0, 1 key: GeographicTypeGeoKey(2048) or
-    # ProjectedCSTypeGeoKey(3072) by EPSG range, value inline
-    geo_key = 3072 if epsg >= 20000 else 2048
+    # GeoKeyDirectory: version 1.1.0, 1 key: GeographicTypeGeoKey(2048) for
+    # geographic CRSs (the EPSG 4xxx block: 4326/4269/4267...), else
+    # ProjectedCSTypeGeoKey(3072) — projected systems span LOW codes too
+    # (5070 Albers, 3857 web mercator), so a magnitude test misclassifies
+    geo_key = 2048 if 4000 <= epsg < 5000 else 3072
     geokeys = [1, 1, 0, 1, geo_key, 0, 1, epsg]
 
     tags: list[tuple[int, int, list]] = [
@@ -853,6 +855,13 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
         pos += 2 + length
     if width is None or scan_start is None:
         raise ValueError("JPEG missing SOF/SOS")
+    if comp_q not in quant:
+        raise ValueError(f"JPEG scan references undefined quant table {comp_q}")
+    if comp_dc not in dc_tables or comp_ac not in ac_tables:
+        raise ValueError(
+            f"JPEG scan references undefined Huffman tables dc={comp_dc}"
+            f" ac={comp_ac} (missing or post-SOS DHT)"
+        )
     q = quant[comp_q]
     dc_t, ac_t = dc_tables[comp_dc], ac_tables[comp_ac]
     bx = (width + 7) // 8

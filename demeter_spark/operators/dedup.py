@@ -90,8 +90,8 @@ def jaccard_pairs(
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"}), "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter")
@@ -179,8 +179,8 @@ def minhash_lsh_pairs(
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"}), "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter")

@@ -75,7 +75,9 @@ def test_oracle_boundary_margin():
     lon, lat = _np_inverse(x, y)
     for g in (lon / SRC.rx, lat / SRC.ry):
         margin = np.abs(g - np.round(g)).min()
-        assert margin > 1e-6, margin
+        # the docstring on _q_reproject_albers promises >= 5e-5 cells of
+        # clearance; assert at that strength (measured ~5.5e-5)
+        assert margin > 5e-5, margin
     # and the whole destination grid lands inside the source extent
     assert lon.min() > 0 and lon.max() < 36
     assert lat.min() > 0 and lat.max() < 32

@@ -90,3 +90,42 @@ def test_multiprobe_pipeline_still_correct(spark):
         for r in simsearch.ivf_multiprobe_topk(emb, q, 5, n_probe=4).collect()
     }
     assert full == brute
+
+
+def test_ivf_topk_equals_within_cell_bruteforce(spark):
+    """ivf_topk (cell-pruned top-k, retired from the driver surface in the
+    round-4 consolidation — subsumed there by ivf_multiprobe_topk) stays
+    covered here: its result must equal a brute-force ranking restricted to
+    the query's own cell."""
+    emb = _vectors(spark, n=60).selectExpr(
+        "_id AS vec_id", "transform(_v, x -> CAST(x AS FLOAT)) AS embedding",
+        "label",
+    )
+    q = emb.filter("vec_id < 6")
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in simsearch.ivf_topk(emb, q, 4).collect()
+    }
+    sim = F.expr(simsearch.DOT.format(a="_qv", b="_cv")) / (
+        F.expr(simsearch.NORM.format(a="_qv"))
+        * F.expr(simsearch.NORM.format(a="_cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("neighbor_id"))
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in q.selectExpr(
+            "vec_id AS query_id", "embedding AS _qv", "label AS _l"
+        )
+        .join(
+            emb.selectExpr(
+                "vec_id AS neighbor_id", "embedding AS _cv", "label AS _l"
+            ),
+            "_l",
+        )
+        .filter("query_id != neighbor_id")
+        .withColumn("_s", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4)
+        .collect()
+    }
+    assert got == want and len(got) > 0
