@@ -275,6 +275,7 @@ def tiff_encode(
     tile: int | None = None,
     predictor: int = 1,
     big_endian: bool = False,
+    planar: bool = False,
 ) -> bytes:
     """(H, W) or (H, W, S) array -> (Geo)TIFF bytes; S > 1 writes a
     multi-band interleaved image (PlanarConfiguration=1, chunky — the GDAL
@@ -286,7 +287,9 @@ def tiff_encode(
     ``tile``: None = one strip per 8 rows; else square tile edge (TIFF
     requires multiples of 16 for real readers; the decoder only requires
     consistency). ``predictor=2`` applies horizontal differencing per
-    sample channel (integer dtypes only, as in the TIFF spec)."""
+    sample channel (integer dtypes only, as in the TIFF spec).
+    ``planar``: PlanarConfiguration=2 — each band's strips/tiles stored as
+    their own segment run (band-major segment order)."""
     img = np.ascontiguousarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -315,18 +318,25 @@ def tiff_encode(
             return _packbits_encode(raw)
         return raw
 
+    # planar: band-major segment runs over single-band views
+    band_views = (
+        [img[:, :, b : b + 1] for b in range(spp)] if planar and spp > 1
+        else [img]
+    )
     segments: list[bytes] = []
-    if tile is None:
-        rows_per_strip = 8
-        for y0 in range(0, h, rows_per_strip):
-            segments.append(_segment_bytes(img[y0 : y0 + rows_per_strip]))
-    else:
-        for ty in range(0, h, tile):
-            for tx in range(0, w, tile):
-                block = np.zeros((tile, tile, spp), dtype=img.dtype)
-                part = img[ty : ty + tile, tx : tx + tile, :]
-                block[: part.shape[0], : part.shape[1], :] = part
-                segments.append(_segment_bytes(block))
+    for view in band_views:
+        vspp = view.shape[2]
+        if tile is None:
+            rows_per_strip = 8
+            for y0 in range(0, h, rows_per_strip):
+                segments.append(_segment_bytes(view[y0 : y0 + rows_per_strip]))
+        else:
+            for ty in range(0, h, tile):
+                for tx in range(0, w, tile):
+                    block = np.zeros((tile, tile, vspp), dtype=img.dtype)
+                    part = view[ty : ty + tile, tx : tx + tile, :]
+                    block[: part.shape[0], : part.shape[1], :] = part
+                    segments.append(_segment_bytes(block))
 
     header_len = 8
     seg_offsets = []
@@ -351,7 +361,7 @@ def tiff_encode(
         (259, 3, [comp_code]),
         (262, 3, [2 if spp >= 3 else 1]),
         (277, 3, [spp]),
-        (284, 3, [1]),
+        (284, 3, [2 if planar and spp > 1 else 1]),
         (317, 3, [predictor]),
         (339, 3, [sample_format]),
         (33550, 12, [rx, -ry, 0.0]),
@@ -460,8 +470,8 @@ def tiff_decode(
     bits = bps[0]
     if photo not in (0, 1, 2):
         raise ValueError(f"unsupported TIFF: photometric={photo}")
-    if planar != 1:
-        raise ValueError("unsupported TIFF: planar (band-separate) layout")
+    if planar not in (1, 2):
+        raise ValueError(f"unsupported TIFF planar configuration {planar}")
     if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"unsupported TIFF compression {comp}")
     dt = _TIFF_DTYPES.get((sample_format, bits))
@@ -473,6 +483,11 @@ def tiff_decode(
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     dtype = np.dtype(order + dt)
 
+    # planar band-separate: each segment carries ONE band's samples, and
+    # the segment list is band-major (all of band 0's strips/tiles, then
+    # band 1's, ...)
+    seg_spp = 1 if (planar == 2 and spp > 1) else spp
+
     def _segment(off, cnt, seg_h, seg_w):
         raw = data[off : off + cnt]
         if len(raw) != cnt:
@@ -483,9 +498,9 @@ def tiff_decode(
             raw = _lzw_decode(raw)
         elif comp == 32773:
             raw = _packbits_decode(raw)
-        arr = np.frombuffer(raw, dtype=dtype, count=seg_h * seg_w * spp).reshape(
-            seg_h, seg_w, spp
-        )
+        arr = np.frombuffer(
+            raw, dtype=dtype, count=seg_h * seg_w * seg_spp
+        ).reshape(seg_h, seg_w, seg_spp)
         if predictor == 2:
             # undo per-channel horizontal differencing
             arr = np.cumsum(arr.astype(np.int64), axis=1).astype(dtype)
@@ -498,37 +513,45 @@ def tiff_decode(
         if not (0 <= wx0 < wx1 <= w and 0 <= wy0 < wy1 <= h):
             raise ValueError(f"TIFF window {window} outside image {w}x{h}")
     out = np.zeros((wy1 - wy0, wx1 - wx0, spp), dtype=dtype.newbyteorder("="))
+    n_bands = spp // seg_spp  # 1 for chunky, spp for planar
     if 322 in tags:  # tiled
         tw, th = one(322), one(323)
         offs, cnts = tags[324], tags[325]
         tiles_x = (w + tw - 1) // tw
         tiles_y = (h + th - 1) // th
-        if len(offs) != tiles_x * tiles_y:
+        per_band = tiles_x * tiles_y
+        if len(offs) != per_band * n_bands:
             raise ValueError("TIFF tile count mismatch")
         for i, (off, cnt) in enumerate(zip(offs, cnts)):
-            ty, tx = divmod(i, tiles_x)
+            band, pos = divmod(i, per_band)
+            ty, tx = divmod(pos, tiles_x)
             y0, x0 = ty * th, tx * tw
             iy0, iy1 = max(y0, wy0), min(y0 + th, h, wy1)
             ix0, ix1 = max(x0, wx0), min(x0 + tw, w, wx1)
             if iy0 >= iy1 or ix0 >= ix1:
                 continue  # tile outside the window: bytes never touched
             block = _segment(off, cnt, th, tw)
-            out[iy0 - wy0 : iy1 - wy0, ix0 - wx0 : ix1 - wx0, :] = block[
-                iy0 - y0 : iy1 - y0, ix0 - x0 : ix1 - x0, :
-            ]
+            out[
+                iy0 - wy0 : iy1 - wy0, ix0 - wx0 : ix1 - wx0,
+                band * seg_spp : (band + 1) * seg_spp,
+            ] = block[iy0 - y0 : iy1 - y0, ix0 - x0 : ix1 - x0, :]
     else:  # striped
         rows_per_strip = one(278, h)
         offs, cnts = tags[273], tags[279]
+        per_band = (h + rows_per_strip - 1) // rows_per_strip
+        if len(offs) != per_band * n_bands:
+            raise ValueError("TIFF strip count mismatch")
         for i, (off, cnt) in enumerate(zip(offs, cnts)):
-            y0 = i * rows_per_strip
+            band, pos = divmod(i, per_band)
+            y0 = pos * rows_per_strip
             seg_h = min(rows_per_strip, h - y0)
             iy0, iy1 = max(y0, wy0), min(y0 + seg_h, wy1)
             if iy0 >= iy1:
                 continue  # strip outside the window
             seg = _segment(off, cnt, seg_h, w)
-            out[iy0 - wy0 : iy1 - wy0, :, :] = seg[
-                iy0 - y0 : iy1 - y0, wx0:wx1, :
-            ]
+            out[
+                iy0 - wy0 : iy1 - wy0, :, band * seg_spp : (band + 1) * seg_spp
+            ] = seg[iy0 - y0 : iy1 - y0, wx0:wx1, :]
 
     transform = (0.0, 0.0, 1.0, -1.0)
     if 33550 in tags and 33922 in tags:
@@ -776,7 +799,10 @@ def jpeg_encode_blocks(
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     qz = np.asarray(quant, dtype=np.int64).ravel()[_ZIGZAG]
-    dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(q) for q in qz))
+    if qz.max() > 255:  # 16-bit table (Pq=1, big-endian entries)
+        dqt = seg(0xFFDB, bytes([0x10]) + qz.astype(">u2").tobytes())
+    else:
+        dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(q) for q in qz))
     sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
               + bytes([1, 0x11, 0]))
     dht = seg(
@@ -817,12 +843,20 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
             b = 0
             while b < len(body):
                 pq, tq = body[b] >> 4, body[b] & 0xF
-                if pq != 0:
-                    raise ValueError("unsupported JPEG: 16-bit quant table")
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8)
+                if pq == 0:
+                    tbl[_ZIGZAG] = np.frombuffer(
+                        body[b + 1 : b + 65], dtype=np.uint8
+                    )
+                    b += 65
+                elif pq == 1:  # 16-bit entries, big-endian
+                    tbl[_ZIGZAG] = np.frombuffer(
+                        body[b + 1 : b + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    b += 129
+                else:
+                    raise ValueError(f"bad JPEG quant precision {pq}")
                 quant[tq] = tbl.reshape(8, 8)
-                b += 65
         elif marker == 0xC0:  # SOF0 baseline
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8 or ncomp != 1:

@@ -195,3 +195,22 @@ def test_jpeg_restart_markers_roundtrip():
 
     with pytest.raises(ValueError):
         codecs.jpeg_decode(bytes(blob))
+
+
+def test_jpeg_16bit_quant_table():
+    """Pq=1 (16-bit) quantization tables round-trip exactly."""
+    import numpy as np
+
+    q = np.full((8, 8), 300, dtype=np.int64)
+    q[0, 0] = 1024
+    co = np.zeros((2, 3, 8, 8), dtype=np.int64)
+    co[0, 0, 0, 0] = 1  # pixel = 1024/8 = 128 -> flat 256 clamped to 255
+    co[1, 2, 1, 1] = -2
+    blob = codecs.jpeg_encode_blocks(co, q, 24, 16)
+    img = codecs.jpeg_decode(blob)
+    A = codecs._IDCT_A
+    ref = np.zeros((16, 24))
+    for j in range(2):
+        for i in range(3):
+            ref[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8] = A.T @ (co[j, i] * q) @ A
+    assert np.array_equal(img, np.clip(np.round(ref) + 128, 0, 255))

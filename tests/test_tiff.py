@@ -211,3 +211,38 @@ def test_tiff_cells_windowed_aligns_with_full(spark):
     assert len(got) == (win[2] - win[0]) * (win[3] - win[1])
     for k, v in got.items():
         assert full[k] == v, (k, v, full[k])
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+@pytest.mark.parametrize("tile", [None, 16])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_planar_multiband_roundtrip(compression, tile, predictor):
+    """PlanarConfiguration=2 (band-separate): each band's strips/tiles are
+    their own band-major segment run."""
+    base = _img("int32", w=37, h=21)
+    img = np.stack([base + b * 1000 for b in range(3)], axis=-1)
+    blob = codecs.tiff_encode(
+        img, compression=compression, tile=tile, predictor=predictor,
+        planar=True,
+    )
+    out, _, _ = codecs.tiff_decode(blob)
+    assert out.shape == (21, 37, 3)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_planar_windowed_read():
+    base = _img("uint16", w=64, h=48)
+    img = np.stack([base, base + 7], axis=-1)
+    blob = codecs.tiff_encode(img, compression="deflate", tile=16, planar=True)
+    win = (10, 5, 40, 30)
+    out, _, _ = codecs.tiff_decode(blob, window=win)
+    np.testing.assert_array_equal(out, img[5:30, 10:40, :])
+
+
+def test_planar_single_band_is_chunky():
+    """planar=True on a single-band image degenerates to the ordinary
+    layout (PlanarConfiguration stays 1)."""
+    img = _img("uint8")
+    blob = codecs.tiff_encode(img, planar=True)
+    out, _, _ = codecs.tiff_decode(blob)
+    np.testing.assert_array_equal(out, img)
