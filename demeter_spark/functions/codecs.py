@@ -242,7 +242,7 @@ def wav_decode(data: bytes) -> tuple[int, int, np.ndarray]:
 # Unsupported layouts (planar band-separate, palette, JPEG-in-TIFF, float
 # predictor) raise ValueError loudly.
 
-_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8}
 
 _TIFF_DTYPES = {
     # (sample_format, bits) -> numpy dtype char (endian applied at read)
@@ -254,17 +254,25 @@ _TIFF_FORMATS = {v: k for k, v in _TIFF_DTYPES.items()}
 
 
 def _tiff_entry(order: str, tag: int, ttype: int, values, data_area: bytearray,
-                data_base: int) -> bytes:
-    """One 12-byte IFD entry; values longer than 4 bytes spill into the
-    data area at data_base + current length."""
-    fmt = {3: "H", 4: "I", 12: "d"}[ttype]
+                data_base: int, big: bool = False) -> bytes:
+    """One IFD entry (12 bytes classic, 20 bytes BigTIFF); values longer
+    than the inline slot (4 / 8 bytes) spill into the data area at
+    data_base + current length."""
+    fmt = {3: "H", 4: "I", 12: "d", 16: "Q"}[ttype]
     payload = struct.pack(f"{order}{len(values)}{fmt}", *values)
-    if len(payload) <= 4:
-        payload = payload.ljust(4, b"\0")
-        return struct.pack(f"{order}HHI", tag, ttype, len(values)) + payload
+    inline = 8 if big else 4
+    count_fmt = "Q" if big else "I"
+    if len(payload) <= inline:
+        payload = payload.ljust(inline, b"\0")
+        return (
+            struct.pack(f"{order}HH{count_fmt}", tag, ttype, len(values))
+            + payload
+        )
     off = data_base + len(data_area)
     data_area.extend(payload)
-    return struct.pack(f"{order}HHII", tag, ttype, len(values), off)
+    return struct.pack(
+        f"{order}HH{count_fmt}{'Q' if big else 'I'}", tag, ttype, len(values), off
+    )
 
 
 def tiff_encode(
@@ -276,6 +284,7 @@ def tiff_encode(
     predictor: int = 1,
     big_endian: bool = False,
     planar: bool = False,
+    bigtiff: bool = False,
 ) -> bytes:
     """(H, W) or (H, W, S) array -> (Geo)TIFF bytes; S > 1 writes a
     multi-band interleaved image (PlanarConfiguration=1, chunky — the GDAL
@@ -289,7 +298,10 @@ def tiff_encode(
     consistency). ``predictor=2`` applies horizontal differencing per
     sample channel (integer dtypes only, as in the TIFF spec).
     ``planar``: PlanarConfiguration=2 — each band's strips/tiles stored as
-    their own segment run (band-major segment order)."""
+    their own segment run (band-major segment order). ``bigtiff``: write the
+    BigTIFF (version 43) container with 8-byte offsets — classic TIFF's
+    32-bit offsets cap files at 4 GB, a real ceiling for continental-scale
+    rasters; a production writer flips this on automatically by size."""
     img = np.ascontiguousarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -338,7 +350,7 @@ def tiff_encode(
                     block[: part.shape[0], : part.shape[1], :] = part
                     segments.append(_segment_bytes(block))
 
-    header_len = 8
+    header_len = 16 if bigtiff else 8
     seg_offsets = []
     pos = header_len
     for s in segments:
@@ -368,47 +380,96 @@ def tiff_encode(
         (33922, 12, [0.0, 0.0, 0.0, ox, oy, 0.0]),
         (34735, 3, geokeys),
     ]
+    off_type = 16 if bigtiff else 4  # LONG8 vs LONG for offsets/counts
     if tile is None:
-        tags += [(273, 4, seg_offsets), (278, 4, [8]), (279, 4, [len(s) for s in segments])]
+        tags += [
+            (273, off_type, seg_offsets),
+            (278, 4, [8]),
+            (279, off_type, [len(s) for s in segments]),
+        ]
     else:
         tags += [
             (322, 4, [tile]), (323, 4, [tile]),
-            (324, 4, seg_offsets), (325, 4, [len(s) for s in segments]),
+            (324, off_type, seg_offsets),
+            (325, off_type, [len(s) for s in segments]),
         ]
     tags.sort()
 
-    ifd_len = 2 + 12 * len(tags) + 4
+    if bigtiff:
+        ifd_len = 8 + 20 * len(tags) + 8
+    else:
+        ifd_len = 2 + 12 * len(tags) + 4
     data_base = ifd_offset + ifd_len
     data_area = bytearray()
     entries = b"".join(
-        _tiff_entry(order, tag, ttype, vals, data_area, data_base)
+        _tiff_entry(order, tag, ttype, vals, data_area, data_base, big=bigtiff)
         for tag, ttype, vals in tags
     )
-    ifd = struct.pack(f"{order}H", len(tags)) + entries + struct.pack(f"{order}I", 0)
-    magic = struct.pack(f"{order}2sHI", b"MM" if big_endian else b"II", 42, ifd_offset)
+    if bigtiff:
+        ifd = (
+            struct.pack(f"{order}Q", len(tags))
+            + entries
+            + struct.pack(f"{order}Q", 0)
+        )
+        magic = struct.pack(
+            f"{order}2sHHHQ", b"MM" if big_endian else b"II", 43, 8, 0, ifd_offset
+        )
+    else:
+        ifd = (
+            struct.pack(f"{order}H", len(tags))
+            + entries
+            + struct.pack(f"{order}I", 0)
+        )
+        magic = struct.pack(
+            f"{order}2sHI", b"MM" if big_endian else b"II", 42, ifd_offset
+        )
     return magic + b"".join(segments) + ifd + bytes(data_area)
 
 
 def _tiff_tags(data: bytes) -> tuple[str, dict]:
-    """Endian-aware IFD walk: (struct byte-order char, {tag: [values]})."""
+    """Endian-aware IFD walk, classic (42) and BigTIFF (43):
+    (struct byte-order char, {tag: [values]})."""
     if len(data) < 8 or data[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF: bad byte-order mark")
     order = "<" if data[:2] == b"II" else ">"
-    magic, ifd_offset = struct.unpack_from(f"{order}HI", data, 2)
-    if magic != 42:
+    (magic,) = struct.unpack_from(f"{order}H", data, 2)
+    if magic == 42:
+        big = False
+        (ifd_offset,) = struct.unpack_from(f"{order}I", data, 4)
+    elif magic == 43:
+        big = True
+        offsize, zero, ifd_offset = struct.unpack_from(f"{order}HHQ", data, 4)
+        if offsize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+    else:
         raise ValueError("not a TIFF: bad magic")
-    (n_tags,) = struct.unpack_from(f"{order}H", data, ifd_offset)
+    if big:
+        (n_tags,) = struct.unpack_from(f"{order}Q", data, ifd_offset)
+        entry0, entry_len, inline = ifd_offset + 8, 20, 8
+        count_fmt = "Q"
+    else:
+        (n_tags,) = struct.unpack_from(f"{order}H", data, ifd_offset)
+        entry0, entry_len, inline = ifd_offset + 2, 12, 4
+        count_fmt = "I"
     tags: dict[int, list] = {}
-    for i in range(n_tags):
-        base = ifd_offset + 2 + 12 * i
-        tag, ttype, count = struct.unpack_from(f"{order}HHI", data, base)
+    for i in range(int(n_tags)):
+        base = entry0 + entry_len * i
+        tag, ttype = struct.unpack_from(f"{order}HH", data, base)
+        (count,) = struct.unpack_from(f"{order}{count_fmt}", data, base + 4)
         size = _TIFF_TYPE_SIZE.get(ttype)
         if size is None:
             continue
-        nbytes = size * count
-        off = base + 8 if nbytes <= 4 else struct.unpack_from(f"{order}I", data, base + 8)[0]
-        fmt = {1: "B", 2: "c", 3: "H", 4: "I", 5: "I", 11: "f", 12: "d"}[ttype]
-        n = count * (2 if ttype == 5 else 1)
+        nbytes = size * int(count)
+        val_base = base + 4 + struct.calcsize(count_fmt)
+        if nbytes <= inline:
+            off = val_base
+        else:
+            (off,) = struct.unpack_from(
+                f"{order}{'Q' if big else 'I'}", data, val_base
+            )
+        fmt = {1: "B", 2: "c", 3: "H", 4: "I", 5: "I", 11: "f", 12: "d",
+               16: "Q"}[ttype]
+        n = int(count) * (2 if ttype == 5 else 1)
         tags[tag] = list(struct.unpack_from(f"{order}{n}{fmt}", data, off))
     return order, tags
 

@@ -246,3 +246,39 @@ def test_planar_single_band_is_chunky():
     blob = codecs.tiff_encode(img, planar=True)
     out, _, _ = codecs.tiff_decode(blob)
     np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+@pytest.mark.parametrize("tile", [None, 16])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_bigtiff_roundtrip(compression, tile, big_endian):
+    """BigTIFF (version 43, 8-byte offsets): classic TIFF's 32-bit offsets
+    cap files at 4 GB — a real ceiling for continental rasters. Same pixel
+    semantics, bigger container."""
+    img = _img("int32")
+    tf = (12.5, -3.25, 0.25, -0.25)
+    blob = codecs.tiff_encode(
+        img, transform=tf, epsg=5070, compression=compression, tile=tile,
+        big_endian=big_endian, bigtiff=True,
+    )
+    assert blob[2:4] == (b"\x00\x2b" if big_endian else b"\x2b\x00")
+    out, got_tf, epsg = codecs.tiff_decode(blob)
+    np.testing.assert_array_equal(out, img)
+    assert got_tf == tf
+    assert epsg == 5070
+    assert codecs.tiff_info(blob)["width"] == img.shape[1]
+
+
+def test_bigtiff_multiband_windowed():
+    base = _img("uint16", w=64, h=48)
+    img = np.stack([base, base + 3, base + 9], axis=-1)
+    blob = codecs.tiff_encode(img, tile=16, compression="deflate", bigtiff=True)
+    out, _, _ = codecs.tiff_decode(blob, window=(5, 7, 50, 40))
+    np.testing.assert_array_equal(out, img[7:40, 5:50, :])
+
+
+def test_bigtiff_malformed_header():
+    blob = bytearray(codecs.tiff_encode(_img("uint8"), bigtiff=True))
+    blob[4] = 4  # offsetsize must be 8
+    with pytest.raises(ValueError, match="BigTIFF"):
+        codecs.tiff_decode(bytes(blob))
