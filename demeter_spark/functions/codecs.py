@@ -800,25 +800,80 @@ def _extend(bits_val: int, s: int) -> int:
     return bits_val if bits_val >= (1 << (s - 1)) else bits_val - (1 << s) + 1
 
 
+def _encode_block(w, zz, prev_dc, dc_codes, ac_codes) -> int:
+    """Entropy-code one zigzagged quantized block; returns the new DC."""
+    s, bits_val = _magnitude(int(zz[0]) - prev_dc)
+    code, length = dc_codes[s]
+    w.write(code, length)
+    if s:
+        w.write(bits_val, s)
+    run = 0
+    last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        s, bits_val = _magnitude(v)
+        code, length = ac_codes[run * 16 + s]
+        w.write(code, length)
+        w.write(bits_val, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    return int(zz[0])
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _jpeg_dqt(quant: "np.ndarray", tq: int) -> bytes:
+    qz = np.asarray(quant, dtype=np.int64).ravel()[_ZIGZAG]
+    if qz.max() > 255:  # 16-bit table (Pq=1, big-endian entries)
+        return _jpeg_seg(0xFFDB, bytes([0x10 | tq]) + qz.astype(">u2").tobytes())
+    return _jpeg_seg(0xFFDB, bytes([0x00 | tq]) + bytes(int(q) for q in qz))
+
+
 def jpeg_encode_blocks(
     coeffs: "np.ndarray", quant: "np.ndarray", width: int, height: int,
     restart_interval: int | None = None,
+    chroma: tuple["np.ndarray", "np.ndarray", "np.ndarray"] | None = None,
 ) -> bytes:
-    """Quantized DCT coefficient blocks -> baseline grayscale JPEG bytes.
+    """Quantized DCT coefficient blocks -> baseline JPEG bytes.
 
-    ``coeffs``: (n_blocks_y, n_blocks_x, 8, 8) integer quantized
-    coefficients (natural order); ``quant``: 8x8 quantization table.
-    ``restart_interval``: emit a DRI segment and an RSTn marker every N
-    MCUs (DC prediction resets) — what libjpeg-based encoders produce for
-    large images. Encoding from coefficients (rather than pixels) keeps
-    the test fixtures closed-form: DC-only blocks decode to
-    analytically-known flat pixels."""
+    Grayscale by default: ``coeffs`` is (n_blocks_y, n_blocks_x, 8, 8)
+    integer quantized Y coefficients (natural order), ``quant`` the 8x8
+    luminance table. ``chroma=(cb_coeffs, cr_coeffs, chroma_quant)`` emits
+    a 3-component YCbCr 4:4:4 color image instead (MCU = Y, Cb, Cr blocks
+    interleaved; chroma quant registered as table 1; all components share
+    the Annex-K Huffman tables). ``restart_interval``: emit a DRI segment
+    and an RSTn marker every N MCUs (DC prediction resets) — what
+    libjpeg-based encoders produce for large images. Encoding from
+    coefficients (rather than pixels) keeps test fixtures closed-form:
+    DC-only blocks decode to analytically-known flat pixels."""
     coeffs = np.asarray(coeffs, dtype=np.int64)
     by, bx = coeffs.shape[:2]
+    comps = [(coeffs, 0)]
+    if chroma is not None:
+        cb, cr, cq = chroma
+        comps = [
+            (coeffs, 0),
+            (np.asarray(cb, dtype=np.int64), 1),
+            (np.asarray(cr, dtype=np.int64), 1),
+        ]
+        for c, _ in comps[1:]:
+            if c.shape[:2] != (by, bx):
+                raise ValueError("chroma block grid must match luma (4:4:4)")
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     w = _BitWriter()
-    prev_dc = 0
+    prev_dc = [0] * len(comps)
     mcu = 0
     rst = 0
     for j in range(by):
@@ -826,54 +881,32 @@ def jpeg_encode_blocks(
             if restart_interval and mcu and mcu % restart_interval == 0:
                 w.marker(0xD0 + rst % 8)
                 rst += 1
-                prev_dc = 0
+                prev_dc = [0] * len(comps)
             mcu += 1
-            zz = coeffs[j, i].ravel()[_ZIGZAG]
-            s, bits_val = _magnitude(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            code, length = dc_codes[s]
-            w.write(code, length)
-            if s:
-                w.write(bits_val, s)
-            run = 0
-            last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    w.write(code, length)
-                    run -= 16
-                s, bits_val = _magnitude(v)
-                code, length = ac_codes[run * 16 + s]
-                w.write(code, length)
-                w.write(bits_val, s)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                w.write(code, length)
+            for ci, (carr, _) in enumerate(comps):
+                zz = carr[j, i].ravel()[_ZIGZAG]
+                prev_dc[ci] = _encode_block(w, zz, prev_dc[ci], dc_codes, ac_codes)
     scan = w.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    qz = np.asarray(quant, dtype=np.int64).ravel()[_ZIGZAG]
-    if qz.max() > 255:  # 16-bit table (Pq=1, big-endian entries)
-        dqt = seg(0xFFDB, bytes([0x10]) + qz.astype(">u2").tobytes())
-    else:
-        dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(q) for q in qz))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
-              + bytes([1, 0x11, 0]))
-    dht = seg(
+    dqt = _jpeg_dqt(quant, 0)
+    if chroma is not None:
+        dqt += _jpeg_dqt(chroma[2], 1)
+    ncomp = len(comps)
+    sof_body = struct.pack(">BHHB", 8, height, width, ncomp)
+    sos_body = bytes([ncomp])
+    for ci, (_, tq) in enumerate(comps):
+        sof_body += bytes([ci + 1, 0x11, tq])
+        sos_body += bytes([ci + 1, 0x00])
+    sos_body += bytes([0, 63, 0])
+    sof = _jpeg_seg(0xFFC0, sof_body)
+    dht = _jpeg_seg(
         0xFFC4,
         bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
         + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS),
     )
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    sos = _jpeg_seg(0xFFDA, sos_body)
     dri = (
-        seg(0xFFDD, struct.pack(">H", restart_interval))
+        _jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))
         if restart_interval
         else b""
     )
@@ -881,7 +914,9 @@ def jpeg_encode_blocks(
 
 
 def jpeg_decode(data: bytes) -> "np.ndarray":
-    """Baseline grayscale JPEG bytes -> uint8 pixel array (H, W)."""
+    """Baseline JPEG bytes -> uint8 pixels: (H, W) for grayscale, (H, W, 3)
+    RGB for YCbCr 4:4:4 color (BT.601 conversion). Subsampled (4:2:0/4:2:2)
+    and progressive layouts raise ValueError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -889,7 +924,9 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = None
-    comp_q = comp_dc = comp_ac = 0
+    sof_comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_sel: dict[int, tuple[int, int]] = {}  # id -> (dc table, ac table)
+    scan_order: list[int] = []
     restart_interval = 0
     scan_start = None
     while pos + 4 <= len(data):
@@ -920,14 +957,18 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
                 quant[tq] = tbl.reshape(8, 8)
         elif marker == 0xC0:  # SOF0 baseline
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8 or ncomp != 1:
+            if precision != 8 or ncomp not in (1, 3):
                 raise ValueError(
                     f"unsupported JPEG: precision={precision} components={ncomp}"
-                    " (grayscale baseline only)"
+                    " (grayscale or YCbCr 4:4:4 baseline only)"
                 )
-            if body[7] != 0x11:
-                raise ValueError("unsupported JPEG: subsampled component")
-            comp_q = body[8]
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "unsupported JPEG: subsampled component (4:4:4 only)"
+                    )
+                sof_comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             raise ValueError("unsupported JPEG: non-baseline SOF")
         elif marker == 0xC4:  # DHT
@@ -944,59 +985,86 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            for c in range(ns):
+                cid, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                scan_sel[cid] = (tdta >> 4, tdta & 0xF)
+                scan_order.append(cid)
             scan_start = pos + 2 + length
             break
         pos += 2 + length
-    if width is None or scan_start is None:
+    if width is None or scan_start is None or not sof_comps:
         raise ValueError("JPEG missing SOF/SOS")
-    if comp_q not in quant:
-        raise ValueError(f"JPEG scan references undefined quant table {comp_q}")
-    if comp_dc not in dc_tables or comp_ac not in ac_tables:
-        raise ValueError(
-            f"JPEG scan references undefined Huffman tables dc={comp_dc}"
-            f" ac={comp_ac} (missing or post-SOS DHT)"
-        )
-    q = quant[comp_q]
-    dc_t, ac_t = dc_tables[comp_dc], ac_tables[comp_ac]
+    if scan_order != [cid for cid, _ in sof_comps]:
+        raise ValueError("unsupported JPEG: scan order differs from SOF order")
+    comp_meta = []  # (quant, dc table, ac table) per component
+    for cid, tq in sof_comps:
+        if tq not in quant:
+            raise ValueError(f"JPEG scan references undefined quant table {tq}")
+        if cid not in scan_sel:
+            raise ValueError(f"JPEG SOS missing component {cid}")
+        td, ta = scan_sel[cid]
+        if td not in dc_tables or ta not in ac_tables:
+            raise ValueError(
+                f"JPEG scan references undefined Huffman tables dc={td}"
+                f" ac={ta} (missing or post-SOS DHT)"
+            )
+        comp_meta.append((quant[tq], dc_tables[td], ac_tables[ta]))
+    ncomp = len(comp_meta)
     bx = (width + 7) // 8
     by = (height + 7) // 8
     r = _BitReader(data[scan_start:])
-    out = np.zeros((by * 8, bx * 8), dtype=np.float64)
-    prev_dc = 0
+    out = np.zeros((by * 8, bx * 8, ncomp), dtype=np.float64)
+    prev_dc = [0] * ncomp
     mcu = 0
     for j in range(by):
         for i in range(bx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 r.restart()
-                prev_dc = 0
+                prev_dc = [0] * ncomp
             mcu += 1
-            zz = np.zeros(64, dtype=np.int64)
-            s = r.huff(dc_t)
-            prev_dc += _extend(r.bits(s), s) if s else 0
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = r.huff(ac_t)
-                if sym == 0x00:  # EOB
-                    break
-                run, s = sym >> 4, sym & 0xF
-                if s == 0:
-                    if run != 15:
-                        raise ValueError("bad JPEG AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC coefficient overflow")
-                zz[k] = _extend(r.bits(s), s)
-                k += 1
-            block = np.zeros(64, dtype=np.int64)
-            block[_ZIGZAG] = zz
-            f = block.reshape(8, 8) * q
-            pix = _IDCT_A.T @ f @ _IDCT_A
-            out[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8] = pix
-    return np.clip(np.round(out) + 128, 0, 255).astype(np.uint8)[:height, :width]
+            for ci, (q, dc_t, ac_t) in enumerate(comp_meta):
+                zz = np.zeros(64, dtype=np.int64)
+                s = r.huff(dc_t)
+                prev_dc[ci] += _extend(r.bits(s), s) if s else 0
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = r.huff(ac_t)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if run != 15:
+                            raise ValueError("bad JPEG AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC coefficient overflow")
+                    zz[k] = _extend(r.bits(s), s)
+                    k += 1
+                block = np.zeros(64, dtype=np.int64)
+                block[_ZIGZAG] = zz
+                f = block.reshape(8, 8) * q
+                pix = _IDCT_A.T @ f @ _IDCT_A
+                out[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8, ci] = pix
+    out = out[:height, :width, :] + 128.0
+    if ncomp == 1:
+        return np.clip(np.round(out[:, :, 0]), 0, 255).astype(np.uint8)
+    # BT.601 YCbCr -> RGB (the JFIF convention)
+    y = out[:, :, 0]
+    cb = out[:, :, 1] - 128.0
+    cr = out[:, :, 2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -214,3 +214,47 @@ def test_jpeg_16bit_quant_table():
         for i in range(3):
             ref[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8] = A.T @ (co[j, i] * q) @ A
     assert np.array_equal(img, np.clip(np.round(ref) + 128, 0, 255))
+
+
+def test_jpeg_color_444_roundtrip():
+    """YCbCr 4:4:4 color: three interleaved components per MCU with
+    separate quant tables and per-component DC predictors; decode must
+    equal the independent IDCT + BT.601 conversion exactly, including
+    through restart markers."""
+    import numpy as np
+
+    q = np.ones((8, 8), dtype=np.int64)
+    q[0, 0] = 16
+    qc = np.full((8, 8), 2, dtype=np.int64)
+    rng = np.random.RandomState(19)
+    yco = rng.randint(-30, 30, size=(3, 4, 8, 8))
+    yco[np.abs(yco) < 20] = 0
+    cbco = rng.randint(-20, 20, size=(3, 4, 8, 8))
+    cbco[np.abs(cbco) < 14] = 0
+    crco = rng.randint(-20, 20, size=(3, 4, 8, 8))
+    crco[np.abs(crco) < 14] = 0
+    A = codecs._IDCT_A
+    planes = []
+    for co, qt in ((yco, q), (cbco, qc), (crco, qc)):
+        p = np.zeros((24, 32))
+        for j in range(3):
+            for i in range(4):
+                p[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8] = A.T @ (co[j, i] * qt) @ A
+        planes.append(p + 128.0)
+    y, cb, cr = planes
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128),
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+            y + 1.772 * (cb - 128),
+        ],
+        axis=-1,
+    )
+    want = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    for ri in (None, 2):
+        blob = codecs.jpeg_encode_blocks(
+            yco, q, 32, 24, restart_interval=ri, chroma=(cbco, crco, qc)
+        )
+        out = codecs.jpeg_decode(blob)
+        assert out.shape == (24, 32, 3)
+        assert np.array_equal(out, want), ri
