@@ -844,21 +844,28 @@ def jpeg_encode_blocks(
     coeffs: "np.ndarray", quant: "np.ndarray", width: int, height: int,
     restart_interval: int | None = None,
     chroma: tuple["np.ndarray", "np.ndarray", "np.ndarray"] | None = None,
+    subsampling: str = "444",
 ) -> bytes:
     """Quantized DCT coefficient blocks -> baseline JPEG bytes.
 
     Grayscale by default: ``coeffs`` is (n_blocks_y, n_blocks_x, 8, 8)
     integer quantized Y coefficients (natural order), ``quant`` the 8x8
     luminance table. ``chroma=(cb_coeffs, cr_coeffs, chroma_quant)`` emits
-    a 3-component YCbCr 4:4:4 color image instead (MCU = Y, Cb, Cr blocks
-    interleaved; chroma quant registered as table 1; all components share
-    the Annex-K Huffman tables). ``restart_interval``: emit a DRI segment
+    a 3-component YCbCr color image instead (chroma quant registered as
+    table 1; all components share the Annex-K Huffman tables).
+    ``subsampling``: "444" (MCU = Y, Cb, Cr blocks) or "420" (MCU = four Y
+    blocks in 2x2 order + Cb + Cr, the dominant real-world layout; the
+    luma block grid must be exactly 2x the chroma grid on both axes).
+    ``restart_interval``: emit a DRI segment
     and an RSTn marker every N MCUs (DC prediction resets) — what
     libjpeg-based encoders produce for large images. Encoding from
     coefficients (rather than pixels) keeps test fixtures closed-form:
     DC-only blocks decode to analytically-known flat pixels."""
     coeffs = np.asarray(coeffs, dtype=np.int64)
     by, bx = coeffs.shape[:2]
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub420 = subsampling == "420" and chroma is not None
     comps = [(coeffs, 0)]
     if chroma is not None:
         cb, cr, cq = chroma
@@ -867,25 +874,47 @@ def jpeg_encode_blocks(
             (np.asarray(cb, dtype=np.int64), 1),
             (np.asarray(cr, dtype=np.int64), 1),
         ]
+        want = (by // 2, bx // 2) if sub420 else (by, bx)
+        if sub420 and (by % 2 or bx % 2):
+            raise ValueError("4:2:0 needs an even luma block grid")
         for c, _ in comps[1:]:
-            if c.shape[:2] != (by, bx):
-                raise ValueError("chroma block grid must match luma (4:4:4)")
+            if c.shape[:2] != want:
+                raise ValueError(
+                    f"chroma block grid {c.shape[:2]} must be {want}"
+                    f" for {subsampling}"
+                )
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     w = _BitWriter()
     prev_dc = [0] * len(comps)
     mcu = 0
     rst = 0
-    for j in range(by):
-        for i in range(bx):
+    mby, mbx = (by // 2, bx // 2) if sub420 else (by, bx)
+    for j in range(mby):
+        for i in range(mbx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 w.marker(0xD0 + rst % 8)
                 rst += 1
                 prev_dc = [0] * len(comps)
             mcu += 1
-            for ci, (carr, _) in enumerate(comps):
-                zz = carr[j, i].ravel()[_ZIGZAG]
-                prev_dc[ci] = _encode_block(w, zz, prev_dc[ci], dc_codes, ac_codes)
+            if sub420:
+                for dj in (0, 1):
+                    for di in (0, 1):
+                        zz = comps[0][0][2 * j + dj, 2 * i + di].ravel()[_ZIGZAG]
+                        prev_dc[0] = _encode_block(
+                            w, zz, prev_dc[0], dc_codes, ac_codes
+                        )
+                for ci in (1, 2):
+                    zz = comps[ci][0][j, i].ravel()[_ZIGZAG]
+                    prev_dc[ci] = _encode_block(
+                        w, zz, prev_dc[ci], dc_codes, ac_codes
+                    )
+            else:
+                for ci, (carr, _) in enumerate(comps):
+                    zz = carr[j, i].ravel()[_ZIGZAG]
+                    prev_dc[ci] = _encode_block(
+                        w, zz, prev_dc[ci], dc_codes, ac_codes
+                    )
     scan = w.flush()
 
     dqt = _jpeg_dqt(quant, 0)
@@ -895,7 +924,8 @@ def jpeg_encode_blocks(
     sof_body = struct.pack(">BHHB", 8, height, width, ncomp)
     sos_body = bytes([ncomp])
     for ci, (_, tq) in enumerate(comps):
-        sof_body += bytes([ci + 1, 0x11, tq])
+        sampling = 0x22 if (sub420 and ci == 0) else 0x11
+        sof_body += bytes([ci + 1, sampling, tq])
         sos_body += bytes([ci + 1, 0x00])
     sos_body += bytes([0, 63, 0])
     sof = _jpeg_seg(0xFFC0, sof_body)
@@ -915,8 +945,9 @@ def jpeg_encode_blocks(
 
 def jpeg_decode(data: bytes) -> "np.ndarray":
     """Baseline JPEG bytes -> uint8 pixels: (H, W) for grayscale, (H, W, 3)
-    RGB for YCbCr 4:4:4 color (BT.601 conversion). Subsampled (4:2:0/4:2:2)
-    and progressive layouts raise ValueError."""
+    RGB for YCbCr color (BT.601 conversion) — 4:4:4 and 4:2:0 (replicated
+    chroma upsampling). 4:2:2/4:1:1 and progressive layouts raise
+    ValueError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -924,7 +955,7 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = None
-    sof_comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    sof_comps: list[tuple[int, int, int]] = []  # (id, quant id, sampling)
     scan_sel: dict[int, tuple[int, int]] = {}  # id -> (dc table, ac table)
     scan_order: list[int] = []
     restart_interval = 0
@@ -964,11 +995,15 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
                 )
             for c in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise ValueError(
-                        "unsupported JPEG: subsampled component (4:4:4 only)"
-                    )
-                sof_comps.append((cid, tq))
+                sof_comps.append((cid, tq, sampling))
+            samplings = [s for _, _, s in sof_comps]
+            if not (
+                all(s == 0x11 for s in samplings)
+                or (len(samplings) == 3 and samplings == [0x22, 0x11, 0x11])
+            ):
+                raise ValueError(
+                    f"unsupported JPEG sampling {samplings} (4:4:4/4:2:0 only)"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             raise ValueError("unsupported JPEG: non-baseline SOF")
         elif marker == 0xC4:  # DHT
@@ -995,10 +1030,11 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
         pos += 2 + length
     if width is None or scan_start is None or not sof_comps:
         raise ValueError("JPEG missing SOF/SOS")
-    if scan_order != [cid for cid, _ in sof_comps]:
+    if scan_order != [cid for cid, _, _ in sof_comps]:
         raise ValueError("unsupported JPEG: scan order differs from SOF order")
+    sub420 = len(sof_comps) == 3 and sof_comps[0][2] == 0x22
     comp_meta = []  # (quant, dc table, ac table) per component
-    for cid, tq in sof_comps:
+    for cid, tq, _ in sof_comps:
         if tq not in quant:
             raise ValueError(f"JPEG scan references undefined quant table {tq}")
         if cid not in scan_sel:
@@ -1011,45 +1047,77 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
             )
         comp_meta.append((quant[tq], dc_tables[td], ac_tables[ta]))
     ncomp = len(comp_meta)
-    bx = (width + 7) // 8
-    by = (height + 7) // 8
+
+    def _read_block(q, dc_t, ac_t, ci):
+        zz = np.zeros(64, dtype=np.int64)
+        s = r.huff(dc_t)
+        prev_dc[ci] += _extend(r.bits(s), s) if s else 0
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = r.huff(ac_t)
+            if sym == 0x00:  # EOB
+                break
+            run, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if run != 15:
+                    raise ValueError("bad JPEG AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC coefficient overflow")
+            zz[k] = _extend(r.bits(s), s)
+            k += 1
+        block = np.zeros(64, dtype=np.int64)
+        block[_ZIGZAG] = zz
+        f = block.reshape(8, 8) * q
+        return _IDCT_A.T @ f @ _IDCT_A
+
     r = _BitReader(data[scan_start:])
-    out = np.zeros((by * 8, bx * 8, ncomp), dtype=np.float64)
     prev_dc = [0] * ncomp
     mcu = 0
-    for j in range(by):
-        for i in range(bx):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                r.restart()
-                prev_dc = [0] * ncomp
-            mcu += 1
-            for ci, (q, dc_t, ac_t) in enumerate(comp_meta):
-                zz = np.zeros(64, dtype=np.int64)
-                s = r.huff(dc_t)
-                prev_dc[ci] += _extend(r.bits(s), s) if s else 0
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = r.huff(ac_t)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, s = sym >> 4, sym & 0xF
-                    if s == 0:
-                        if run != 15:
-                            raise ValueError("bad JPEG AC symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC coefficient overflow")
-                    zz[k] = _extend(r.bits(s), s)
-                    k += 1
-                block = np.zeros(64, dtype=np.int64)
-                block[_ZIGZAG] = zz
-                f = block.reshape(8, 8) * q
-                pix = _IDCT_A.T @ f @ _IDCT_A
-                out[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8, ci] = pix
-    out = out[:height, :width, :] + 128.0
+    if sub420:
+        # MCU = 16x16 luma px: four Y blocks (2x2) + one Cb + one Cr
+        mbx = (width + 15) // 16
+        mby = (height + 15) // 16
+        luma = np.zeros((mby * 16, mbx * 16), dtype=np.float64)
+        chroma = np.zeros((mby * 8, mbx * 8, 2), dtype=np.float64)
+        for j in range(mby):
+            for i in range(mbx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    r.restart()
+                    prev_dc = [0] * ncomp
+                mcu += 1
+                q, dc_t, ac_t = comp_meta[0]
+                for dj in (0, 1):
+                    for di in (0, 1):
+                        pix = _read_block(q, dc_t, ac_t, 0)
+                        y0, x0 = j * 16 + dj * 8, i * 16 + di * 8
+                        luma[y0 : y0 + 8, x0 : x0 + 8] = pix
+                for ci in (1, 2):
+                    q, dc_t, ac_t = comp_meta[ci]
+                    pix = _read_block(q, dc_t, ac_t, ci)
+                    chroma[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8, ci - 1] = pix
+        # replicated (nearest) chroma upsampling, the classic fast path
+        chroma_up = np.repeat(np.repeat(chroma, 2, axis=0), 2, axis=1)
+        out = np.concatenate([luma[:, :, None], chroma_up], axis=2)
+        out = out[:height, :width, :] + 128.0
+    else:
+        bx = (width + 7) // 8
+        by = (height + 7) // 8
+        out = np.zeros((by * 8, bx * 8, ncomp), dtype=np.float64)
+        for j in range(by):
+            for i in range(bx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    r.restart()
+                    prev_dc = [0] * ncomp
+                mcu += 1
+                for ci, (q, dc_t, ac_t) in enumerate(comp_meta):
+                    out[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8, ci] = _read_block(
+                        q, dc_t, ac_t, ci
+                    )
+        out = out[:height, :width, :] + 128.0
     if ncomp == 1:
         return np.clip(np.round(out[:, :, 0]), 0, 255).astype(np.uint8)
     # BT.601 YCbCr -> RGB (the JFIF convention)
