@@ -243,6 +243,64 @@ class LineageLog:
             .collect()
         ]
 
+    def expire_snapshots(self, stage: str, keep_last: int) -> int:
+        """Iceberg-style snapshot expiry: narrow a stage's time-travel
+        window to its ``keep_last`` newest snapshots; returns how many
+        snapshot ids were expired.
+
+        The append-only protocol commits each partition exactly once, so
+        data files stay live forever — expiry must NOT forget that a
+        partition is committed (resume would recompute it). Expired
+        snapshots' manifest rows are therefore FOLDED into the oldest
+        retained snapshot (their rows adopt its snapshot_id and seq) rather
+        than deleted: committed_parts/metrics are unchanged, reads of
+        retained snapshot ids return exactly what they did before, and only
+        ``read_stage(as_of=<expired id>)`` stops resolving — the same
+        contract as expireSnapshots in a real table format. Single-writer
+        protocol applies (manifest rewrite, same as compaction), and like
+        compaction the swap is os.rename: local filesystems only."""
+        if "://" in self.manifest_path or not os.path.isdir(self.manifest_path):
+            raise ValueError(
+                "expire_snapshots needs a local-filesystem manifest"
+                " (a real catalog's expireSnapshots replaces it elsewhere)"
+            )
+        snaps = self.snapshots()
+        mine = snaps.filter(F.col("stage") == stage)
+        ordered = [
+            (r["snapshot_id"], r["seq"])
+            for r in mine.select("snapshot_id", "seq")
+            .distinct()
+            .orderBy("seq")
+            .collect()
+        ]
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        if len(ordered) <= keep_last:
+            return 0
+        retained = ordered[-keep_last:]
+        expired_ids = [sid for sid, _ in ordered[:-keep_last]]
+        base_id, base_seq = retained[0]
+        folded = mine.withColumns(
+            {
+                "snapshot_id": F.when(
+                    F.col("snapshot_id").isin(expired_ids), F.lit(base_id)
+                ).otherwise(F.col("snapshot_id")),
+                "seq": F.when(
+                    F.col("snapshot_id").isin(expired_ids), F.lit(int(base_seq))
+                ).otherwise(F.col("seq")),
+            }
+        )
+        rewritten = snaps.filter(F.col("stage") != stage).unionByName(folded)
+        tmp = self.manifest_path + ".expire-tmp"
+        rewritten.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = self.manifest_path + ".expire-old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self.manifest_path, old)
+        os.rename(tmp, self.manifest_path)
+        shutil.rmtree(old)
+        return len(expired_ids)
+
 
 def observe_stage(df: DataFrame, name: str):
     """Attach a zero-cost row-count/metric observation to a stage.

@@ -397,3 +397,40 @@ def test_write_increment_does_not_recommit_other_fingerprint_parts(spark, tmp_pa
     snaps = log.snapshots().filter("fingerprint = 'fp2'")
     parts = sorted(r["part"] for r in snaps.collect())
     assert parts == [0, 1]
+
+
+def test_expire_snapshots_narrows_time_travel_only(spark, tmp_path):
+    """Iceberg-style expiry: folding old snapshots must keep committed
+    partitions, metrics, and retained-snapshot reads EXACTLY as before —
+    only as_of on an expired id stops resolving."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from demeter_spark.plans.lineage import LineageLog
+
+    log = LineageLog(spark, str(tmp_path))
+    df = spark.range(120).selectExpr("id", "CAST(id % 6 AS LONG) AS b")
+    for hi in (2, 4, 6):  # three commits of two partitions each
+        log.write_increment("s", df.filter(f"b < {hi}"), "b", "fp1")
+    ids = log.snapshot_ids("s")
+    assert len(ids) == 3
+    before_latest = log.read_stage("s").count()
+    before_mid = log.read_stage("s", as_of=ids[1]).count()
+
+    n = log.expire_snapshots("s", keep_last=2)
+    assert n == 1
+    # committed partitions unchanged -> a re-run writes nothing
+    assert log.write_increment("s", df, "b", "fp1") == 0
+    assert log.read_stage("s").count() == before_latest
+    # the retained mid snapshot reads exactly as before (it absorbed the
+    # expired snapshot's rows)
+    assert log.read_stage("s", as_of=ids[1]).count() == before_mid
+    assert log.snapshot_ids("s") == ids[1:]
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        log.read_stage("s", as_of=ids[0])
+    # metrics survive (6 partitions, one commit each)
+    assert log.metrics().filter("stage = 's'").count() == 6
+    # no-op when the window is already narrow; bad keep_last fails loudly
+    assert log.expire_snapshots("s", keep_last=5) == 0
+    with _pytest.raises(ValueError, match="keep_last"):
+        log.expire_snapshots("s", keep_last=0)
