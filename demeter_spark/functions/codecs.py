@@ -940,7 +940,12 @@ def jpeg_encode_blocks(
         if restart_interval
         else b""
     )
-    return (b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9")
+    # JFIF APP0: units=0 (aspect only), 1:1, no thumbnail — what real
+    # tooling expects right after SOI
+    app0 = _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
+    )
 
 
 def jpeg_decode(data: bytes) -> "np.ndarray":
