@@ -853,19 +853,23 @@ def jpeg_encode_blocks(
     luminance table. ``chroma=(cb_coeffs, cr_coeffs, chroma_quant)`` emits
     a 3-component YCbCr color image instead (chroma quant registered as
     table 1; all components share the Annex-K Huffman tables).
-    ``subsampling``: "444" (MCU = Y, Cb, Cr blocks) or "420" (MCU = four Y
-    blocks in 2x2 order + Cb + Cr, the dominant real-world layout; the
-    luma block grid must be exactly 2x the chroma grid on both axes).
-    ``restart_interval``: emit a DRI segment
+    ``subsampling``: "444" (MCU = Y, Cb, Cr blocks), "422" (MCU = two
+    horizontal Y blocks + Cb + Cr; luma grid 2x the chroma grid on the x
+    axis) or "420" (MCU = four Y blocks in 2x2 order + Cb + Cr, the
+    dominant real-world layout; luma grid 2x the chroma grid on both
+    axes). ``restart_interval``: emit a DRI segment
     and an RSTn marker every N MCUs (DC prediction resets) — what
     libjpeg-based encoders produce for large images. Encoding from
     coefficients (rather than pixels) keeps test fixtures closed-form:
     DC-only blocks decode to analytically-known flat pixels."""
     coeffs = np.asarray(coeffs, dtype=np.int64)
     by, bx = coeffs.shape[:2]
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
-    sub420 = subsampling == "420" and chroma is not None
+    if chroma is None:
+        subsampling = "444"
+    # luma blocks per MCU: (vertical, horizontal)
+    ly, lx = {"444": (1, 1), "422": (1, 2), "420": (2, 2)}[subsampling]
     comps = [(coeffs, 0)]
     if chroma is not None:
         cb, cr, cq = chroma
@@ -874,9 +878,12 @@ def jpeg_encode_blocks(
             (np.asarray(cb, dtype=np.int64), 1),
             (np.asarray(cr, dtype=np.int64), 1),
         ]
-        want = (by // 2, bx // 2) if sub420 else (by, bx)
-        if sub420 and (by % 2 or bx % 2):
-            raise ValueError("4:2:0 needs an even luma block grid")
+        if by % ly or bx % lx:
+            raise ValueError(
+                f"{subsampling} needs a luma block grid divisible by"
+                f" ({ly}, {lx})"
+            )
+        want = (by // ly, bx // lx)
         for c, _ in comps[1:]:
             if c.shape[:2] != want:
                 raise ValueError(
@@ -889,7 +896,7 @@ def jpeg_encode_blocks(
     prev_dc = [0] * len(comps)
     mcu = 0
     rst = 0
-    mby, mbx = (by // 2, bx // 2) if sub420 else (by, bx)
+    mby, mbx = by // ly, bx // lx
     for j in range(mby):
         for i in range(mbx):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -897,24 +904,17 @@ def jpeg_encode_blocks(
                 rst += 1
                 prev_dc = [0] * len(comps)
             mcu += 1
-            if sub420:
-                for dj in (0, 1):
-                    for di in (0, 1):
-                        zz = comps[0][0][2 * j + dj, 2 * i + di].ravel()[_ZIGZAG]
-                        prev_dc[0] = _encode_block(
-                            w, zz, prev_dc[0], dc_codes, ac_codes
-                        )
-                for ci in (1, 2):
-                    zz = comps[ci][0][j, i].ravel()[_ZIGZAG]
-                    prev_dc[ci] = _encode_block(
-                        w, zz, prev_dc[ci], dc_codes, ac_codes
+            for dj in range(ly):
+                for di in range(lx):
+                    zz = comps[0][0][ly * j + dj, lx * i + di].ravel()[_ZIGZAG]
+                    prev_dc[0] = _encode_block(
+                        w, zz, prev_dc[0], dc_codes, ac_codes
                     )
-            else:
-                for ci, (carr, _) in enumerate(comps):
-                    zz = carr[j, i].ravel()[_ZIGZAG]
-                    prev_dc[ci] = _encode_block(
-                        w, zz, prev_dc[ci], dc_codes, ac_codes
-                    )
+            for ci in range(1, len(comps)):
+                zz = comps[ci][0][j, i].ravel()[_ZIGZAG]
+                prev_dc[ci] = _encode_block(
+                    w, zz, prev_dc[ci], dc_codes, ac_codes
+                )
     scan = w.flush()
 
     dqt = _jpeg_dqt(quant, 0)
@@ -924,7 +924,7 @@ def jpeg_encode_blocks(
     sof_body = struct.pack(">BHHB", 8, height, width, ncomp)
     sos_body = bytes([ncomp])
     for ci, (_, tq) in enumerate(comps):
-        sampling = 0x22 if (sub420 and ci == 0) else 0x11
+        sampling = (lx << 4) | ly if ci == 0 else 0x11
         sof_body += bytes([ci + 1, sampling, tq])
         sos_body += bytes([ci + 1, 0x00])
     sos_body += bytes([0, 63, 0])
@@ -950,9 +950,9 @@ def jpeg_encode_blocks(
 
 def jpeg_decode(data: bytes) -> "np.ndarray":
     """Baseline JPEG bytes -> uint8 pixels: (H, W) for grayscale, (H, W, 3)
-    RGB for YCbCr color (BT.601 conversion) — 4:4:4 and 4:2:0 (replicated
-    chroma upsampling). 4:2:2/4:1:1 and progressive layouts raise
-    ValueError."""
+    RGB for YCbCr color (BT.601 conversion) — 4:4:4, 4:2:2 and 4:2:0
+    (replicated chroma upsampling). Other sampling patterns and
+    progressive layouts raise ValueError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -1004,10 +1004,15 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
             samplings = [s for _, _, s in sof_comps]
             if not (
                 all(s == 0x11 for s in samplings)
-                or (len(samplings) == 3 and samplings == [0x22, 0x11, 0x11])
+                or (
+                    len(samplings) == 3
+                    and samplings[0] in (0x21, 0x22)
+                    and samplings[1] == samplings[2] == 0x11
+                )
             ):
                 raise ValueError(
-                    f"unsupported JPEG sampling {samplings} (4:4:4/4:2:0 only)"
+                    f"unsupported JPEG sampling {samplings}"
+                    " (4:4:4/4:2:2/4:2:0 only)"
                 )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             raise ValueError("unsupported JPEG: non-baseline SOF")
@@ -1037,7 +1042,9 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
         raise ValueError("JPEG missing SOF/SOS")
     if scan_order != [cid for cid, _, _ in sof_comps]:
         raise ValueError("unsupported JPEG: scan order differs from SOF order")
-    sub420 = len(sof_comps) == 3 and sof_comps[0][2] == 0x22
+    luma_samp = sof_comps[0][2] if len(sof_comps) == 3 else 0x11
+    lx, ly = luma_samp >> 4, luma_samp & 0xF  # luma blocks per MCU (x, y)
+    subsampled = (lx, ly) != (1, 1)
     comp_meta = []  # (quant, dc table, ac table) per component
     for cid, tq, _ in sof_comps:
         if tq not in quant:
@@ -1082,11 +1089,12 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
     r = _BitReader(data[scan_start:])
     prev_dc = [0] * ncomp
     mcu = 0
-    if sub420:
-        # MCU = 16x16 luma px: four Y blocks (2x2) + one Cb + one Cr
-        mbx = (width + 15) // 16
-        mby = (height + 15) // 16
-        luma = np.zeros((mby * 16, mbx * 16), dtype=np.float64)
+    if subsampled:
+        # MCU = (8*ly) x (8*lx) luma px: lx*ly Y blocks + one Cb + one Cr
+        mcu_w, mcu_h = 8 * lx, 8 * ly
+        mbx = (width + mcu_w - 1) // mcu_w
+        mby = (height + mcu_h - 1) // mcu_h
+        luma = np.zeros((mby * mcu_h, mbx * mcu_w), dtype=np.float64)
         chroma = np.zeros((mby * 8, mbx * 8, 2), dtype=np.float64)
         for j in range(mby):
             for i in range(mbx):
@@ -1095,17 +1103,17 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
                     prev_dc = [0] * ncomp
                 mcu += 1
                 q, dc_t, ac_t = comp_meta[0]
-                for dj in (0, 1):
-                    for di in (0, 1):
+                for dj in range(ly):
+                    for di in range(lx):
                         pix = _read_block(q, dc_t, ac_t, 0)
-                        y0, x0 = j * 16 + dj * 8, i * 16 + di * 8
+                        y0, x0 = j * mcu_h + dj * 8, i * mcu_w + di * 8
                         luma[y0 : y0 + 8, x0 : x0 + 8] = pix
                 for ci in (1, 2):
                     q, dc_t, ac_t = comp_meta[ci]
                     pix = _read_block(q, dc_t, ac_t, ci)
                     chroma[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8, ci - 1] = pix
         # replicated (nearest) chroma upsampling, the classic fast path
-        chroma_up = np.repeat(np.repeat(chroma, 2, axis=0), 2, axis=1)
+        chroma_up = np.repeat(np.repeat(chroma, ly, axis=0), lx, axis=1)
         out = np.concatenate([luma[:, :, None], chroma_up], axis=2)
         out = out[:height, :width, :] + 128.0
     else:

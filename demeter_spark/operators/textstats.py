@@ -181,3 +181,55 @@ def top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "token", "tf", "df", "rnk")
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (the task mandate's
+    'document fingerprinting (rolling hash)'; the standard local
+    fingerprinting scheme from the plagiarism/near-dup literature): hash
+    every character k-gram, slide a window of ``window`` consecutive gram
+    hashes, select each window's minimum (rightmost on ties), and emit the
+    distinct selected (position, hash) pairs per document.
+
+    Guarantee: any substring match of length >= window + k - 1 between two
+    documents shares at least one fingerprint hash — so fingerprints
+    support containment/overlap detection, not just whole-doc equality
+    (which the md5 ``fingerprints`` cover).
+
+    All JVM-side higher-order expressions — the k-gram hash is
+    xxhash64(substring) (winnowing only needs *a* hash per gram; a
+    polynomial rolling hash is an implementation detail of O(1) sliding,
+    which Catalyst's vectorized substring makes unnecessary). Struct
+    minima give the (hash, rightmost-position) selection rule. Output:
+    (id, pos, fp_hash), pos 1-based over gram starts."""
+    n_grams = f"(length({text_col}) - {k} + 1)"
+    return (
+        docs.selectExpr(
+            id_col,
+            f"""CASE WHEN {n_grams} < 1 THEN array()
+                 ELSE transform(sequence(1, {n_grams}),
+                                i -> xxhash64(substr({text_col}, i, {k})))
+            END AS _g""",
+        )
+        .selectExpr(
+            id_col,
+            # NB: sequence(1, 0) DESCENDS in Spark, so the empty-gram case
+            # must be guarded explicitly (same gotcha as dedup.SHINGLE_EXPR)
+            f"""CASE WHEN size(_g) < 1 THEN array()
+                 ELSE array_distinct(transform(
+                   sequence(1, GREATEST(size(_g) - {window} + 1, 1)),
+                   j -> array_min(transform(
+                          sequence(j, LEAST(j + {window} - 1, size(_g))),
+                          p -> struct(element_at(_g, p) AS h, -p AS negp)))
+                 ))
+            END AS _sel""",
+        )
+        .selectExpr(id_col, "explode(_sel) AS _s")
+        .selectExpr(id_col, "-_s.negp AS pos", "_s.h AS fp_hash")
+    )

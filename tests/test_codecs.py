@@ -318,3 +318,52 @@ def test_jpeg_color_420_roundtrip():
         codecs.jpeg_encode_blocks(
             yco, q, W, H, chroma=(cbco[:1], crco, qc), subsampling="420"
         )
+
+
+def test_jpeg_color_422_roundtrip():
+    """YCbCr 4:2:2: MCU = two horizontal Y blocks + Cb + Cr; exact against
+    an independent reconstruction with x-replicated chroma."""
+    import numpy as np
+
+    A = codecs._IDCT_A
+    q = np.ones((8, 8), dtype=np.int64)
+    q[0, 0] = 16
+    qc = np.full((8, 8), 2, dtype=np.int64)
+    rng = np.random.RandomState(29)
+    yco = rng.randint(-30, 30, size=(4, 6, 8, 8))
+    yco[np.abs(yco) < 20] = 0
+    cbco = rng.randint(-20, 20, size=(4, 3, 8, 8))
+    cbco[np.abs(cbco) < 14] = 0
+    crco = rng.randint(-20, 20, size=(4, 3, 8, 8))
+    crco[np.abs(crco) < 14] = 0
+    W, H = 44, 30
+    luma = np.zeros((32, 48))
+    for j in range(4):
+        for i in range(6):
+            luma[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8] = A.T @ (yco[j, i] * q) @ A
+    ch = np.zeros((32, 24, 2))
+    for ci, co in enumerate((cbco, crco)):
+        for j in range(4):
+            for i in range(3):
+                ch[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8, ci] = (
+                    A.T @ (co[j, i] * qc) @ A
+                )
+    chup = np.repeat(ch, 2, axis=1)
+    y = luma[:H, :W] + 128
+    cb = chup[:H, :W, 0] + 128
+    cr = chup[:H, :W, 1] + 128
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128),
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+            y + 1.772 * (cb - 128),
+        ],
+        axis=-1,
+    )
+    want = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    for ri in (None, 3):
+        blob = codecs.jpeg_encode_blocks(
+            yco, q, W, H, restart_interval=ri,
+            chroma=(cbco, crco, qc), subsampling="422",
+        )
+        assert np.array_equal(codecs.jpeg_decode(blob), want), ri

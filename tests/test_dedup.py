@@ -188,3 +188,54 @@ def test_embedding_blocked_matches_bruteforce_with_fewer_candidates(spark):
     n2 = simsearch.near_dup_candidates(corpus).count()
     assert n1 < all_pairs / 5, (n1, all_pairs)
     assert n2 < all_pairs / 2, (n2, all_pairs)
+
+
+def test_winnowing_fingerprints_match_reference_and_guarantee(spark):
+    """winnowing_fingerprints vs a pure-Python reference implementation,
+    plus the winnowing guarantee: docs sharing a substring of length >=
+    window + k - 1 share at least one fingerprint hash."""
+    from demeter_spark.operators.textstats import winnowing_fingerprints
+
+    K, W = 5, 4
+    shared = "the quick brown fox jumps over the lazy dog"
+    texts = {
+        0: "aaa " + shared + " bbb ccc ddd",
+        1: "zzz yyy " + shared + " qqq",
+        2: "completely different content with no overlap at all here",
+        3: "tiny",  # shorter than k: no grams, no fingerprints
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id BIGINT, text STRING"
+    )
+    got = {}
+    for r in winnowing_fingerprints(docs, k=K, window=W).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp_hash"]))
+
+    # reference: same gram hashes via Spark's xxhash64 (collected once),
+    # selection re-derived independently in Python
+    from pyspark.sql import functions as F
+
+    for did, text in texts.items():
+        n = len(text) - K + 1
+        if n < 1:
+            assert did not in got
+            continue
+        grams = [text[i : i + K] for i in range(n)]
+        hdf = spark.createDataFrame(
+            [(g,) for g in grams], "g STRING"
+        ).select(F.xxhash64("g").alias("h")).collect()
+        hashes = [r["h"] for r in hdf]
+        sel = set()
+        for j in range(max(n - W + 1, 1)):
+            win = hashes[j : j + W]
+            m = min(win)
+            # rightmost minimum
+            pos = j + max(p for p, h in enumerate(win) if h == m)
+            sel.add((pos + 1, m))
+        assert got[did] == sel, did
+
+    h0 = {h for _, h in got[0]}
+    h1 = {h for _, h in got[1]}
+    h2 = {h for _, h in got[2]}
+    assert h0 & h1, "docs sharing a long substring must share a fingerprint"
+    assert not (h0 & h2) or len(h0 & h2) < 3  # unrelated docs: ~no overlap
