@@ -635,3 +635,55 @@ def incremental_minhash_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    k: int = 8,
+    window: int = 4,
+    max_df: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-CONTAINMENT pairs over winnowing fingerprints:
+    containment(a in b) = |FP_a ∩ FP_b| / |FP_a| >= threshold.
+
+    The dedup case symmetric Jaccard misses: a short document embedded in
+    a much larger one has tiny Jaccard (union is dominated by the large
+    doc) but containment ~1. Winnowing fingerprints make the intersection
+    position-independent and robust to flanking text (any shared substring
+    of length >= window + k - 1 contributes shared hashes).
+
+    Shape: fingerprint self-join on fp_hash bounded by ``max_df`` (hashes
+    appearing in more than max_df docs are boilerplate and carry no
+    signal — the same cap discipline as jaccard_pairs), then one hash
+    aggregate per pair. Emits (doc_a, doc_b, containment) for ORDERED
+    pairs a != b where doc_a is the contained side."""
+    from demeter_spark.operators.textstats import winnowing_fingerprints
+
+    fp = winnowing_fingerprints(
+        docs, k=k, window=window, id_col=id_col, text_col=text_col
+    ).select(F.col(id_col).alias("_id"), "fp_hash").distinct()
+    if max_df is not None:
+        dfc = fp.groupBy("fp_hash").agg(F.count("*").alias("_df"))
+        fp = fp.join(dfc.filter(F.col("_df") <= max_df), "fp_hash").drop("_df")
+    sizes = fp.groupBy("_id").agg(F.count("*").alias("n_fp"))
+    a = fp.select(F.col("_id").alias("doc_a"), "fp_hash")
+    b = fp.select(F.col("_id").alias("doc_b"), "fp_hash")
+    inter = (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"_id": "doc_a", "n_fp": "n_a"}), "doc_a"
+        )
+        .withColumn(
+            "containment", F.col("n_inter") / F.col("n_a").cast("double")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

@@ -202,34 +202,51 @@ def winnowing_fingerprints(
     support containment/overlap detection, not just whole-doc equality
     (which the md5 ``fingerprints`` cover).
 
-    All JVM-side higher-order expressions — the k-gram hash is
-    xxhash64(substring) (winnowing only needs *a* hash per gram; a
-    polynomial rolling hash is an implementation detail of O(1) sliding,
-    which Catalyst's vectorized substring makes unnecessary). Struct
-    minima give the (hash, rightmost-position) selection rule. Output:
-    (id, pos, fp_hash), pos 1-based over gram starts."""
+    Shape: gram hashes explode to rows ((id, pos, hash) — the k-gram hash
+    is xxhash64(substring); a polynomial rolling hash is an implementation
+    detail of O(1) sliding that the vectorized substring makes
+    unnecessary) and the window minimum is ONE frame-bounded window
+    aggregate: O(n·w) per doc with a single shuffle on the doc key.
+    (A nested higher-order-expression formulation is O(n²·w): Catalyst's
+    projection collapse inlines the full gram-array expression into every
+    window lambda — measured 50s on a 1.5k-char doc.) Struct minima give
+    the (hash, rightmost-position) tie rule. Output: (id, pos, fp_hash),
+    pos 1-based over gram starts."""
+    from pyspark.sql import Window
+
     n_grams = f"(length({text_col}) - {k} + 1)"
+    grams = docs.selectExpr(
+        id_col,
+        # NB: sequence(1, 0) DESCENDS in Spark — guard short docs (same
+        # gotcha as dedup.SHINGLE_EXPR); posexplode of array() emits none
+        f"""CASE WHEN {n_grams} < 1 THEN array()
+             ELSE transform(sequence(1, {n_grams}),
+                            i -> xxhash64(substr({text_col}, i, {k})))
+        END AS _g""",
+    ).selectExpr(id_col, "posexplode(_g) AS (_p0, _h)").selectExpr(
+        id_col, "_p0 + 1 AS _j", "_h"
+    )
+    wmin = (
+        Window.partitionBy(id_col).orderBy("_j").rowsBetween(0, window - 1)
+    )
+    wcnt = Window.partitionBy(id_col)
     return (
-        docs.selectExpr(
-            id_col,
-            f"""CASE WHEN {n_grams} < 1 THEN array()
-                 ELSE transform(sequence(1, {n_grams}),
-                                i -> xxhash64(substr({text_col}, i, {k})))
-            END AS _g""",
+        grams.withColumn(
+            "_m",
+            F.min(
+                F.struct(F.col("_h").alias("h"), (-F.col("_j")).alias("negp"))
+            ).over(wmin),
         )
-        .selectExpr(
-            id_col,
-            # NB: sequence(1, 0) DESCENDS in Spark, so the empty-gram case
-            # must be guarded explicitly (same gotcha as dedup.SHINGLE_EXPR)
-            f"""CASE WHEN size(_g) < 1 THEN array()
-                 ELSE array_distinct(transform(
-                   sequence(1, GREATEST(size(_g) - {window} + 1, 1)),
-                   j -> array_min(transform(
-                          sequence(j, LEAST(j + {window} - 1, size(_g))),
-                          p -> struct(element_at(_g, p) AS h, -p AS negp)))
-                 ))
-            END AS _sel""",
+        .withColumn("_n", F.count("*").over(wcnt))
+        # one selection per window start j in 1..max(n-window+1, 1)
+        .filter(
+            F.col("_j")
+            <= F.greatest(F.col("_n") - F.lit(window - 1), F.lit(1))
         )
-        .selectExpr(id_col, "explode(_sel) AS _s")
-        .selectExpr(id_col, "-_s.negp AS pos", "_s.h AS fp_hash")
+        .select(
+            id_col,
+            (-F.col("_m.negp")).alias("pos"),
+            F.col("_m.h").alias("fp_hash"),
+        )
+        .distinct()
     )

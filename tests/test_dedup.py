@@ -239,3 +239,28 @@ def test_winnowing_fingerprints_match_reference_and_guarantee(spark):
     h2 = {h for _, h in got[2]}
     assert h0 & h1, "docs sharing a long substring must share a fingerprint"
     assert not (h0 & h2) or len(h0 & h2) < 3  # unrelated docs: ~no overlap
+
+
+def test_containment_pairs_catches_embedded_doc(spark):
+    """A short doc embedded verbatim in a much larger one: containment ~1
+    in the contained->container direction while symmetric Jaccard is tiny
+    (the case MinHash/Jaccard dedup misses by construction)."""
+    small = " ".join(f"tok{i % 37}x{i % 11}" for i in range(40))
+    filler = " ".join(f"pad{i}y{(i * 7) % 13}" for i in range(400))
+    big = filler + " " + small + " " + " ".join(
+        f"tail{i}z{(i * 3) % 17}" for i in range(200)
+    )
+    other = " ".join(f"других{i}q{(i * 5) % 19}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id BIGINT, text STRING"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_pairs(docs, 0.7).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.8
+    assert (2, 1) not in got  # big is NOT contained in small
+    assert all(3 not in pair for pair in got)
+    # and symmetric Jaccard would have missed it
+    j = dedup.jaccard_pairs(docs, 0.3).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in j)
