@@ -665,6 +665,12 @@ def containment_pairs(
     fp = winnowing_fingerprints(
         docs, k=k, window=window, id_col=id_col, text_col=text_col
     ).select(F.col(id_col).alias("_id"), "fp_hash").distinct()
+    # the fingerprint table feeds the df-cap, both join sides AND the size
+    # aggregate — six plan references with no exchange reuse; materialize
+    # it once (bounded: ~|selected fingerprints| rows) instead of running
+    # the gram-explode + window pipeline per reference (same
+    # localCheckpoint discipline as the kNN level caches)
+    fp = fp.localCheckpoint(eager=True)
     if max_df is not None:
         dfc = fp.groupBy("fp_hash").agg(F.count("*").alias("_df"))
         fp = fp.join(dfc.filter(F.col("_df") <= max_df), "fp_hash").drop("_df")
