@@ -55,3 +55,17 @@ def test_query_matches_oracle(spark, ddb, name):
     s = _norm_rows(None, [[r[i] for i in sidx] for r in spark_rows])
     d = _norm_rows(None, [[r[i] for i in didx] for r in duck_rows])
     assert s == d, f"value mismatch in {name}: {s[:3]} vs {d[:3]}"
+
+
+def test_registry_within_driver_gate_budget():
+    """The driver's correctness gate verifies at most 50 queries per round
+    (VERDICT r03 #1: 8 of 58 once rode on stale evidence). Keep the
+    registry at or under the budget so EVERY exposed query re-verifies
+    every round, and keep query/oracle keys in lockstep."""
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert len(q) <= 50, (
+        f"{len(q)} queries exceed the 50-row driver gate: fold or retire "
+        f"before adding more (see SURVEY.md round-4 note)"
+    )
+    assert set(q) == set(o), (set(q) ^ set(o))
