@@ -1293,3 +1293,135 @@ def _packbits_decode(data: bytes) -> bytes:
             i += 1
         # n == 128: noop
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# 16-bit PNG (the PNG-16 DEM/heightmap convention). PNG filtering is defined
+# BYTE-wise with the left reference bpp bytes back (bpp = 2 * channels at
+# depth 16), so the 16-bit path runs its own byte-plane filter/unfilter
+# rather than the 8-bit per-pixel arrays above. Big-endian sample order per
+# the spec.
+
+
+def png16_encode(img: "np.ndarray") -> bytes:
+    """uint16 array (H, W) or (H, W, C in {1,2,3,4}) -> 16-bit PNG bytes.
+    Filter type cycles per row like png_encode, so every unfilter path is
+    exercised by any multi-row image."""
+    img = np.asarray(img, dtype=np.uint16)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = 2 * ch
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
+    rows = img.astype(">u2").reshape(h, w * ch).view(np.uint8)  # (h, w*bpp)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        row = rows[y]
+        ftype = y % 5
+        left = np.zeros_like(row)
+        left[bpp:] = row[:-bpp]
+        upleft = np.zeros_like(prev)
+        upleft[bpp:] = prev[:-bpp]
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:  # Sub
+            filt = row - left
+        elif ftype == 2:  # Up
+            filt = row - prev
+        elif ftype == 3:  # Average
+            filt = row - (
+                (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        else:  # Paeth
+            filt = row - _paeth(left, prev, upleft)
+        raw.append(ftype)
+        raw.extend(filt.tobytes())
+        prev = row
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png16_decode(data: bytes) -> "np.ndarray":
+    """16-bit PNG bytes -> uint16 array (H, W, C). Same chunk/CRC
+    validation discipline as png_decode; rejects non-16-bit depth."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = channels = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG: chunk body past end")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 16 or interlace != 0 or ctype not in _CHANNELS:
+                raise ValueError(
+                    f"png16_decode: depth={depth} color={ctype}"
+                    f" interlace={interlace} (16-bit non-interlaced only)"
+                )
+            channels = _CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 2 * channels
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(arr[y * (stride + 1)])
+        filt = arr[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].copy()
+        if ftype == 0:
+            row = filt
+        elif ftype == 2:  # Up
+            row = filt + prev
+        elif ftype == 1:  # Sub: per-byte-plane prefix sum, bpp planes
+            row = filt.reshape(-1, bpp)
+            row = np.cumsum(row.astype(np.uint64), axis=0).astype(
+                np.uint8
+            ).reshape(-1)
+        else:  # Average / Paeth: left dependency -> sequential per bpp-group
+            row = np.zeros_like(filt)
+            for x in range(0, stride, bpp):
+                left = row[x - bpp : x] if x else np.zeros(bpp, dtype=np.uint8)
+                up = prev[x : x + bpp]
+                upleft = (
+                    prev[x - bpp : x] if x else np.zeros(bpp, dtype=np.uint8)
+                )
+                if ftype == 3:
+                    pred = (
+                        (left.astype(np.uint16) + up.astype(np.uint16)) // 2
+                    ).astype(np.uint8)
+                elif ftype == 4:
+                    pred = _paeth(left, up, upleft)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                row[x : x + bpp] = filt[x : x + bpp] + pred
+        out[y] = row
+        prev = row
+    return (
+        out.reshape(height, width, channels, 2)
+        .view(">u2")[:, :, :, 0]
+        .astype(np.uint16)
+    )
