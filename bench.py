@@ -34,6 +34,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+#: Every query the "full" bench mode reports, in run order. The contract test
+#: (tests/test_bench_contract.py) derives its expected set from this constant
+#: so adding a query here cannot silently break the contract (VERDICT r04 #1).
+FULL_MODE_QUERIES = (
+    "q1_spatial_join",
+    "q4_zonal",
+    "q2_extract_text",
+    "q3_knn",
+    "q5_dedup_minhash",
+    "q6_ann_multiprobe",
+    "q7_containment",
+)
+
 
 def _max_task_ms(sc, group: str) -> int:
     """Max completed-task duration (ms) across all stages of all jobs in a
@@ -237,6 +250,11 @@ def main() -> None:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
+    if mode != "scaling":
+        assert set(timings) == set(FULL_MODE_QUERIES), (
+            "bench queries drifted from FULL_MODE_QUERIES: "
+            f"{sorted(set(timings) ^ set(FULL_MODE_QUERIES))}"
+        )
     total = sum(timings.values())
     throughput = (n_pts + rows["q1_spatial_join"]) / timings["q1_spatial_join"]
     out = {

@@ -34,13 +34,20 @@ def enrich_points(
     horizons: DataFrame,
     res: int = 8,
     broadcast_elevation: bool = False,
+    broadcast_soil: bool = False,
 ) -> DataFrame:
     """``broadcast_elevation`` defaults False: a continental DEM is a
     fact-sized table (the reference's merged raster is 14934x4791 px for ten
     polygons, demeter/raster/usgs/topography.py) — broadcasting it is a
     100x-scale OOM. The (_ix,_iy) equi-join already has the right shape; let
     AQE pick the strategy, and opt in only for genuinely small rasters
-    (VERDICT r03 #3)."""
+    (VERDICT r03 #3).
+
+    ``broadcast_soil`` defaults False for the same reason (VERDICT r04 #2):
+    the soil frame is keyed by parcel_id and grows with the parcel dimension,
+    so an unconditional broadcast has the same dimension-growth exposure the
+    elevation gate closed. The parcel_id equi-join is the right shape either
+    way; opt in when the parcel universe is known-small."""
     # source 1: containing parcel (1:1 by min id; count kept as a metric col)
     hits = joins.spatial_join(points, parcels, res=res).groupBy("url").agg(
         F.min("parcel_id").alias("parcel_id"),
@@ -97,7 +104,7 @@ def enrich_points(
         .join(hits, "url", "left")
         .join(elev, "url", "left")
         .join(nn, "url", "left")
-        .join(F.broadcast(soil), "parcel_id", "left")
+        .join(F.broadcast(soil) if broadcast_soil else soil, "parcel_id", "left")
     )
     return out.select(
         "url",

@@ -7,6 +7,9 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (the repo-root bench harness, not a package)
 
 
 def test_bench_emits_driver_contract_json():
@@ -30,9 +33,8 @@ def test_bench_emits_driver_contract_json():
     for key in ("metric", "value", "unit", "queries", "sf"):
         assert key in data, key
     assert data["unit"] == "sec" and data["value"] > 0
-    assert set(data["queries"]) == {
-        "q1_spatial_join", "q2_extract_text", "q3_knn", "q4_zonal",
-        "q5_dedup_minhash", "q6_ann_multiprobe",
-    }
+    # Derived from the shared constant so a new bench query cannot silently
+    # break this contract (VERDICT r04 #1).
+    assert set(data["queries"]) == set(bench.FULL_MODE_QUERIES)
     assert all(v >= 0 for v in data["queries"].values())
     assert data["rows"]["q1_spatial_join"] > 0

@@ -17,7 +17,7 @@ from demeter_spark.sources import synth
 from conftest import SF_DIR
 
 
-def _enriched(spark, broadcast_elevation):
+def _enriched(spark, **flags):
     return enrich.enrich_points(
         synth.page_points(spark, SF_DIR),
         synth.parcels(spark),
@@ -25,22 +25,21 @@ def _enriched(spark, broadcast_elevation):
         synth.gazetteer(spark),
         synth.components(spark),
         synth.horizons(spark),
-        broadcast_elevation=broadcast_elevation,
+        **flags,
     )
 
 
-def _ix_join_lines(plan: str) -> list[str]:
-    # physical-plan join nodes keyed on the raster lookup key
+def _join_lines(plan: str, key: str) -> list[str]:
+    # physical-plan join nodes keyed on the given join key
     return [
         ln
         for ln in plan.splitlines()
         if re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
-                     r".*_ix", ln)
+                     r".*" + re.escape(key), ln)
     ]
 
 
-@pytest.mark.parametrize("broadcast_elevation", [False, True])
-def test_elevation_join_strategy(spark, broadcast_elevation):
+def _assert_strategy(spark, key: str, want_broadcast: bool, **flags) -> None:
     # pin the planner so the assertion tests OUR hint, not the tiny-input
     # auto-broadcast: with the threshold off and AQE off, only an explicit
     # hint can produce a BroadcastHashJoin
@@ -49,14 +48,31 @@ def test_elevation_join_strategy(spark, broadcast_elevation):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        df = _enriched(spark, broadcast_elevation)
+        df = _enriched(spark, **flags)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        lines = _ix_join_lines(plan)
+        lines = _join_lines(plan, key)
         assert lines, plan
-        if broadcast_elevation:
+        if want_broadcast:
             assert any("BroadcastHashJoin" in ln for ln in lines), plan
         else:
             assert all("BroadcastHashJoin" not in ln for ln in lines), plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+@pytest.mark.parametrize("broadcast_elevation", [False, True])
+def test_elevation_join_strategy(spark, broadcast_elevation):
+    _assert_strategy(
+        spark, "_ix", broadcast_elevation,
+        broadcast_elevation=broadcast_elevation,
+    )
+
+
+@pytest.mark.parametrize("broadcast_soil", [False, True])
+def test_soil_join_strategy(spark, broadcast_soil):
+    # VERDICT r04 #2: the soil frame grows with the parcel dimension; its
+    # broadcast must be opt-in, mirroring the elevation gate.
+    _assert_strategy(
+        spark, "parcel_id", broadcast_soil, broadcast_soil=broadcast_soil
+    )
