@@ -702,45 +702,60 @@ _ALBERS_DST = dict(ox=-1536000.0, oy=-1280000.0, rx=32000.0, ry=32000.0,
 
 
 def _q_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R6 through a CONIC CRS (VERDICT r03 #5): nearest-kernel warp of the
-    elevation raster onto an Albers equal-area grid (spherical closed form,
-    std parallels 8/24, origin 16N 18E — the EPSG:5070 construction scaled
-    to the synthetic world's extent; reference: demeter/api.py:183-219
-    to_crs(5070)). Nearest is the oracle-able kernel through trig: only
-    floor() agreement is needed and every source coordinate clears cell
-    boundaries by >=5e-5 cells (asserted in tests/test_albers.py);
-    interpolating kernels through the conic are pytest-verified."""
+    """R6 through a CONIC CRS (VERDICT r03 #5 + r04 #2): nearest-kernel warp
+    of the elevation raster onto an Albers equal-area grid, through BOTH the
+    spherical closed form (v_sph) and the GRS80 ELLIPSOIDAL Snyder series
+    (v_ell, closed-form authalic-latitude inverse) side by side per
+    destination pixel — std parallels 8/24, origin 16N 18E, the EPSG:5070
+    construction scaled to the synthetic world's extent (reference:
+    demeter/api.py:183-219 to_crs(5070), which is GRS80-ellipsoidal via
+    pyproj). Nearest is the oracle-able kernel through trig: only floor()
+    agreement is needed and every source coordinate clears cell boundaries
+    by >=5e-5 cells for both datums (asserted in tests/test_albers.py and
+    tests/test_ellipsoidal.py); interpolating kernels through the conic are
+    pytest-verified. Both value columns ride the row hash, so a regression
+    in either datum's math fails the gate."""
     from demeter_spark.operators import reproject as rp
     from demeter_spark.sources import synth
 
     src = synth.raster_cells(spark).filter("dataset = 'elevation'")
-    return rp.reproject_nearest(
-        src,
-        rp.Grid(**_SRC_GRID),
-        rp.Grid(**_ALBERS_DST),
-        rp.albers_to_lonlat(**_ALBERS),
-        broadcast_src=True,
+    sg, dg = rp.Grid(**_SRC_GRID), rp.Grid(**_ALBERS_DST)
+    sph = rp.reproject_nearest(
+        src, sg, dg, rp.albers_to_lonlat(**_ALBERS), broadcast_src=True
+    )
+    ell = rp.reproject_nearest(
+        src, sg, dg, rp.albers_ell_to_lonlat(**_ALBERS), broadcast_src=True
+    )
+    return sph.withColumnRenamed("value", "v_sph").join(
+        ell.withColumnRenamed("value", "v_ell"), ["ix", "iy"]
     )
 
 
 def _albers_oracle_sql() -> str:
-    from demeter_spark.operators.reproject import albers_inverse_sql
-
-    lon, lat = albers_inverse_sql(
-        "(-1536000e0 + (x.ix + 0.5e0) * 32000e0)",
-        "(-1280000e0 + (y.iy + 0.5e0) * 32000e0)",
-        **_ALBERS,
+    from demeter_spark.operators.reproject import (
+        albers_ell_inverse_sql,
+        albers_inverse_sql,
     )
+
+    x = "(-1536000e0 + (x.ix + 0.5e0) * 32000e0)"
+    y = "(-1280000e0 + (y.iy + 0.5e0) * 32000e0)"
+    lon_s, lat_s = albers_inverse_sql(x, y, **_ALBERS)
+    lon_e, lat_e = albers_ell_inverse_sql(x, y, **_ALBERS)
     return f"""
-            SELECT d.ix, d.iy, s.value
+            SELECT d.ix, d.iy, s.value AS v_sph, e.value AS v_ell
             FROM (
               SELECT x.ix, y.iy,
-                     CAST(floor(({lon} - 0e0) / 0.25e0) AS BIGINT) AS six,
-                     CAST(floor(({lat} - 0e0) / 0.25e0) AS BIGINT) AS siy
+                     CAST(floor(({lon_s} - 0e0) / 0.25e0) AS BIGINT) AS six,
+                     CAST(floor(({lat_s} - 0e0) / 0.25e0) AS BIGINT) AS siy,
+                     CAST(floor(({lon_e} - 0e0) / 0.25e0) AS BIGINT) AS eix,
+                     CAST(floor(({lat_e} - 0e0) / 0.25e0) AS BIGINT) AS eiy
               FROM range(96) x(ix), range(80) y(iy)) d
             LEFT JOIN (SELECT ix, iy, value FROM raster_cells
                        WHERE dataset = 'elevation') s
               ON s.ix = d.six AND s.iy = d.siy
+            LEFT JOIN (SELECT ix, iy, value FROM raster_cells
+                       WHERE dataset = 'elevation') e
+              ON e.ix = d.eix AND e.iy = d.eiy
     """
 
 

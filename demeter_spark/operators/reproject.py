@@ -675,6 +675,352 @@ def albers_inverse_sql(
 
 
 # ---------------------------------------------------------------------------
+# Ellipsoidal (GRS80) datum math — VERDICT r04 'What's missing' #1 / 'Next
+# round' #2. The spherical Albers/TM closed forms above carry ~0.1-0.3%
+# radial error against real-world CRSes: the reference's EPSG:5070/26914/
+# 4269 pipelines (demeter/api.py:183-219, raster/utils/reprojection.py:15-112
+# via pyproj) are GRS80-ellipsoidal. These are the standard Snyder (USGS
+# Professional Paper 1395, 1987) series — public knowledge — implemented as
+# pure-Catalyst Transforms pluggable anywhere the spherical ones are, plus a
+# shared-constant SQL text builder so the NEAREST-kernel warp through the
+# ellipsoidal conic admits a DuckDB oracle (floor()-agreement argument, same
+# policy as the spherical conic above). All latitude series are closed form
+# (authalic/footpoint expansions) — no per-row iteration, so the whole
+# transform stays inside whole-stage codegen.
+
+GRS80_A = 6_378_137.0
+GRS80_F = 1.0 / 298.257222101
+GRS80_E2 = GRS80_F * (2.0 - GRS80_F)  # first eccentricity squared
+
+
+def _ell_q(sphi: float, e: float, e2: float) -> float:
+    """Snyder 3-12: q(phi) given sin(phi) — the equal-area auxiliary."""
+    return (1.0 - e2) * (
+        sphi / (1.0 - e2 * sphi * sphi)
+        - (1.0 / (2.0 * e)) * math.log((1.0 - e * sphi) / (1.0 + e * sphi))
+    )
+
+
+def _ell_m(phi_rad: float, e2: float) -> float:
+    """Snyder 14-15: m(phi) = cos(phi)/sqrt(1 - e2 sin^2 phi)."""
+    s = math.sin(phi_rad)
+    return math.cos(phi_rad) / math.sqrt(1.0 - e2 * s * s)
+
+
+def _authalic_coeffs(e2: float) -> tuple[float, float, float]:
+    """Snyder 3-18: authalic-to-geodetic latitude series coefficients."""
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return (
+        e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0,
+        23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0,
+        761.0 * e6 / 45360.0,
+    )
+
+
+def albers_ell_constants(
+    phi1: float,
+    phi2: float,
+    phi0: float,
+    lon0: float,
+    a: float = GRS80_A,
+    e2: float = GRS80_E2,
+) -> tuple[float, float, float, float]:
+    """(n, C, rho0, qp) — Snyder 14-12..14-15 + 3-12, computed once in
+    Python and embedded as double literals in BOTH engines' expressions.
+    Degenerates exactly to the spherical albers_constants at e2 -> 0
+    (q -> 2 sin phi, m -> cos phi), which tests/test_ellipsoidal.py asserts."""
+    e = math.sqrt(e2)
+    m1 = _ell_m(phi1 * DEG, e2)
+    m2 = _ell_m(phi2 * DEG, e2)
+    q1 = _ell_q(math.sin(phi1 * DEG), e, e2)
+    q2 = _ell_q(math.sin(phi2 * DEG), e, e2)
+    q0 = _ell_q(math.sin(phi0 * DEG), e, e2)
+    qp = _ell_q(1.0, e, e2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(c - n * q0) / n
+    return n, c, rho0, qp
+
+
+def lonlat_to_albers_ell(
+    phi1: float,
+    phi2: float,
+    phi0: float,
+    lon0: float,
+    a: float = GRS80_A,
+    e2: float = GRS80_E2,
+) -> Transform:
+    """Ellipsoidal Albers forward: (lon, lat) degrees -> (x, y) meters.
+    Pure Catalyst (sin/log/sqrt) — vectorized, no UDF."""
+    n, c, rho0, _ = albers_ell_constants(phi1, phi2, phi0, lon0, a, e2)
+    e = math.sqrt(e2)
+
+    def t(lon: Column, lat: Column) -> tuple[Column, Column]:
+        sphi = F.sin(lat * F.lit(DEG))
+        q = F.lit(1.0 - e2) * (
+            sphi / (F.lit(1.0) - F.lit(e2) * sphi * sphi)
+            - F.lit(1.0 / (2.0 * e))
+            * F.log(
+                (F.lit(1.0) - F.lit(e) * sphi)
+                / (F.lit(1.0) + F.lit(e) * sphi)
+            )
+        )
+        theta = F.lit(n) * ((lon - F.lit(lon0)) * F.lit(DEG))
+        rho = F.lit(a / n) * F.sqrt(F.lit(c) - F.lit(n) * q)
+        return rho * F.sin(theta), F.lit(rho0) - rho * F.cos(theta)
+
+    return t
+
+
+def albers_ell_to_lonlat(
+    phi1: float,
+    phi2: float,
+    phi0: float,
+    lon0: float,
+    a: float = GRS80_A,
+    e2: float = GRS80_E2,
+) -> Transform:
+    """Ellipsoidal Albers inverse: (x, y) meters -> (lon, lat) degrees via
+    the closed-form authalic-latitude series (Snyder 14-19 + 3-18 — no
+    iteration). Operation order matches albers_ell_inverse_sql exactly."""
+    n, c, rho0, qp = albers_ell_constants(phi1, phi2, phi0, lon0, a, e2)
+    a1, a2, a3 = _authalic_coeffs(e2)
+
+    def t(x: Column, y: Column) -> tuple[Column, Column]:
+        ry = F.lit(rho0) - y
+        lon = F.lit(lon0) + F.atan2(x, ry) / F.lit(n) / F.lit(DEG)
+        rho_sq = x * x + ry * ry
+        q = (F.lit(c) - rho_sq * F.lit((n / a) ** 2)) / F.lit(n)
+        beta = F.asin(q / F.lit(qp))
+        lat = (
+            beta
+            + F.lit(a1) * F.sin(F.lit(2.0) * beta)
+            + F.lit(a2) * F.sin(F.lit(4.0) * beta)
+            + F.lit(a3) * F.sin(F.lit(6.0) * beta)
+        ) / F.lit(DEG)
+        return lon, lat
+
+    return t
+
+
+def albers_ell_inverse_sql(
+    x: str,
+    y: str,
+    phi1: float,
+    phi2: float,
+    phi0: float,
+    lon0: float,
+    a: float = GRS80_A,
+    e2: float = GRS80_E2,
+) -> tuple[str, str]:
+    """The ellipsoidal inverse as SQL text over ``x``/``y`` sub-expressions —
+    the DuckDB-oracle side of albers_ell_to_lonlat (same embedded constants,
+    same operation order)."""
+    n, c, rho0, qp = albers_ell_constants(phi1, phi2, phi0, lon0, a, e2)
+    a1, a2, a3 = _authalic_coeffs(e2)
+    ry = f"({_flit(rho0)} - ({y}))"
+    lon = f"({_flit(lon0)} + atan2({x}, {ry}) / {_flit(n)} / {_flit(DEG)})"
+    rho_sq = f"(({x}) * ({x}) + {ry} * {ry})"
+    q = f"(({_flit(c)} - {rho_sq} * {_flit((n / a) ** 2)}) / {_flit(n)})"
+    beta = f"asin({q} / {_flit(qp)})"
+    lat = (
+        f"(({beta} + {_flit(a1)} * sin(2e0 * {beta})"
+        f" + {_flit(a2)} * sin(4e0 * {beta})"
+        f" + {_flit(a3)} * sin(6e0 * {beta})) / {_flit(DEG)})"
+    )
+    return lon, lat
+
+
+def _meridian_coeffs(e2: float) -> tuple[float, float, float, float]:
+    """Snyder 3-21 meridian-arc series coefficients (M / a)."""
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return (
+        1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0,
+        3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0,
+        15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0,
+        35.0 * e6 / 3072.0,
+    )
+
+
+def meridian_arc(phi_rad: float, a: float = GRS80_A, e2: float = GRS80_E2) -> float:
+    """Meridian distance M(phi) in meters (Snyder 3-21), Python scalar."""
+    m0, m2, m4, m6 = _meridian_coeffs(e2)
+    return a * (
+        m0 * phi_rad
+        - m2 * math.sin(2.0 * phi_rad)
+        + m4 * math.sin(4.0 * phi_rad)
+        - m6 * math.sin(6.0 * phi_rad)
+    )
+
+
+def lonlat_to_tm_ell(
+    lon0: float,
+    k0: float = 0.9996,
+    lat0: float = 0.0,
+    a: float = GRS80_A,
+    e2: float = GRS80_E2,
+) -> Transform:
+    """Ellipsoidal transverse Mercator forward (Snyder 8-9..8-13) — the
+    GRS80 datum math behind EPSG:269xx UTM zones (reference: demeter/
+    api.py:132-151 to_crs(utm)). Accurate to sub-mm within a 6-degree zone."""
+    ep2 = e2 / (1.0 - e2)
+    m0c, m2c, m4c, m6c = _meridian_coeffs(e2)
+    big_m0 = meridian_arc(lat0 * DEG, a, e2)
+
+    def t(lon: Column, lat: Column) -> tuple[Column, Column]:
+        phi = lat * F.lit(DEG)
+        sp = F.sin(phi)
+        cp = F.cos(phi)
+        tp = F.tan(phi)
+        nn = F.lit(a) / F.sqrt(F.lit(1.0) - F.lit(e2) * sp * sp)
+        tt = tp * tp
+        cc = F.lit(ep2) * cp * cp
+        aa = (lon - F.lit(lon0)) * F.lit(DEG) * cp
+        a2 = aa * aa
+        a3 = a2 * aa
+        a4 = a2 * a2
+        a5 = a4 * aa
+        a6 = a4 * a2
+        big_m = F.lit(a) * (
+            F.lit(m0c) * phi
+            - F.lit(m2c) * F.sin(F.lit(2.0) * phi)
+            + F.lit(m4c) * F.sin(F.lit(4.0) * phi)
+            - F.lit(m6c) * F.sin(F.lit(6.0) * phi)
+        )
+        x = F.lit(k0) * nn * (
+            aa
+            + (F.lit(1.0) - tt + cc) * a3 / F.lit(6.0)
+            + (
+                F.lit(5.0)
+                - F.lit(18.0) * tt
+                + tt * tt
+                + F.lit(72.0) * cc
+                - F.lit(58.0 * ep2)
+            )
+            * a5
+            / F.lit(120.0)
+        )
+        y = F.lit(k0) * (
+            big_m
+            - F.lit(big_m0)
+            + nn
+            * tp
+            * (
+                a2 / F.lit(2.0)
+                + (F.lit(5.0) - tt + F.lit(9.0) * cc + F.lit(4.0) * cc * cc)
+                * a4
+                / F.lit(24.0)
+                + (
+                    F.lit(61.0)
+                    - F.lit(58.0) * tt
+                    + tt * tt
+                    + F.lit(600.0) * cc
+                    - F.lit(330.0 * ep2)
+                )
+                * a6
+                / F.lit(720.0)
+            )
+        )
+        return x, y
+
+    return t
+
+
+def tm_ell_to_lonlat(
+    lon0: float,
+    k0: float = 0.9996,
+    lat0: float = 0.0,
+    a: float = GRS80_A,
+    e2: float = GRS80_E2,
+) -> Transform:
+    """Ellipsoidal transverse Mercator inverse via the footpoint-latitude
+    series (Snyder 8-17..8-25 + 3-26) — closed form, no iteration."""
+    ep2 = e2 / (1.0 - e2)
+    m0c, _, _, _ = _meridian_coeffs(e2)
+    big_m0 = meridian_arc(lat0 * DEG, a, e2)
+    se = math.sqrt(1.0 - e2)
+    e1 = (1.0 - se) / (1.0 + se)
+    f2 = 3.0 * e1 / 2.0 - 27.0 * e1**3 / 32.0
+    f4 = 21.0 * e1**2 / 16.0 - 55.0 * e1**4 / 32.0
+    f6 = 151.0 * e1**3 / 96.0
+    f8 = 1097.0 * e1**4 / 512.0
+
+    def t(x: Column, y: Column) -> tuple[Column, Column]:
+        mu = (F.lit(big_m0) + y / F.lit(k0)) / F.lit(a * m0c)
+        fp = (
+            mu
+            + F.lit(f2) * F.sin(F.lit(2.0) * mu)
+            + F.lit(f4) * F.sin(F.lit(4.0) * mu)
+            + F.lit(f6) * F.sin(F.lit(6.0) * mu)
+            + F.lit(f8) * F.sin(F.lit(8.0) * mu)
+        )
+        sp = F.sin(fp)
+        cp = F.cos(fp)
+        tp = F.tan(fp)
+        c1 = F.lit(ep2) * cp * cp
+        t1 = tp * tp
+        den = F.lit(1.0) - F.lit(e2) * sp * sp
+        n1 = F.lit(a) / F.sqrt(den)
+        r1 = F.lit(a * (1.0 - e2)) / (den * F.sqrt(den))
+        d = x / (n1 * F.lit(k0))
+        d2 = d * d
+        d3 = d2 * d
+        d4 = d2 * d2
+        d5 = d4 * d
+        d6 = d4 * d2
+        lat = (
+            fp
+            - (n1 * tp / r1)
+            * (
+                d2 / F.lit(2.0)
+                - (
+                    F.lit(5.0)
+                    + F.lit(3.0) * t1
+                    + F.lit(10.0) * c1
+                    - F.lit(4.0) * c1 * c1
+                    - F.lit(9.0 * ep2)
+                )
+                * d4
+                / F.lit(24.0)
+                + (
+                    F.lit(61.0)
+                    + F.lit(90.0) * t1
+                    + F.lit(298.0) * c1
+                    + F.lit(45.0) * t1 * t1
+                    - F.lit(252.0 * ep2)
+                    - F.lit(3.0) * c1 * c1
+                )
+                * d6
+                / F.lit(720.0)
+            )
+        ) / F.lit(DEG)
+        lon = (
+            F.lit(lon0)
+            + (
+                d
+                - (F.lit(1.0) + F.lit(2.0) * t1 + c1) * d3 / F.lit(6.0)
+                + (
+                    F.lit(5.0)
+                    - F.lit(2.0) * c1
+                    + F.lit(28.0) * t1
+                    - F.lit(3.0) * c1 * c1
+                    + F.lit(8.0 * ep2)
+                    + F.lit(24.0) * t1 * t1
+                )
+                * d5
+                / F.lit(120.0)
+            )
+            / cp
+            / F.lit(DEG)
+        )
+        return lon, lat
+
+    return t
+
+
+# ---------------------------------------------------------------------------
 # R6 order-statistic downsampling kernels (VERDICT r03 #7): rasterio's
 # Resampling.mode / .med / .q1 / .q3 (reprojection.py:18-44 passes the full
 # enum through). Engine-portable EXPLICIT semantics instead of engine-native

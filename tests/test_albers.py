@@ -120,16 +120,5 @@ def test_bilinear_through_conic_tracks_smooth_field(spark):
     assert np.nanmax(np.abs(got - lon)) < 0.125  # half a source cell
 
 
-def test_albers_query_matches_oracle(spark, ddb):
-    import __spark_entry__ as entry
-
-    key = lambda t: tuple((v is None, v) for v in t)
-    got = sorted(
-        map(tuple, entry.queries()["reproject_albers"](spark, None).collect()),
-        key=key,
-    )
-    want = sorted(
-        ddb.sql(entry.oracle_sql()["reproject_albers"]).fetchall(), key=key
-    )
-    assert len(got) == len(want) == DST.nx * DST.ny
-    assert got == want
+# the reproject_albers query-vs-oracle comparison (now covering both datums)
+# lives in tests/test_ellipsoidal.py::test_albers_query_matches_oracle_both_datums
