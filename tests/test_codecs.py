@@ -156,13 +156,18 @@ def test_jpeg_unsupported_fail_loudly():
 
     with pytest.raises(ValueError, match="SOI"):
         codecs.jpeg_decode(b"\x00\x01\x02\x03")
-    # progressive SOF2 must be rejected, not mis-decoded
+    # lossless SOF3 must be rejected, not mis-decoded (SOF2 now dispatches
+    # to the progressive decoder, where a baseline-shaped scan header is
+    # itself malformed — both ways it fails loudly, never silently)
     q = np.ones((8, 8), dtype=np.int64)
     co = np.zeros((1, 1, 8, 8), dtype=np.int64)
     blob = bytearray(codecs.jpeg_encode_blocks(co, q, 8, 8))
     idx = bytes(blob).find(b"\xff\xc0")
-    blob[idx + 1] = 0xC2
+    blob[idx + 1] = 0xC3
     with pytest.raises(ValueError, match="non-baseline"):
+        codecs.jpeg_decode(bytes(blob))
+    blob[idx + 1] = 0xC2  # fake-progressive with a full-band baseline scan
+    with pytest.raises(ValueError, match="Se=0"):
         codecs.jpeg_decode(bytes(blob))
 
 
@@ -388,3 +393,122 @@ def test_png16_roundtrip_all_shapes():
         codecs.png_decode(codecs.png16_encode(np.zeros((4, 4), np.uint16)))
     with pytest.raises(ValueError, match="16-bit"):
         codecs.png16_decode(codecs.png_encode(np.zeros((4, 4), np.uint8)))
+
+
+def test_jpeg_progressive_matches_baseline_gray():
+    """The five-scan progressive script (DC Al=1, split AC bands, DC + AC
+    refinement) must reproduce the baseline decode bit-exactly for the same
+    quantized coefficients — spectral selection, successive approximation,
+    EOB runs and refinement-bit order all in play (VERDICT r04 #3)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for _ in range(12):
+        bx, by = rng.randint(1, 5), rng.randint(1, 4)
+        q = np.ones((8, 8), dtype=np.int64)
+        q[0, 0] = rng.choice([1, 16])
+        co = np.zeros((by, bx, 8, 8), dtype=np.int64)
+        for _ in range(rng.randint(0, 20)):
+            co[rng.randint(by), rng.randint(bx),
+               rng.randint(8), rng.randint(8)] = rng.randint(-200, 201)
+        co[:, :, 0, 0] = rng.randint(-128, 128, size=(by, bx))
+        base = codecs.jpeg_decode(codecs.jpeg_encode_blocks(co, q, bx * 8, by * 8))
+        prog = codecs.jpeg_decode(
+            codecs.jpeg_encode_progressive(co, q, bx * 8, by * 8)
+        )
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_matches_baseline_color():
+    """Color progressive at 4:4:4 and the subsampled layouts (interleaved
+    DC MCU traversal + per-component AC grids) vs the baseline decoder."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    q = np.ones((8, 8), dtype=np.int64)
+    q[0, 0] = 16
+    cq = np.full((8, 8), 2, dtype=np.int64)
+
+    def rnd(by, bx):
+        c = np.zeros((by, bx, 8, 8), dtype=np.int64)
+        for _ in range(rng.randint(0, 12)):
+            c[rng.randint(by), rng.randint(bx),
+              rng.randint(8), rng.randint(8)] = rng.randint(-100, 101)
+        c[:, :, 0, 0] = rng.randint(-60, 60, size=(by, bx))
+        return c
+
+    for sub, (ly, lx) in (("444", (1, 1)), ("422", (1, 2)), ("420", (2, 2))):
+        for _ in range(5):
+            mby, mbx = rng.randint(1, 3), rng.randint(1, 3)
+            by, bx = mby * ly, mbx * lx
+            y, cb, cr = rnd(by, bx), rnd(mby, mbx), rnd(mby, mbx)
+            base = codecs.jpeg_decode(codecs.jpeg_encode_blocks(
+                y, q, bx * 8, by * 8, chroma=(cb, cr, cq), subsampling=sub))
+            prog = codecs.jpeg_decode(codecs.jpeg_encode_progressive(
+                y, q, bx * 8, by * 8, chroma=(cb, cr, cq), subsampling=sub))
+            assert np.array_equal(base, prog), sub
+
+
+def test_jpeg_progressive_odd_grid_padded_mcus():
+    """Odd 4:2:0 luma grids (partial MCUs): the interleaved DC scans carry
+    zero-padded blocks while AC scans traverse the true per-component grid
+    (T.81 A.2.2) — verified against an INDEPENDENT dequant+IDCT+upsample
+    reconstruction, since the baseline encoder requires divisible grids."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    q = np.ones((8, 8), dtype=np.int64)
+    q[0, 0] = 16
+    cq = np.full((8, 8), 2, dtype=np.int64)
+    A = codecs._IDCT_A
+
+    def plane(co, qt):
+        by, bx = co.shape[:2]
+        f = co.astype(float) * qt[None, None]
+        pix = np.matmul(A.T, np.matmul(f, A))
+        return pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+    for _ in range(8):
+        by, bx = rng.choice([1, 3, 5]), rng.choice([1, 3, 5])
+        w_, h_ = bx * 8 - rng.randint(0, 8), by * 8 - rng.randint(0, 8)
+        cby, cbx = (by + 1) // 2, (bx + 1) // 2
+
+        def rnd(by_, bx_):
+            c = np.zeros((by_, bx_, 8, 8), dtype=np.int64)
+            for _ in range(rng.randint(0, 10)):
+                c[rng.randint(by_), rng.randint(bx_),
+                  rng.randint(8), rng.randint(8)] = rng.randint(-100, 101)
+            c[:, :, 0, 0] = rng.randint(-60, 60, size=(by_, bx_))
+            return c
+
+        y, cb, cr = rnd(by, bx), rnd(cby, cbx), rnd(cby, cbx)
+        prog = codecs.jpeg_decode(codecs.jpeg_encode_progressive(
+            y, q, w_, h_, chroma=(cb, cr, cq), subsampling="420"))
+        yv = plane(y, q)[:h_, :w_] + 128.0
+        cbv = np.repeat(np.repeat(plane(cb, cq), 2, 0), 2, 1)[:h_, :w_]
+        crv = np.repeat(np.repeat(plane(cr, cq), 2, 0), 2, 1)[:h_, :w_]
+        want = np.clip(np.round(np.stack([
+            yv + 1.402 * crv,
+            yv - 0.344136 * cbv - 0.714136 * crv,
+            yv + 1.772 * cbv,
+        ], axis=-1)), 0, 255).astype(np.uint8)
+        assert np.array_equal(prog, want), (by, bx, w_, h_)
+
+
+def test_jpeg_single_component_nonstandard_sampling():
+    """ADVICE r04: sampling factors are irrelevant when the scan has one
+    component — a grayscale file declaring 2x2 must decode, not raise."""
+    import numpy as np
+
+    q = np.ones((8, 8), dtype=np.int64)
+    q[0, 0] = 16
+    co = np.zeros((1, 2, 8, 8), dtype=np.int64)
+    co[0, 0, 0, 0], co[0, 1, 0, 0] = 10, -20
+    blob = bytearray(codecs.jpeg_encode_blocks(co, q, 16, 8))
+    want = codecs.jpeg_decode(bytes(blob))
+    idx = bytes(blob).find(b"\xff\xc0")
+    # SOF0 payload: len(2) precision(1) h(2) w(2) ncomp(1) cid(1) sampling(1)
+    assert blob[idx + 11] == 0x11
+    blob[idx + 11] = 0x22
+    got = codecs.jpeg_decode(bytes(blob))
+    assert np.array_equal(got, want)
