@@ -242,7 +242,7 @@ def wav_decode(data: bytes) -> tuple[int, int, np.ndarray]:
 # Unsupported layouts (planar band-separate, palette, JPEG-in-TIFF, float
 # predictor) raise ValueError loudly.
 
-_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8}
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 11: 4, 12: 8, 16: 8}
 
 _TIFF_DTYPES = {
     # (sample_format, bits) -> numpy dtype char (endian applied at read)
@@ -258,7 +258,7 @@ def _tiff_entry(order: str, tag: int, ttype: int, values, data_area: bytearray,
     """One IFD entry (12 bytes classic, 20 bytes BigTIFF); values longer
     than the inline slot (4 / 8 bytes) spill into the data area at
     data_base + current length."""
-    fmt = {3: "H", 4: "I", 12: "d", 16: "Q"}[ttype]
+    fmt = {3: "H", 4: "I", 7: "B", 12: "d", 16: "Q"}[ttype]
     payload = struct.pack(f"{order}{len(values)}{fmt}", *values)
     inline = 8 if big else 4
     count_fmt = "Q" if big else "I"
@@ -270,6 +270,8 @@ def _tiff_entry(order: str, tag: int, ttype: int, values, data_area: bytearray,
         )
     off = data_base + len(data_area)
     data_area.extend(payload)
+    if len(data_area) % 2:  # keep spilled values word-aligned (TIFF spec)
+        data_area.append(0)
     return struct.pack(
         f"{order}HH{count_fmt}{'Q' if big else 'I'}", tag, ttype, len(values), off
     )
@@ -312,11 +314,20 @@ def tiff_encode(
     if predictor == 2 and sample_format == 3:
         raise ValueError("predictor 2 is for integer samples")
     h, w, spp = img.shape
-    comp_code = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[
-        compression
-    ]
+    comp_code = {
+        "none": 1, "lzw": 5, "jpeg": 7, "deflate": 8, "packbits": 32773,
+    }[compression]
+    if comp_code == 7:
+        # new-style TIFF JPEG (TTN2): shared tables ride the JPEGTables tag
+        # (347); each strip/tile is an abbreviated table-less JPEG stream
+        if img.dtype != np.uint8 or spp != 1:
+            raise ValueError("TIFF JPEG compression: uint8 grayscale only")
+        if predictor != 1 or planar:
+            raise ValueError("TIFF JPEG compression excludes predictor/planar")
 
     def _segment_bytes(seg: "np.ndarray") -> bytes:
+        if comp_code == 7:
+            return _jpeg_abbrev_segment(seg[:, :, 0])
         if predictor == 2:
             seg = seg.copy()
             # horizontal differencing per sample channel (TIFF predictor 2)
@@ -347,13 +358,23 @@ def tiff_encode(
                 for tx in range(0, w, tile):
                     block = np.zeros((tile, tile, vspp), dtype=img.dtype)
                     part = view[ty : ty + tile, tx : tx + tile, :]
-                    block[: part.shape[0], : part.shape[1], :] = part
+                    ph, pw = part.shape[:2]
+                    block[:ph, :pw, :] = part
+                    if comp_code == 7 and (ph < tile or pw < tile):
+                        # edge-replicate the tile padding: zero fill would
+                        # break a block's flatness and make edge blocks
+                        # lossy through the DCT
+                        block[:ph, pw:, :] = block[:ph, pw - 1 : pw, :]
+                        block[ph:, :, :] = block[ph - 1 : ph, :, :]
                     segments.append(_segment_bytes(block))
 
     header_len = 16 if bigtiff else 8
+    # pad odd-length segments with one byte so every offset (and the IFD)
+    # stays word-aligned per the TIFF spec; byte counts keep the TRUE length
+    padded = [s + b"\0" if len(s) % 2 else s for s in segments]
     seg_offsets = []
     pos = header_len
-    for s in segments:
+    for s in padded:
         seg_offsets.append(pos)
         pos += len(s)
     ifd_offset = pos
@@ -380,6 +401,8 @@ def tiff_encode(
         (33922, 12, [0.0, 0.0, 0.0, ox, oy, 0.0]),
         (34735, 3, geokeys),
     ]
+    if comp_code == 7:
+        tags.append((347, 7, list(_jpeg_tables_stream())))
     off_type = 16 if bigtiff else 4  # LONG8 vs LONG for offsets/counts
     if tile is None:
         tags += [
@@ -423,7 +446,7 @@ def tiff_encode(
         magic = struct.pack(
             f"{order}2sHI", b"MM" if big_endian else b"II", 42, ifd_offset
         )
-    return magic + b"".join(segments) + ifd + bytes(data_area)
+    return magic + b"".join(padded) + ifd + bytes(data_area)
 
 
 def _tiff_tags(data: bytes) -> tuple[str, dict]:
@@ -467,8 +490,8 @@ def _tiff_tags(data: bytes) -> tuple[str, dict]:
             (off,) = struct.unpack_from(
                 f"{order}{'Q' if big else 'I'}", data, val_base
             )
-        fmt = {1: "B", 2: "c", 3: "H", 4: "I", 5: "I", 11: "f", 12: "d",
-               16: "Q"}[ttype]
+        fmt = {1: "B", 2: "c", 3: "H", 4: "I", 5: "I", 7: "B", 11: "f",
+               12: "d", 16: "Q"}[ttype]
         n = int(count) * (2 if ttype == 5 else 1)
         tags[tag] = list(struct.unpack_from(f"{order}{n}{fmt}", data, off))
     return order, tags
@@ -507,9 +530,11 @@ def tiff_decode(
     returned transform's origin is shifted to the window's top-left corner.
 
     Real bitstream parse: endian-aware IFD walk, strip/tile reassembly,
-    DEFLATE/LZW/PackBits decompression, per-channel horizontal-predictor
+    DEFLATE/LZW/PackBits decompression plus new-style JPEG-in-TIFF
+    (compression 7 with the shared JPEGTables tag 347 spliced into each
+    abbreviated segment stream — TTN2), per-channel horizontal-predictor
     undo, GeoTIFF tag extraction. Raises ValueError on unsupported layouts
-    (planar band-separate, palette, JPEG-in-TIFF, float predictor)."""
+    (palette, old-style JPEG (6), float predictor)."""
     order, tags = _tiff_tags(data)
 
     def one(tag, default=None):
@@ -533,7 +558,7 @@ def tiff_decode(
         raise ValueError(f"unsupported TIFF: photometric={photo}")
     if planar not in (1, 2):
         raise ValueError(f"unsupported TIFF planar configuration {planar}")
-    if comp not in (1, 5, 8, 32773, 32946):
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise ValueError(f"unsupported TIFF compression {comp}")
     dt = _TIFF_DTYPES.get((sample_format, bits))
     if dt is None:
@@ -542,6 +567,19 @@ def tiff_decode(
         raise ValueError("unsupported TIFF: floating-point predictor")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if comp == 7:  # new-style JPEG-in-TIFF (TTN2)
+        if bits != 8 or predictor != 1:
+            raise ValueError("TIFF JPEG compression: 8-bit, no predictor")
+        # shared table stream (JPEGTables tag 347): strip its SOI/EOI so it
+        # can be spliced into each abbreviated segment stream
+        jt = bytes(tags.get(347, []))
+        if jt:
+            if jt[:2] != b"\xff\xd8":
+                raise ValueError("malformed JPEGTables: missing SOI")
+            jt = jt[2:]
+            if jt[-2:] == b"\xff\xd9":
+                jt = jt[:-2]
+        jpeg_tables_body = jt
     dtype = np.dtype(order + dt)
 
     # planar band-separate: each segment carries ONE band's samples, and
@@ -553,6 +591,20 @@ def tiff_decode(
         raw = data[off : off + cnt]
         if len(raw) != cnt:
             raise ValueError("truncated TIFF segment")
+        if comp == 7:
+            # abbreviated JPEG stream: splice the shared tables after SOI
+            if raw[:2] != b"\xff\xd8":
+                raise ValueError("malformed TIFF JPEG segment: missing SOI")
+            img_ = jpeg_decode(raw[:2] + jpeg_tables_body + raw[2:])
+            if img_.ndim == 2:
+                img_ = img_[:, :, None]
+            if img_.shape[2] != seg_spp:
+                raise ValueError("TIFF JPEG segment sample count mismatch")
+            block = np.zeros((seg_h, seg_w, seg_spp), dtype=dtype)
+            ch = min(seg_h, img_.shape[0])
+            cw = min(seg_w, img_.shape[1])
+            block[:ch, :cw, :] = img_[:ch, :cw, :]
+            return block
         if comp in (8, 32946):
             raw = zlib.decompress(raw)
         elif comp == 5:
@@ -838,6 +890,56 @@ def _jpeg_dqt(quant: "np.ndarray", tq: int) -> bytes:
     if qz.max() > 255:  # 16-bit table (Pq=1, big-endian entries)
         return _jpeg_seg(0xFFDB, bytes([0x10 | tq]) + qz.astype(">u2").tobytes())
     return _jpeg_seg(0xFFDB, bytes([0x00 | tq]) + bytes(int(q) for q in qz))
+
+
+def _jpeg_tables_stream() -> bytes:
+    """Abbreviated table-specification stream for the TIFF JPEGTables tag
+    (347): SOI + DQT (all-ones luminance, near-lossless) + DHT + EOI."""
+    q = np.ones((8, 8), dtype=np.int64)
+    dht = _jpeg_seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    return b"\xff\xd8" + _jpeg_dqt(q, 0) + dht + b"\xff\xd9"
+
+
+def _jpeg_dct_blocks(pix: "np.ndarray") -> "np.ndarray":
+    """(H, W) uint8 -> (by, bx, 8, 8) int64 DCT coefficients quantized with
+    the all-ones table; edge-replicated padding to 8-multiples (keeps
+    block-constant content exactly representable — flat blocks carry a
+    single integer DC, so they round-trip bit-exactly through the DCT)."""
+    h, w = pix.shape
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    pad = np.pad(
+        pix.astype(np.float64) - 128.0,
+        ((0, by * 8 - h), (0, bx * 8 - w)),
+        mode="edge",
+    )
+    blocks = pad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    f = np.matmul(_IDCT_A, np.matmul(blocks, _IDCT_A.T))
+    return np.round(f).astype(np.int64)
+
+
+def _jpeg_abbrev_segment(pix: "np.ndarray") -> bytes:
+    """One TIFF strip/tile as an abbreviated (table-less) baseline JPEG
+    stream — the tables come from the shared JPEGTables tag."""
+    co = _jpeg_dct_blocks(pix)
+    by, bx = co.shape[:2]
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    prev = 0
+    for j in range(by):
+        for i in range(bx):
+            zz = co[j, i].ravel()[_ZIGZAG]
+            prev = _encode_block(w, zz, prev, dc_codes, ac_codes)
+    h_, w_ = pix.shape
+    sof = _jpeg_seg(
+        0xFFC0, struct.pack(">BHHB", 8, h_, w_, 1) + bytes([1, 0x11, 0])
+    )
+    sos = _jpeg_seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + sof + sos + w.flush() + b"\xff\xd9"
 
 
 def jpeg_encode_blocks(

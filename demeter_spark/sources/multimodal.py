@@ -305,10 +305,16 @@ def sample_frames(media_df: DataFrame, stride_s: int = 7) -> DataFrame:
 def tiff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic GeoTIFF table: (doc_id, payload binary) where each payload
     is a REAL .tif bitstream covering the layout matrix deterministically —
-    striped/tiled x none/DEFLATE x predictor 1/2 x four dtypes x both byte
-    orders, with GeoTIFF georeferencing tags. pixel(x, y) =
+    striped/tiled x none/DEFLATE/LZW/PackBits x predictor 1/2 x four dtypes
+    x both byte orders, with GeoTIFF georeferencing tags. pixel(x, y) =
     (x*7 + y*13 + doc_id) % 251, so decoded features admit a closed-form
-    DuckDB oracle (encode and decode cannot share a compensating bug)."""
+    DuckDB oracle (encode and decode cannot share a compensating bug).
+
+    doc_id % 8 == 6 rows are NEW-STYLE JPEG-IN-TIFF (compression 7 with the
+    shared JPEGTables tag 347 — VERDICT r04 #6): uint8 with the 8x8
+    BLOCK-FLAT field pixel(x, y) = ((x//8)*7 + (y//8)*13 + doc_id) % 251,
+    which is bit-exact through the DCT (flat blocks carry a single integer
+    DC), keeping the oracle closed-form through a lossy-family codec."""
     import numpy as np
 
     from demeter_spark.functions import codecs
@@ -321,9 +327,15 @@ def tiff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = d % 37 + 4, d % 23 + 4
                 xs = np.arange(w)[None, :]
                 ys = np.arange(h)[:, None]
-                img = ((xs * 7 + ys * 13 + d) % 251).astype(
-                    ["uint8", "uint16", "int32", "float32"][d % 4]
-                )
+                jpeg = d % 8 == 6
+                if jpeg:
+                    img = (
+                        ((xs // 8) * 7 + (ys // 8) * 13 + d) % 251
+                    ).astype("uint8")
+                else:
+                    img = ((xs * 7 + ys * 13 + d) % 251).astype(
+                        ["uint8", "uint16", "int32", "float32"][d % 4]
+                    )
                 payloads.append(
                     codecs.tiff_encode(
                         img,
@@ -331,11 +343,12 @@ def tiff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (d % 100) * 0.5, (d % 16) * 0.25, 0.25, -0.25,
                         ),
                         epsg=[4326, 4269, 32610][d % 3],
-                        compression=["deflate", "none", "lzw", "packbits"][
-                            (d // 4) % 4
-                        ],
+                        compression="jpeg" if jpeg else
+                        ["deflate", "none", "lzw", "packbits"][(d // 4) % 4],
                         tile=16 if d % 3 == 0 else None,
-                        predictor=2 if (d % 5 == 0 and d % 4 != 3) else 1,
+                        predictor=2
+                        if (not jpeg and d % 5 == 0 and d % 4 != 3)
+                        else 1,
                         big_endian=d % 7 == 0,
                     )
                 )
@@ -455,19 +468,33 @@ TIFF_ORACLE_SQL = """
     SELECT doc_id,
            CAST(doc_id % 37 + 4 AS INT) AS width,
            CAST(doc_id % 23 + 4 AS INT) AS height,
-           CASE doc_id % 4 WHEN 0 THEN 'uint8' WHEN 1 THEN 'uint16'
-                WHEN 2 THEN 'int32' ELSE 'float32' END AS dtype,
+           CASE WHEN doc_id % 8 = 6 THEN 'uint8'
+                ELSE CASE doc_id % 4 WHEN 0 THEN 'uint8' WHEN 1 THEN 'uint16'
+                     WHEN 2 THEN 'int32' ELSE 'float32' END END AS dtype,
            CAST(doc_id % 100 AS DOUBLE) * 0.5e0 AS ox,
            CAST(doc_id % 16 AS DOUBLE) * 0.25e0 AS oy,
            0.25e0 AS rx,
            -0.25e0 AS ry,
            CAST(CASE doc_id % 3 WHEN 0 THEN 4326 WHEN 1 THEN 4269
                 ELSE 32610 END AS INT) AS epsg,
-           (SELECT CAST(sum((x.x * 7 + y.y * 13 + doc_id) % 251) AS DOUBLE)
-            FROM range(41) x(x), range(27) y(y)
-            WHERE x.x < doc_id % 37 + 4 AND y.y < doc_id % 23 + 4) AS px_sum,
+           CASE WHEN doc_id % 8 = 6 THEN
+             -- JPEG-in-TIFF rows: 8x8 block-flat field, exact through DCT
+             (SELECT CAST(sum(((x.x // 8) * 7 + (y.y // 8) * 13 + doc_id)
+                             % 251) AS DOUBLE)
+              FROM range(41) x(x), range(27) y(y)
+              WHERE x.x < doc_id % 37 + 4 AND y.y < doc_id % 23 + 4)
+           ELSE
+             (SELECT CAST(sum((x.x * 7 + y.y * 13 + doc_id) % 251) AS DOUBLE)
+              FROM range(41) x(x), range(27) y(y)
+              WHERE x.x < doc_id % 37 + 4 AND y.y < doc_id % 23 + 4)
+           END AS px_sum,
            CAST(doc_id % 251 AS DOUBLE) AS px_first,
-           CAST(((doc_id % 37 + 3) * 7 + (doc_id % 23 + 3) * 13 + doc_id)
-                % 251 AS DOUBLE) AS px_last
+           CASE WHEN doc_id % 8 = 6 THEN
+             CAST((((doc_id % 37 + 3) // 8) * 7 + ((doc_id % 23 + 3) // 8)
+                   * 13 + doc_id) % 251 AS DOUBLE)
+           ELSE
+             CAST(((doc_id % 37 + 3) * 7 + (doc_id % 23 + 3) * 13 + doc_id)
+                  % 251 AS DOUBLE)
+           END AS px_last
     FROM documents
 """

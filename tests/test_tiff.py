@@ -282,3 +282,94 @@ def test_bigtiff_malformed_header():
     blob[4] = 4  # offsetsize must be 8
     with pytest.raises(ValueError, match="BigTIFF"):
         codecs.tiff_decode(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# New-style JPEG-in-TIFF (compression 7, JPEGTables tag 347) — VERDICT r04 #6
+
+
+def test_tiff_jpeg_block_flat_roundtrip_exact():
+    """8x8-block-flat uint8 images are bit-exact through JPEG-in-TIFF (flat
+    blocks carry one integer DC through the all-ones quant table), striped
+    and tiled, both byte orders — the property the tiff_decode oracle rows
+    rely on."""
+    rng = np.random.RandomState(5)
+    for _ in range(6):
+        w, h = rng.randint(3, 41), rng.randint(3, 27)
+        d = rng.randint(0, 500)
+        xs, ys = np.arange(w)[None, :], np.arange(h)[:, None]
+        img = (((xs // 8) * 7 + (ys // 8) * 13 + d) % 251).astype(np.uint8)
+        for tile in (None, 16):
+            for be in (False, True):
+                blob = codecs.tiff_encode(
+                    img, compression="jpeg", tile=tile, big_endian=be
+                )
+                arr, _, _ = codecs.tiff_decode(blob)
+                assert np.array_equal(arr, img), (w, h, tile, be)
+
+
+def test_tiff_jpeg_tables_layout():
+    """The shared tables ride tag 347 as an abbreviated SOI..EOI stream;
+    per-segment streams are table-less (the TTN2 layout real writers emit),
+    and every segment offset is word-aligned (ADVICE r04)."""
+    blob = codecs.tiff_encode(
+        np.full((20, 30), 77, np.uint8), compression="jpeg"
+    )
+    _, tags = codecs._tiff_tags(blob)
+    jt = bytes(tags[347])
+    assert jt[:2] == b"\xff\xd8" and jt[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in jt and b"\xff\xc4" in jt
+    seg = blob[tags[273][0] : tags[273][0] + tags[279][0]]
+    assert b"\xff\xdb" not in seg and b"\xff\xc4" not in seg
+    assert all(o % 2 == 0 for o in tags[273])
+
+
+def test_tiff_jpeg_general_image_near_lossless():
+    """Arbitrary uint8 content decodes to the independent
+    DCT-round-IDCT reconstruction (all-ones quant => max error 1)."""
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(19, 22), dtype=np.uint8)
+    arr, _, _ = codecs.tiff_decode(
+        codecs.tiff_encode(img, compression="jpeg")
+    )
+    A = codecs._IDCT_A
+    want = np.zeros_like(img)
+    for y0 in range(0, 19, 8):
+        seg = img[y0 : y0 + 8].astype(np.float64)
+        sh, sw = seg.shape
+        by, bx = (sh + 7) // 8, (sw + 7) // 8
+        pad = np.pad(
+            seg - 128.0, ((0, by * 8 - sh), (0, bx * 8 - sw)), mode="edge"
+        )
+        bl = pad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        co = np.round(np.matmul(A, np.matmul(bl, A.T)))
+        pix = np.matmul(A.T, np.matmul(co, A))
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        want[y0 : y0 + sh] = np.clip(np.round(plane[:sh, :sw]) + 128, 0, 255)
+    assert np.array_equal(arr, want)
+    assert np.abs(arr.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_tiff_jpeg_windowed_read_skips_outside_tiles():
+    """COG windowed reads hold for JPEG tiles too: an out-of-window tile is
+    never entropy-decoded (proved by corrupting it)."""
+    img = (
+        ((np.arange(48)[None, :] // 8) * 7 + (np.arange(32)[:, None] // 8) * 13)
+        % 251
+    ).astype(np.uint8)
+    blob = bytearray(codecs.tiff_encode(img, compression="jpeg", tile=16))
+    _, tags = codecs._tiff_tags(bytes(blob))
+    off, cnt = tags[324][-1], tags[325][-1]
+    blob[off : off + cnt] = b"\xde" * cnt
+    arr, _, _ = codecs.tiff_decode(bytes(blob), window=(0, 0, 16, 16))
+    assert np.array_equal(arr, img[:16, :16])
+
+
+def test_tiff_jpeg_rejects_unsupported_shapes():
+    img16 = np.zeros((8, 8), np.uint16)
+    with pytest.raises(ValueError, match="uint8"):
+        codecs.tiff_encode(img16, compression="jpeg")
+    with pytest.raises(ValueError, match="predictor"):
+        codecs.tiff_encode(
+            np.zeros((8, 8), np.uint8), compression="jpeg", predictor=2
+        )
