@@ -645,6 +645,7 @@ def containment_pairs(
     max_df: int | None = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Asymmetric near-CONTAINMENT pairs over winnowing fingerprints:
     containment(a in b) = |FP_a ∩ FP_b| / |FP_a| >= threshold.
@@ -659,18 +660,22 @@ def containment_pairs(
     appearing in more than max_df docs are boilerplate and carry no
     signal — the same cap discipline as jaccard_pairs), then one hash
     aggregate per pair. Emits (doc_a, doc_b, containment) for ORDERED
-    pairs a != b where doc_a is the contained side."""
+    pairs a != b where doc_a is the contained side.
+
+    ``materialize`` (default True) localCheckpoints the fingerprint table,
+    which runs the gram-explode + window job EAGERLY at plan-construction
+    time (ADVICE r04): the table feeds six plan references with no exchange
+    reuse, so recomputing it per reference costs far more than the bounded
+    materialization. Pass False to keep the plan fully lazy (e.g. when
+    composing plans that may never execute, or when lineage-based recovery
+    must survive executor loss)."""
     from demeter_spark.operators.textstats import winnowing_fingerprints
 
     fp = winnowing_fingerprints(
         docs, k=k, window=window, id_col=id_col, text_col=text_col
     ).select(F.col(id_col).alias("_id"), "fp_hash").distinct()
-    # the fingerprint table feeds the df-cap, both join sides AND the size
-    # aggregate — six plan references with no exchange reuse; materialize
-    # it once (bounded: ~|selected fingerprints| rows) instead of running
-    # the gram-explode + window pipeline per reference (same
-    # localCheckpoint discipline as the kNN level caches)
-    fp = fp.localCheckpoint(eager=True)
+    if materialize:
+        fp = fp.localCheckpoint(eager=True)
     if max_df is not None:
         dfc = fp.groupBy("fp_hash").agg(F.count("*").alias("_df"))
         fp = fp.join(dfc.filter(F.col("_df") <= max_df), "fp_hash").drop("_df")
@@ -693,3 +698,112 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+def incremental_containment_pairs(
+    log,
+    docs_increment: DataFrame,
+    inc_id: int,
+    threshold: float,
+    k: int = 8,
+    window: int = 4,
+    max_df: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 8,
+) -> DataFrame:
+    """Continuous-crawl CONTAINMENT dedup (VERDICT r04 #5): detect
+    embedded-document near-containment for an increment of NEW documents
+    against everything committed so far, exactly once — the winnowing
+    analogue of incremental_minhash_pairs, over the same LineageLog
+    machinery.
+
+    State is one stage, ``containment_fps``: the distinct winnowing
+    fingerprints (doc_id, fp_hash) of every committed document, partitioned
+    (inc_id, hash bucket) so each increment owns distinct partitions and
+    write_increment's idempotent overwrite heals crash/replay without ever
+    clobbering earlier increments.
+
+    Work per increment: winnowing runs over the increment ONLY (the
+    committed corpus is never re-fingerprinted); the fp_hash probe joins the
+    increment's fingerprints against the committed table (pre-bucketed
+    scan); everything downstream is bounded by candidate count. An
+    unordered pair is completed — and emitted, in BOTH passing directions —
+    by the increment that brings its second member; old x old pairs are
+    structurally excluded because one join side is always the increment.
+
+    The ``max_df`` boilerplate cap is evaluated against the corpus
+    committed SO FAR: a hash can cross the cap as the corpus grows, so
+    pairs emitted by earlier increments reflect the document frequencies
+    of their time (monotone-discovery semantics, same replay caveats as
+    incremental_minhash_pairs). With the final corpus committed, a pair
+    completed in the last increment scores identically to batch
+    containment_pairs.
+
+    Returns (doc_a, doc_b, containment) ordered pairs, doc_a the contained
+    side, containment >= threshold."""
+    from demeter_spark.operators.textstats import winnowing_fingerprints
+
+    fingerprint = f"inc-{int(inc_id)}"
+    new_docs = docs_increment.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col).alias(text_col)
+    )
+    fp_new = (
+        winnowing_fingerprints(
+            new_docs, k=k, window=window, id_col=id_col, text_col=text_col
+        )
+        .select(F.col(id_col).alias("_id"), "fp_hash")
+        .distinct()
+        # reused by the commit, the probe join and the new-new dedup below;
+        # bounded by the increment's fingerprint count
+        .localCheckpoint(eager=True)
+    )
+    part = F.lit(int(inc_id) * n_parts) + F.pmod(
+        F.xxhash64(F.col("_id")), F.lit(n_parts)
+    )
+    log.write_increment(
+        "containment_fps", fp_new.withColumn("bucket", part), "bucket", fingerprint
+    )
+
+    all_fp = log.read_stage("containment_fps").select("_id", "fp_hash")
+    if max_df is not None:
+        dfc = all_fp.groupBy("fp_hash").agg(F.count("*").alias("_df"))
+        keep = dfc.filter(F.col("_df") <= max_df).select("fp_hash")
+        all_fp = all_fp.join(keep, "fp_hash")
+        fp_new = fp_new.join(keep, "fp_hash")
+    sizes = all_fp.groupBy("_id").agg(F.count("*").alias("n_fp"))
+
+    # shared hashes with at least one NEW member; both-new pairs surface
+    # twice (x,y)/(y,x), so normalize to unordered + distinct before counting
+    shared = (
+        fp_new.select(F.col("_id").alias("_x"), "fp_hash")
+        .join(all_fp.select(F.col("_id").alias("_y"), "fp_hash"), "fp_hash")
+        .filter(F.col("_x") != F.col("_y"))
+        .select(
+            F.least("_x", "_y").alias("doc_a"),
+            F.greatest("_x", "_y").alias("doc_b"),
+            "fp_hash",
+        )
+        .distinct()
+    )
+    inter = shared.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
+    scored = (
+        inter.join(
+            sizes.withColumnsRenamed({"_id": "doc_a", "n_fp": "n_a"}), "doc_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"_id": "doc_b", "n_fp": "n_b"}), "doc_b"
+        )
+    )
+    # ordered emission, contained side first — both directions that pass
+    fwd = scored.select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_inter") / F.col("n_a").cast("double")).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("doc_b").alias("doc_a"),
+        F.col("doc_a").alias("doc_b"),
+        (F.col("n_inter") / F.col("n_b").cast("double")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
