@@ -225,8 +225,12 @@ def main() -> None:
                 ),
                 threshold_ratio=0.2,
             )
-            skew_report = {"n_hot_cells": len(hot)}
-            for tag, hc in (("plain", None), ("salted", hot)):
+            # the salted leg goes through hot_cells="auto" (VERDICT r04 #7):
+            # the sampled in-join detection is part of the timed wall — the
+            # honest cost of a data-driven salting decision; `hot` above is
+            # reported for context only
+            skew_report = {"n_hot_cells": len(hot), "salting": "auto"}
+            for tag, hc in (("plain", None), ("salted", "auto")):
                 walls, max_tasks = [], []
                 for trial in range(2):
                     group = f"skew_{tag}_{trial}"
@@ -234,7 +238,7 @@ def main() -> None:
                     t0 = time.time()
                     n = joins.spatial_join(
                         spts, par, res=skew_res, broadcast_cover=False,
-                        hot_cells=hc, covers=scovers,
+                        hot_cells=hc, covers=scovers, hot_threshold=0.2,
                     ).count()
                     walls.append(round(time.time() - t0, 3))
                     max_tasks.append(_max_task_ms(sc, group))

@@ -144,9 +144,12 @@ def spatial_join(
     broadcast_cover: bool = True,
     lon: str = "lon",
     lat: str = "lat",
-    hot_cells: list[int] | None = None,
+    hot_cells: "list[int] | str | None" = None,
     n_salt: int = 8,
     covers: DataFrame | None = None,
+    skew_log=None,
+    skew_stage: str | None = None,
+    hot_threshold: float = 0.05,
 ) -> DataFrame:
     """points ⨝ polygons (containment): returns points columns + parcel_id.
 
@@ -156,7 +159,14 @@ def spatial_join(
     polygon dimension << points fact table). With it off, Catalyst picks a
     shuffle join and AQE handles skewed hot cells; passing ``hot_cells``
     additionally salts those cells explicitly (plans/skew.py).
-    """
+
+    ``hot_cells="auto"`` makes the salting decision DATA-DRIVEN (VERDICT
+    r04 #7): with ``skew_log``/``skew_stage`` the list comes from the
+    lineage metrics table of a prior run whose stage is partitioned by cell
+    id — a manifest-only read, no fact scan; otherwise from a cheap sampled
+    aggregation over the points. Cells holding more than ``hot_threshold``
+    of all points are salted. Ignored on the compact path (multi-res keys
+    don't salt)."""
     if covers is None:
         covers = parcel_covers(parcels, res=res, compact=compact, with_rings=True)
     has_rings = "rings" in covers.columns
@@ -164,6 +174,21 @@ def spatial_join(
         covers = F.broadcast(covers)
 
     pts = points.withColumn("_cell", cell_of(F.col(lon), F.col(lat), res))
+    if isinstance(hot_cells, str):
+        if hot_cells != "auto":
+            raise ValueError(f"hot_cells: list, None or 'auto', got {hot_cells!r}")
+        from demeter_spark.plans import skew as skewmod
+
+        if compact:
+            hot_cells = None
+        elif skew_log is not None and skew_stage is not None:
+            hot_cells = skewmod.hot_cells_from_metrics(
+                skew_log, skew_stage, hot_threshold
+            )
+        else:
+            hot_cells = skewmod.detect_hot_cells(
+                pts, threshold_ratio=hot_threshold, sample_fraction=0.05
+            )
     if hot_cells and not compact:
         from demeter_spark.plans.skew import salted_cover_join
 
