@@ -410,3 +410,42 @@ def test_order_stats_single_shuffle_plan(spark):
     assert "Window" not in plan, plan
     n_shuffles = len(re.findall(r"(?<!Broadcast)Exchange", plan))
     assert n_shuffles == 1, plan
+
+
+def test_gauss_exp_cross_engine_bit_stability(spark, ddb):
+    """VERDICT r04 #9, the executable finding: gauss weights cannot be
+    exact-oracle-backed. Identical expression text over identical dyadic
+    inputs yields exp() doubles that differ between the JVM and DuckDB —
+    every disagreement is exactly 1 ulp (both engines are within the
+    standard 1-ulp envelope; they just round differently), which is enough
+    to break a value-hash oracle. If a future environment makes this 0,
+    promote reproject_gauss to an oracle row."""
+    import struct as _struct
+
+    inv = 1.0 / (2.0 * 0.5 * 0.5)  # dyadic sigma
+    lit = format(inv, ".17e")
+    expr = f"exp(-((f - o) * (f - o)) * {lit})"
+    sdf = spark.range(64 * 5).selectExpr(
+        "CAST(id % 64 AS DOUBLE) / 64e0 AS f",
+        "CAST(id div 64 AS DOUBLE) - 1e0 AS o",
+    ).selectExpr("f", "o", f"{expr} AS w").collect()
+    ddf = ddb.sql(
+        f"SELECT f, o, {expr} AS w FROM ("
+        "SELECT CAST(x.i % 64 AS DOUBLE) / 64e0 AS f,"
+        " CAST(x.i // 64 AS DOUBLE) - 1e0 AS o FROM range(320) x(i))"
+    ).fetchall()
+    smap = {(r["f"], r["o"]): r["w"] for r in sdf}
+    ulps = []
+    for f, o, w in ddf:
+        a = _struct.unpack("<q", _struct.pack("<d", smap[(f, o)]))[0]
+        b = _struct.unpack("<q", _struct.pack("<d", w))[0]
+        if a != b:
+            ulps.append(abs(a - b))
+    # the engines never disagree by MORE than 1 ulp (sanity on both libms);
+    # in this environment they DO disagree (measured ~8-11% of the lattice),
+    # which is the documented reason gauss/lanczos are pytest-only
+    assert all(u == 1 for u in ulps), max(ulps)
+    assert ulps, (
+        "exp() became cross-engine bit-stable here — reproject_gauss can "
+        "now be promoted to an exact oracle row"
+    )
