@@ -699,6 +699,11 @@ def _q_reproject_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ALBERS = dict(phi1=8.0, phi2=24.0, phi0=16.0, lon0=18.0)
 _ALBERS_DST = dict(ox=-1536000.0, oy=-1280000.0, rx=32000.0, ry=32000.0,
                    nx=96, ny=80)
+# ellipsoidal transverse-Mercator destination grid (same 96x80 pixel index
+# space, TM meters): inverse lands inside the source extent with >=3.1e-4
+# cells of floor() margin (tests/test_ellipsoidal.py)
+_TM_DST = dict(ox=-1200000.0, oy=200000.0, rx=25000.0, ry=40000.0,
+               nx=96, ny=80)
 
 
 def _q_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,12 +714,16 @@ def _q_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
     destination pixel — std parallels 8/24, origin 16N 18E, the EPSG:5070
     construction scaled to the synthetic world's extent (reference:
     demeter/api.py:183-219 to_crs(5070), which is GRS80-ellipsoidal via
-    pyproj). Nearest is the oracle-able kernel through trig: only floor()
-    agreement is needed and every source coordinate clears cell boundaries
-    by >=5e-5 cells for both datums (asserted in tests/test_albers.py and
-    tests/test_ellipsoidal.py); interpolating kernels through the conic are
-    pytest-verified. Both value columns ride the row hash, so a regression
-    in either datum's math fails the gate."""
+    pyproj) — plus a THIRD column, v_tm_ell, the nearest warp through the
+    ellipsoidal TRANSVERSE MERCATOR inverse (the EPSG:269xx UTM datum math,
+    reference api.py:132-151 to_crs(utm)) on its own meters grid joined on
+    the shared pixel index space. Nearest is the oracle-able kernel through
+    trig: only floor() agreement is needed and every source coordinate
+    clears cell boundaries by >=5e-5 cells for all three warps (asserted in
+    tests/test_albers.py and tests/test_ellipsoidal.py); interpolating
+    kernels through the conic are pytest-verified. All three value columns
+    ride the row hash, so a regression in any datum's math fails the
+    gate."""
     from demeter_spark.operators import reproject as rp
     from demeter_spark.sources import synth
 
@@ -726,8 +735,17 @@ def _q_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ell = rp.reproject_nearest(
         src, sg, dg, rp.albers_ell_to_lonlat(**_ALBERS), broadcast_src=True
     )
-    return sph.withColumnRenamed("value", "v_sph").join(
-        ell.withColumnRenamed("value", "v_ell"), ["ix", "iy"]
+    # third datum/projection family in the same row: ellipsoidal transverse
+    # Mercator (the EPSG:269xx UTM construction) on its own meters grid,
+    # joined on the shared 96x80 pixel index space
+    tm = rp.reproject_nearest(
+        src, sg, rp.Grid(**_TM_DST),
+        rp.tm_ell_to_lonlat(lon0=_ALBERS["lon0"]), broadcast_src=True,
+    )
+    return (
+        sph.withColumnRenamed("value", "v_sph")
+        .join(ell.withColumnRenamed("value", "v_ell"), ["ix", "iy"])
+        .join(tm.withColumnRenamed("value", "v_tm_ell"), ["ix", "iy"])
     )
 
 
@@ -735,20 +753,27 @@ def _albers_oracle_sql() -> str:
     from demeter_spark.operators.reproject import (
         albers_ell_inverse_sql,
         albers_inverse_sql,
+        tm_ell_inverse_sql,
     )
 
     x = "(-1536000e0 + (x.ix + 0.5e0) * 32000e0)"
     y = "(-1280000e0 + (y.iy + 0.5e0) * 32000e0)"
     lon_s, lat_s = albers_inverse_sql(x, y, **_ALBERS)
     lon_e, lat_e = albers_ell_inverse_sql(x, y, **_ALBERS)
+    tx = "(-1200000e0 + (x.ix + 0.5e0) * 25000e0)"
+    ty = "(200000e0 + (y.iy + 0.5e0) * 40000e0)"
+    lon_t, lat_t = tm_ell_inverse_sql(tx, ty, lon0=_ALBERS["lon0"])
     return f"""
-            SELECT d.ix, d.iy, s.value AS v_sph, e.value AS v_ell
+            SELECT d.ix, d.iy, s.value AS v_sph, e.value AS v_ell,
+                   t.value AS v_tm_ell
             FROM (
               SELECT x.ix, y.iy,
                      CAST(floor(({lon_s} - 0e0) / 0.25e0) AS BIGINT) AS six,
                      CAST(floor(({lat_s} - 0e0) / 0.25e0) AS BIGINT) AS siy,
                      CAST(floor(({lon_e} - 0e0) / 0.25e0) AS BIGINT) AS eix,
-                     CAST(floor(({lat_e} - 0e0) / 0.25e0) AS BIGINT) AS eiy
+                     CAST(floor(({lat_e} - 0e0) / 0.25e0) AS BIGINT) AS eiy,
+                     CAST(floor(({lon_t} - 0e0) / 0.25e0) AS BIGINT) AS tix,
+                     CAST(floor(({lat_t} - 0e0) / 0.25e0) AS BIGINT) AS tiy
               FROM range(96) x(ix), range(80) y(iy)) d
             LEFT JOIN (SELECT ix, iy, value FROM raster_cells
                        WHERE dataset = 'elevation') s
@@ -756,6 +781,9 @@ def _albers_oracle_sql() -> str:
             LEFT JOIN (SELECT ix, iy, value FROM raster_cells
                        WHERE dataset = 'elevation') e
               ON e.ix = d.eix AND e.iy = d.eiy
+            LEFT JOIN (SELECT ix, iy, value FROM raster_cells
+                       WHERE dataset = 'elevation') t
+              ON t.ix = d.tix AND t.iy = d.tiy
     """
 
 

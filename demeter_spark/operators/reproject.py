@@ -1020,6 +1020,69 @@ def tm_ell_to_lonlat(
     return t
 
 
+def tm_ell_inverse_sql(
+    x: str,
+    y: str,
+    lon0: float,
+    k0: float = 0.9996,
+    lat0: float = 0.0,
+    a: float = GRS80_A,
+    e2: float = GRS80_E2,
+) -> tuple[str, str]:
+    """The ellipsoidal TM inverse as SQL text over ``x``/``y``
+    sub-expressions — the DuckDB-oracle side of tm_ell_to_lonlat. Every
+    constant is the same precomputed double literal and every operation
+    mirrors the Column construction's association order, so the only
+    cross-engine difference is ~1-ulp trig rounding (absorbed by the
+    nearest-kernel floor() margin, as with the conic oracles)."""
+    ep2 = e2 / (1.0 - e2)
+    m0c, _, _, _ = _meridian_coeffs(e2)
+    big_m0 = meridian_arc(lat0 * DEG, a, e2)
+    se = math.sqrt(1.0 - e2)
+    e1 = (1.0 - se) / (1.0 + se)
+    f2 = 3.0 * e1 / 2.0 - 27.0 * e1**3 / 32.0
+    f4 = 21.0 * e1**2 / 16.0 - 55.0 * e1**4 / 32.0
+    f6 = 151.0 * e1**3 / 96.0
+    f8 = 1097.0 * e1**4 / 512.0
+    L = _flit
+    mu = f"(({L(big_m0)} + ({y}) / {L(k0)}) / {L(a * m0c)})"
+    fp = (
+        f"({mu} + {L(f2)} * sin({L(2.0)} * {mu})"
+        f" + {L(f4)} * sin({L(4.0)} * {mu})"
+        f" + {L(f6)} * sin({L(6.0)} * {mu})"
+        f" + {L(f8)} * sin({L(8.0)} * {mu}))"
+    )
+    sp, cp, tp = f"sin({fp})", f"cos({fp})", f"tan({fp})"
+    c1 = f"({L(ep2)} * {cp} * {cp})"
+    t1 = f"({tp} * {tp})"
+    den = f"({L(1.0)} - {L(e2)} * {sp} * {sp})"
+    n1 = f"({L(a)} / sqrt({den}))"
+    r1 = f"({L(a * (1.0 - e2))} / ({den} * sqrt({den})))"
+    d = f"(({x}) / ({n1} * {L(k0)}))"
+    d2 = f"({d} * {d})"
+    d3 = f"({d2} * {d})"
+    d4 = f"({d2} * {d2})"
+    d5 = f"({d4} * {d})"
+    d6 = f"({d4} * {d2})"
+    lat_inner = (
+        f"({d2} / {L(2.0)}"
+        f" - ({L(5.0)} + {L(3.0)} * {t1} + {L(10.0)} * {c1}"
+        f" - {L(4.0)} * {c1} * {c1} - {L(9.0 * ep2)}) * {d4} / {L(24.0)}"
+        f" + ({L(61.0)} + {L(90.0)} * {t1} + {L(298.0)} * {c1}"
+        f" + {L(45.0)} * {t1} * {t1} - {L(252.0 * ep2)}"
+        f" - {L(3.0)} * {c1} * {c1}) * {d6} / {L(720.0)})"
+    )
+    lat = f"(({fp} - {n1} * {tp} / {r1} * {lat_inner}) / {L(DEG)})"
+    lon_inner = (
+        f"({d} - ({L(1.0)} + {L(2.0)} * {t1} + {c1}) * {d3} / {L(6.0)}"
+        f" + ({L(5.0)} - {L(2.0)} * {c1} + {L(28.0)} * {t1}"
+        f" - {L(3.0)} * {c1} * {c1} + {L(8.0 * ep2)}"
+        f" + {L(24.0)} * {t1} * {t1}) * {d5} / {L(120.0)})"
+    )
+    lon = f"({L(lon0)} + {lon_inner} / {cp} / {L(DEG)})"
+    return lon, lat
+
+
 # ---------------------------------------------------------------------------
 # R6 order-statistic downsampling kernels (VERDICT r03 #7): rasterio's
 # Resampling.mode / .med / .q1 / .q3 (reprojection.py:18-44 passes the full

@@ -178,8 +178,22 @@ class LineageLog:
         docstring) — during the swap, concurrent READERS may observe a
         missing manifest, so the contract excludes them too. The swap is
         os.rename: local POSIX paths only; skipped (correct, just slower
-        scans) for remote URIs."""
+        scans) for remote URIs — with a warning, so a caller relying on
+        bounded manifest scans gets a signal (ADVICE r04: expire_snapshots
+        RAISES for the same limitation because it is an explicit user
+        action whose effect would silently not happen; compaction is an
+        automatic background optimization, so skip-and-warn is the right
+        contract — the difference is now documented in both places)."""
         if "://" in self.manifest_path or not os.path.isdir(self.manifest_path):
+            import warnings
+
+            warnings.warn(
+                f"manifest compaction skipped for {self.manifest_path!r} "
+                "(non-local or missing path): committed_parts/metrics scans "
+                "degrade to O(total commits) files",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             return
         tmp = self.manifest_path + ".compact-tmp"
         old = self.manifest_path + ".compact-old"
@@ -258,7 +272,11 @@ class LineageLog:
         ``read_stage(as_of=<expired id>)`` stops resolving — the same
         contract as expireSnapshots in a real table format. Single-writer
         protocol applies (manifest rewrite, same as compaction), and like
-        compaction the swap is os.rename: local filesystems only."""
+        compaction the swap is os.rename: local filesystems only. Unlike
+        automatic compaction (which skips with a warning — an optimization
+        that degrades gracefully), this explicit maintenance action RAISES
+        on non-local paths: silently not expiring would break the caller's
+        retention expectations (ADVICE r04 contract alignment)."""
         if "://" in self.manifest_path or not os.path.isdir(self.manifest_path):
             raise ValueError(
                 "expire_snapshots needs a local-filesystem manifest"

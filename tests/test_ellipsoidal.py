@@ -170,6 +170,43 @@ def test_ell_oracle_boundary_margin():
     assert lat.min() > 0 and lat.max() < 32
 
 
+def test_tm_ell_oracle_boundary_margin():
+    """Same floor()-margin audit for the v_tm_ell warp grid: >= 5e-5 cells
+    (measured ~3.1e-4) and inside the source extent."""
+    import __spark_entry__ as entry
+
+    g = entry._TM_DST
+    ix, iy = np.meshgrid(np.arange(g["nx"]), np.arange(g["ny"]), indexing="ij")
+    x = g["ox"] + (ix + 0.5) * g["rx"]
+    y = g["oy"] + (iy + 0.5) * g["ry"]
+    ep2 = rp.GRS80_E2 / (1 - rp.GRS80_E2)
+    a, e2, k0 = rp.GRS80_A, rp.GRS80_E2, 0.9996
+    m0, _, _, _ = rp._meridian_coeffs(e2)
+    se = math.sqrt(1 - e2)
+    e1 = (1 - se) / (1 + se)
+    mu = (y / k0) / (a * m0)
+    fp = (mu + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+          + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+          + (151 * e1**3 / 96) * np.sin(6 * mu)
+          + (1097 * e1**4 / 512) * np.sin(8 * mu))
+    sp, cp, tp = np.sin(fp), np.cos(fp), np.tan(fp)
+    c1, t1 = ep2 * cp * cp, tp * tp
+    den = 1 - e2 * sp * sp
+    n1, r1 = a / np.sqrt(den), a * (1 - e2) / (den * np.sqrt(den))
+    d = x / (n1 * k0)
+    lat = (fp - (n1 * tp / r1) * (d * d / 2
+           - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * d**4 / 24
+           + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2
+              - 3 * c1 * c1) * d**6 / 720)) / DEG
+    lon = 18.0 + (d - (1 + 2 * t1 + c1) * d**3 / 6
+                  + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2
+                     + 24 * t1 * t1) * d**5 / 120) / cp / DEG
+    for g_ in (lon / SRC.rx, lat / SRC.ry):
+        assert np.abs(g_ - np.round(g_)).min() > 5e-5
+    assert lon.min() > 0 and lon.max() < 36
+    assert lat.min() > 0 and lat.max() < 32
+
+
 def test_albers_query_matches_oracle_both_datums(spark, ddb):
     import __spark_entry__ as entry
 
