@@ -373,3 +373,54 @@ def test_tiff_jpeg_rejects_unsupported_shapes():
         codecs.tiff_encode(
             np.zeros((8, 8), np.uint8), compression="jpeg", predictor=2
         )
+
+
+def test_tiff_golden_bytes_hand_authored():
+    """Interop pin (ADVICE r04): a fixture laid out BY HAND to the TIFF 6.0
+    spec — not produced by tiff_encode — with conventions our writer never
+    emits: one full-height strip (no RowsPerStrip tag -> default = image
+    height), inline offset/count values, minimal tag set, different tag
+    ordering, IFD before pixel data. A decoder secretly coupled to the
+    in-repo writer's layout fails here."""
+    import struct
+
+    # 3x2 uint8 grayscale, pixels row-major: 10 20 30 / 40 50 60
+    pixels = bytes([10, 20, 30, 40, 50, 60])
+    # layout: header(8) + IFD + pixel data AFTER the IFD
+    # IFD: 6 entries x 12 + count(2) + next(4) = 78; data at 8+78 = 86
+    entries = [
+        (256, 3, 1, 3),    # ImageWidth SHORT 3
+        (257, 3, 1, 2),    # ImageLength SHORT 2
+        (258, 3, 1, 8),    # BitsPerSample 8
+        (259, 3, 1, 1),    # Compression none
+        (273, 4, 1, 86),   # StripOffsets -> after IFD
+        (279, 4, 1, 6),    # StripByteCounts
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, ttype, count, value in entries:
+        ifd += struct.pack("<HHI", tag, ttype, count)
+        ifd += struct.pack("<I", value) if ttype == 4 else struct.pack(
+            "<HH", value, 0
+        )
+    ifd += struct.pack("<I", 0)
+    blob = b"II" + struct.pack("<HI", 42, 8) + ifd + pixels
+    assert len(blob) == 86 + 6
+
+    arr, transform, epsg = codecs.tiff_decode(blob)
+    assert arr.shape == (2, 3) and arr.dtype == np.uint8
+    assert arr.tolist() == [[10, 20, 30], [40, 50, 60]]
+    assert transform == (0.0, 0.0, 1.0, -1.0) and epsg is None
+    info = codecs.tiff_info(blob)
+    assert info["width"] == 3 and info["height"] == 2 and not info["tiled"]
+
+    # big-endian variant of the same hand layout
+    ifd_be = struct.pack(">H", len(entries))
+    for tag, ttype, count, value in entries:
+        ifd_be += struct.pack(">HHI", tag, ttype, count)
+        ifd_be += struct.pack(">I", value) if ttype == 4 else struct.pack(
+            ">HH", value, 0
+        )
+    ifd_be += struct.pack(">I", 0)
+    blob_be = b"MM" + struct.pack(">HI", 42, 8) + ifd_be + pixels
+    arr_be, _, _ = codecs.tiff_decode(blob_be)
+    assert arr_be.tolist() == [[10, 20, 30], [40, 50, 60]]
