@@ -1297,6 +1297,7 @@ def _jpeg_decode_progressive(data: bytes) -> "np.ndarray":
     coefs: list[np.ndarray] = []  # per comp: (bh, bw, 64) zigzag-order
     dims: list[tuple[int, int, int, int]] = []  # (bw, bh, cbw, cbh)
     restart_interval = 0
+    n_scans = 0
     mcus_x = mcus_y = hmax = vmax = 0
 
     def _alloc() -> None:
@@ -1530,10 +1531,13 @@ def _jpeg_decode_progressive(data: bytes) -> "np.ndarray":
             scan_start = pos + 2 + length
             scan_stop = _jpeg_scan_end(data, scan_start)
             _decode_scan(data[scan_start:scan_stop], scan, ss, se, ah, al)
+            n_scans += 1
             pos = scan_stop
             continue
         pos += 2 + length
-    if width is None or not comps or not any(c.any() for c in coefs):
+    # n_scans (not coefficient nonzero-ness) is the validity signal: a
+    # uniform mid-gray image legitimately decodes to all-zero coefficients
+    if width is None or not comps or n_scans == 0:
         raise ValueError("progressive JPEG missing SOF/scan data")
 
     planes = []

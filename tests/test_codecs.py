@@ -512,3 +512,16 @@ def test_jpeg_single_component_nonstandard_sampling():
     blob[idx + 11] = 0x22
     got = codecs.jpeg_decode(bytes(blob))
     assert np.array_equal(got, want)
+
+
+def test_jpeg_progressive_all_zero_coefficients():
+    """A uniform mid-gray image decodes to all-zero coefficients through
+    every progressive scan — validity is 'a scan was decoded', not
+    'coefficients are nonzero' (a zero image is a legal image)."""
+    import numpy as np
+
+    q = np.ones((8, 8), dtype=np.int64)
+    q[0, 0] = 16
+    co = np.zeros((2, 3, 8, 8), dtype=np.int64)
+    img = codecs.jpeg_decode(codecs.jpeg_encode_progressive(co, q, 24, 16))
+    assert img.shape == (16, 24) and (img == 128).all()
