@@ -214,6 +214,18 @@ def winnowing_fingerprints(
     pos 1-based over gram starts."""
     from pyspark.sql import Window
 
+    # spread the gram generation across the cluster BEFORE the explode: a
+    # corpus read as a handful of input partitions would otherwise hash
+    # millions of k-grams on as many cores (measured: the explode stage ran
+    # 3 tasks at sf0.1 and dominated the operator). Repartitioning BY THE
+    # DOC KEY costs one tiny shuffle of the doc rows and is then REUSED by
+    # the window aggregate's partitionBy(id) — the wide gram rows
+    # themselves never get an extra exchange.
+    n_part = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    docs = docs.repartition(n_part, id_col)
+
     n_grams = f"(length({text_col}) - {k} + 1)"
     grams = docs.selectExpr(
         id_col,
