@@ -39,7 +39,23 @@ SHINGLE_EXPR = """
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """word 3-gram shingle set per document: (id, shingle) distinct rows."""
+    """word 3-gram shingle set per document: (id, shingle) distinct rows.
+
+    The doc rows are repartitioned by the doc key before the explode ONLY
+    when the input parallelism is deficient (fewer partitions than the
+    shuffle width): a corpus read as a handful of partitions would
+    otherwise generate every shingle row on as many cores (same measured
+    bottleneck as the winnowing gram explode), and the id-hash partitioning
+    is then reused by minhash's signature groupBy. For a well-partitioned
+    corpus the repartition is deliberately SKIPPED — it would shuffle the
+    raw text, which costs more than the map-side-combined aggregate rows
+    the downstream groupBys shuffle instead (the 100 TB consideration cuts
+    the other way from the tiny-input one)."""
+    n_part = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if docs.rdd.getNumPartitions() < n_part:
+        docs = docs.repartition(n_part, id_col)
     return (
         docs.select(id_col, F.split(F.col(text_col), " ").alias("_words"))
         .select(id_col, F.explode(F.expr(SHINGLE_EXPR)).alias("shingle"))
