@@ -153,3 +153,51 @@ def streaming_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_containment(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> None:
+    """Continuous-crawl CONTAINMENT detection as a STREAM — the winnowing
+    analogue of streaming_dedup, over the same exactly-once bridge:
+    foreachBatch maps the micro-batch id to the increment id of
+    operators/dedup.incremental_containment_pairs (LineageLog-backed), and
+    the sink is idempotent by batch_id (dynamic partition overwrite), so a
+    replayed batch overwrites its own partition. With ``max_df=None`` the
+    union of all emitted micro-batches equals batch containment_pairs over
+    the full corpus (pytest-verified); with a cap, scores reflect document
+    frequencies at completion time (the operator's documented monotone
+    semantics)."""
+    from demeter_spark.operators.dedup import incremental_containment_pairs
+    from demeter_spark.plans.lineage import LineageLog
+
+    log = LineageLog(spark, state_dir)
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(
+        input_dir
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_containment_pairs(
+            log, batch_df, int(batch_id), threshold, max_df=max_df
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -156,3 +156,28 @@ def test_incremental_containment_df_cap_bounded(spark, tmp_path):
     assert not emitted_pairs
     assert first or second
     corpus.unpersist()
+
+
+def test_streaming_containment_equals_batch(spark, tmp_path):
+    """Two file arrivals through the AvailableNow stream: the union of
+    emitted ordered containment pairs equals batch containment_pairs over
+    the full corpus; a third run with nothing new emits nothing."""
+    from demeter_spark.streaming.incremental import streaming_containment
+
+    corpus = synth.dedup_corpus(spark, SF_DIR).persist()
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    corpus.filter("doc_id < 100000").write.mode("append").parquet(in_dir)
+    streaming_containment(spark, in_dir, out_dir, ckpt, state)
+    corpus.filter("doc_id >= 100000").write.mode("append").parquet(in_dir)
+    streaming_containment(spark, in_dir, out_dir, ckpt, state)
+
+    got = _cpair_set(spark.read.parquet(out_dir))
+    batch = _cpair_set(dedup.containment_pairs(corpus, 0.5, max_df=None))
+    assert got == batch
+    streaming_containment(spark, in_dir, out_dir, ckpt, state)
+    assert _cpair_set(spark.read.parquet(out_dir)) == batch
+    corpus.unpersist()
