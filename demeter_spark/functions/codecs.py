@@ -1075,6 +1075,8 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
             break
         (length,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated JPEG segment")
         if marker == 0xDB:  # DQT
             b = 0
             while b < len(body):
@@ -1447,6 +1449,8 @@ def _jpeg_decode_progressive(data: bytes) -> "np.ndarray":
             break
         (length,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated JPEG segment")
         if marker == 0xDB:  # DQT
             b = 0
             while b < len(body):

@@ -90,7 +90,7 @@ def test_decode_real_rejects_unknown_codec(spark):
         [(1, bytearray(b"\xff\xd8\xff\xe0 fake jpeg"))],
         "doc_id BIGINT, payload BINARY",
     )
-    with pytest.raises(Exception, match="missing SOF/SOS"):
+    with pytest.raises(Exception, match="missing SOF/SOS|truncated JPEG"):
         multimodal.decode_real(torn).collect()
 
 
@@ -525,3 +525,73 @@ def test_jpeg_progressive_all_zero_coefficients():
     co = np.zeros((2, 3, 8, 8), dtype=np.int64)
     img = codecs.jpeg_decode(codecs.jpeg_encode_progressive(co, q, 24, 16))
     assert img.shape == (16, 24) and (img == 128).all()
+
+
+def test_jpeg_progressive_corruption_fails_loudly():
+    """Truncated or corrupted progressive streams raise ValueError — never
+    return garbage pixels silently."""
+    import numpy as np
+    import pytest
+
+    q = np.ones((8, 8), dtype=np.int64)
+    q[0, 0] = 16
+    co = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    co[:, :, 0, 0] = [[10, -20], [30, -40]]
+    co[0, 1, 3, 3] = 25
+    blob = codecs.jpeg_encode_progressive(co, q, 16, 16)
+
+    with pytest.raises(ValueError):
+        codecs.jpeg_decode(blob[:40])  # cut inside the header
+    with pytest.raises(ValueError):
+        # cut inside the first scan's entropy data (scan ran off the end)
+        first_sos = blob.find(b"\xff\xda")
+        codecs.jpeg_decode(blob[: first_sos + 20])
+    # a scan referencing a component the SOF never declared
+    mut = bytearray(blob)
+    pos = mut.find(b"\xff\xda")
+    mut[pos + 5] = 99  # component id of the first scan entry
+    with pytest.raises(ValueError, match="component"):
+        codecs.jpeg_decode(bytes(mut))
+    # strip the Huffman tables (DHT -> COM): the first scan must refuse
+    mut = bytearray(blob)
+    pos = mut.find(b"\xff\xc4")
+    mut[pos + 1] = 0xFE
+    with pytest.raises(ValueError, match="Huffman"):
+        codecs.jpeg_decode(bytes(mut))
+
+
+def test_jpeg_progressive_hypothesis_fuzz():
+    """Property: ANY quantized coefficient grid round-trips identically
+    through the progressive and baseline encoders (the entropy layers are
+    both lossless over the same coefficients)."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 3),
+        st.integers(1, 3),
+        st.lists(
+            st.tuples(
+                st.integers(0, 2), st.integers(0, 2),
+                st.integers(0, 7), st.integers(0, 7),
+                st.integers(-255, 255),
+            ),
+            max_size=24,
+        ),
+    )
+    def run(by, bx, entries):
+        q = np.ones((8, 8), dtype=np.int64)
+        q[0, 0] = 16
+        co = np.zeros((by, bx, 8, 8), dtype=np.int64)
+        for j, i, r, c, v in entries:
+            co[j % by, i % bx, r, c] = v
+        base = codecs.jpeg_decode(
+            codecs.jpeg_encode_blocks(co, q, bx * 8, by * 8)
+        )
+        prog = codecs.jpeg_decode(
+            codecs.jpeg_encode_progressive(co, q, bx * 8, by * 8)
+        )
+        assert np.array_equal(base, prog)
+
+    run()
