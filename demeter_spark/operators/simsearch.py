@@ -16,6 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Measured (r05, 2M rows x 64 dims, local[32]): this HOF fold runs 0.83s —
+# a fully-unrolled element_at chain of the same sum, which looks
+# codegen-friendly, measured 7.1s (the 64-term tree exceeds the codegen
+# budget and falls back to per-index interpreted array access, while the
+# fold is a single pass over UnsafeArrayData). The HOF is the right shape.
 DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
     "0D, (acc, v) -> acc + v)"
