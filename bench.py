@@ -177,7 +177,13 @@ def main() -> None:
         # size — list count must grow with N for IVF to scale).
         from pyspark.sql import functions as F
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # the sandbox file is a single parquet partition; spread it so the
+        # shuffle-free assignment (zero-Exchange by design) actually runs
+        # wide — at corpus scale the input arrives in thousands of
+        # partitions and this repartition wouldn't exist
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+            max(cpus, 8)
+        )
         n_emb = emb.count()
         n_lists = max(8, int(n_emb ** 0.5))
         emb = emb.withColumn(
