@@ -223,3 +223,39 @@ def test_albers_query_matches_oracle_both_datums(spark, ddb):
     # the two datums must actually disagree somewhere (the ell column isn't
     # a copy of the spherical one)
     assert any(r[2] != r[3] for r in got)
+
+
+def test_reproject_and_merge_two_ell_utm_zones(spark):
+    """The reference's UTM workflow (demeter/api.py:132-151: fetch per-UTM-
+    zone rasters, reproject, merge) through the GRS80 ellipsoidal TM
+    forward: two adjacent zone rasters (constant value = zone id) mosaic
+    onto one geographic grid via reproject_and_merge; each half of the
+    output takes its own zone's value (priority resolves the seam band)
+    and coverage is total."""
+    dst = rp.Grid(12.0, 0.0, 0.25, 0.25, 48, 128)  # lon 12..24, lat 0..32
+    zone_grid = rp.Grid(-340000.0, 0.0, 20000.0, 40000.0, 34, 90)
+
+    def zone_raster(v):
+        return spark.range(zone_grid.nx * zone_grid.ny).selectExpr(
+            f"CAST(id % {zone_grid.nx} AS BIGINT) AS ix",
+            f"CAST(id div {zone_grid.nx} AS BIGINT) AS iy",
+            f"CAST({v} AS DOUBLE) AS value",
+        )
+
+    merged = rp.reproject_and_merge(
+        [
+            (zone_raster(1.0), zone_grid, rp.lonlat_to_tm_ell(lon0=15.0)),
+            (zone_raster(2.0), zone_grid, rp.lonlat_to_tm_ell(lon0=21.0)),
+        ],
+        dst,
+        resampling="nearest",
+    ).selectExpr("ix", "iy", "12.0e0 + (ix + 0.5e0) * 0.25e0 AS lon",
+                 "first_value")
+    rows = merged.collect()
+    assert len(rows) == dst.nx * dst.ny
+    assert all(r["first_value"] is not None for r in rows)
+    for r in rows:
+        if r["lon"] < 17.8:
+            assert r["first_value"] == 1.0, r
+        elif r["lon"] > 18.7:
+            assert r["first_value"] == 2.0, r
