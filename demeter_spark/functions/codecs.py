@@ -554,7 +554,9 @@ def tiff_decode(
     if len(set(bps)) != 1:
         raise ValueError(f"unsupported TIFF: mixed bits-per-sample {bps}")
     bits = bps[0]
-    if photo not in (0, 1, 2):
+    if photo not in (0, 1, 2) and not (photo == 6 and comp == 7):
+        # photometric 6 (YCbCr) is the standard pairing for color
+        # JPEG-in-TIFF; the JPEG decoder hands back BT.601 RGB
         raise ValueError(f"unsupported TIFF: photometric={photo}")
     if planar not in (1, 2):
         raise ValueError(f"unsupported TIFF planar configuration {planar}")

@@ -424,3 +424,54 @@ def test_tiff_golden_bytes_hand_authored():
     blob_be = b"MM" + struct.pack(">HI", 42, 8) + ifd_be + pixels
     arr_be, _, _ = codecs.tiff_decode(blob_be)
     assert arr_be.tolist() == [[10, 20, 30], [40, 50, 60]]
+
+
+def test_tiff_jpeg_color_photometric_ycbcr():
+    """Color JPEG-in-TIFF (photometric 6, the standard real-world pairing):
+    a hand-assembled container whose single strip is a full YCbCr 4:4:4
+    JPEG stream (no JPEGTables tag — standalone segments are equally legal)
+    must decode to exactly what the JPEG decoder yields for that stream."""
+    import struct
+
+    q = np.ones((8, 8), dtype=np.int64)
+    q[0, 0] = 16
+    cq = np.full((8, 8), 2, dtype=np.int64)
+
+    def coef(dc):
+        c = np.zeros((2, 3, 8, 8), dtype=np.int64)
+        c[:, :, 0, 0] = dc
+        c[0, 1, 2, 2] = 7
+        return c
+
+    jpeg = codecs.jpeg_encode_blocks(
+        coef(12), q, 24, 16, chroma=(coef(-5), coef(9), cq))
+    want = codecs.jpeg_decode(jpeg)
+    assert want.shape == (16, 24, 3)
+
+    entries = [
+        (256, 3, 1, 24),          # width
+        (257, 3, 1, 16),          # height
+        (258, 3, 1, 8),           # bits per sample (count 1: readers accept)
+        (259, 3, 1, 7),           # compression: new-style JPEG
+        (262, 3, 1, 6),           # photometric: YCbCr
+        (277, 3, 1, 3),           # samples per pixel
+        (278, 3, 1, 16),          # rows per strip
+    ]
+    # IFD first, strip after; compute layout
+    n = len(entries) + 2  # + strip offsets/counts
+    ifd_len = 2 + 12 * n + 4
+    strip_off = 8 + ifd_len
+    entries += [(273, 4, 1, strip_off), (279, 4, 1, len(jpeg))]
+    entries.sort()
+    ifd = struct.pack("<H", n)
+    for tag, ttype, count, value in entries:
+        ifd += struct.pack("<HHI", tag, ttype, count)
+        ifd += struct.pack("<I", value) if ttype == 4 else struct.pack(
+            "<HH", value, 0
+        )
+    ifd += struct.pack("<I", 0)
+    blob = b"II" + struct.pack("<HI", 42, 8) + ifd + jpeg
+
+    arr, _, _ = codecs.tiff_decode(blob)
+    assert arr.shape == (16, 24, 3)
+    assert np.array_equal(arr, want)
