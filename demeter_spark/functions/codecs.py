@@ -313,6 +313,8 @@ def tiff_encode(
     sample_format, bits = _TIFF_FORMATS[img.dtype.str[1:]]
     if predictor == 2 and sample_format == 3:
         raise ValueError("predictor 2 is for integer samples")
+    if predictor == 3 and sample_format != 3:
+        raise ValueError("predictor 3 (floating point) is for float samples")
     h, w, spp = img.shape
     comp_code = {
         "none": 1, "lzw": 5, "jpeg": 7, "deflate": 8, "packbits": 32773,
@@ -328,6 +330,33 @@ def tiff_encode(
     def _segment_bytes(seg: "np.ndarray") -> bytes:
         if comp_code == 7:
             return _jpeg_abbrev_segment(seg[:, :, 0])
+        if predictor == 3:
+            # TIFF TechNote 3 floating-point predictor (what GDAL writes
+            # for compressed float DEMs): per row, split each value into
+            # BIG-ENDIAN byte planes (all byte-0s, then all byte-1s, ...),
+            # then difference the resulting byte stream. Byte order of the
+            # planes is MSB-first regardless of the container's endianness.
+            h_, w_, s_ = seg.shape
+            nbytes = img.dtype.itemsize
+            rows = np.ascontiguousarray(
+                seg.reshape(h_, w_ * s_).astype(img.dtype.newbyteorder(">"))
+            )
+            planes = (
+                rows.view(np.uint8)
+                .reshape(h_, w_ * s_, nbytes)
+                .transpose(0, 2, 1)
+                .reshape(h_, nbytes * w_ * s_)
+                .astype(np.int16)
+            )
+            planes[:, 1:] = planes[:, 1:] - planes[:, :-1]
+            raw = (planes & 0xFF).astype(np.uint8).tobytes()
+            if comp_code == 8:
+                return zlib.compress(raw, 6)
+            if comp_code == 5:
+                return _lzw_encode(raw)
+            if comp_code == 32773:
+                return _packbits_encode(raw)
+            return raw
         if predictor == 2:
             seg = seg.copy()
             # horizontal differencing per sample channel (TIFF predictor 2)
@@ -566,8 +595,10 @@ def tiff_decode(
     if dt is None:
         raise ValueError(f"unsupported TIFF sample: format={sample_format} bits={bits}")
     if predictor == 2 and sample_format == 3:
-        raise ValueError("unsupported TIFF: floating-point predictor")
-    if predictor not in (1, 2):
+        raise ValueError("unsupported TIFF: predictor 2 on float samples")
+    if predictor == 3 and sample_format != 3:
+        raise ValueError("unsupported TIFF: predictor 3 on integer samples")
+    if predictor not in (1, 2, 3):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     if comp == 7:  # new-style JPEG-in-TIFF (TTN2)
         if bits != 8 or predictor != 1:
@@ -613,6 +644,25 @@ def tiff_decode(
             raw = _lzw_decode(raw)
         elif comp == 32773:
             raw = _packbits_decode(raw)
+        if predictor == 3:
+            # undo the floating-point predictor: cumulative byte sum per
+            # row, then de-interleave the big-endian byte planes
+            nbytes = np.dtype(dt).itemsize
+            n = seg_w * seg_spp
+            rows = np.frombuffer(
+                raw, dtype=np.uint8, count=seg_h * n * nbytes
+            ).reshape(seg_h, nbytes * n)
+            undiff = (rows.astype(np.int64).cumsum(axis=1) & 0xFF).astype(
+                np.uint8
+            )
+            vals = np.ascontiguousarray(
+                undiff.reshape(seg_h, nbytes, n).transpose(0, 2, 1)
+            ).reshape(seg_h, n * nbytes)
+            return (
+                vals.view(np.dtype(">" + dt))
+                .reshape(seg_h, seg_w, seg_spp)
+                .astype(np.dtype("=" + dt))
+            )
         arr = np.frombuffer(
             raw, dtype=dtype, count=seg_h * seg_w * seg_spp
         ).reshape(seg_h, seg_w, seg_spp)

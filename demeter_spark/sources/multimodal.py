@@ -346,9 +346,14 @@ def tiff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                         compression="jpeg" if jpeg else
                         ["deflate", "none", "lzw", "packbits"][(d // 4) % 4],
                         tile=16 if d % 3 == 0 else None,
-                        predictor=2
-                        if (not jpeg and d % 5 == 0 and d % 4 != 3)
-                        else 1,
+                        # d%5==0 rows carry a predictor: byte-plane float
+                        # predictor 3 for float32 rows (TechNote 3, the
+                        # GDAL DEM layout), horizontal differencing 2
+                        # otherwise — both lossless, oracle unchanged
+                        predictor=(
+                            1 if (jpeg or d % 5 != 0)
+                            else (3 if d % 4 == 3 else 2)
+                        ),
                         big_endian=d % 7 == 0,
                     )
                 )

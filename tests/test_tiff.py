@@ -475,3 +475,54 @@ def test_tiff_jpeg_color_photometric_ycbcr():
     arr, _, _ = codecs.tiff_decode(blob)
     assert arr.shape == (16, 24, 3)
     assert np.array_equal(arr, want)
+
+
+# ---------------------------------------------------------------------------
+# Floating-point predictor (3) — TIFF TechNote 3, the GDAL float-DEM layout
+
+
+def test_tiff_float_predictor_roundtrip():
+    """Predictor 3 (byte-plane split + byte differencing) round-trips
+    float32/float64, 1- and 3-band, striped and tiled, both container
+    endians, through every compression."""
+    rng = np.random.RandomState(3)
+    for _ in range(4):
+        w, h = rng.randint(3, 41), rng.randint(3, 27)
+        spp = rng.choice([1, 3])
+        dt = rng.choice(["float32", "float64"])
+        img = (rng.rand(h, w, spp) * 1000 - 500).astype(dt)
+        if spp == 1:
+            img = img[:, :, 0]
+        for compq in ("deflate", "lzw", "none"):
+            for tile in (None, 16):
+                blob = codecs.tiff_encode(
+                    img, compression=compq, tile=tile, predictor=3,
+                    big_endian=bool(rng.randint(2)),
+                )
+                arr, _, _ = codecs.tiff_decode(blob)
+                assert np.array_equal(arr, img), (w, h, spp, dt, compq, tile)
+
+
+def test_tiff_float_predictor_compresses_smooth_fields():
+    """The predictor's purpose: a smooth DEM-like float field DEFLATEs
+    substantially smaller with byte-plane differencing than without."""
+    ys, xs = np.mgrid[0:64, 0:64]
+    dem = (np.sin(xs / 9.0) * 40 + ys * 0.7 + 100).astype("float32")
+    p1 = len(codecs.tiff_encode(dem, compression="deflate", predictor=1))
+    p3 = len(codecs.tiff_encode(dem, compression="deflate", predictor=3))
+    assert p3 < 0.8 * p1, (p1, p3)
+
+
+def test_tiff_predictor_guards():
+    with pytest.raises(ValueError, match="float"):
+        codecs.tiff_encode(np.zeros((4, 4), np.uint8), predictor=3)
+    with pytest.raises(ValueError, match="integer"):
+        codecs.tiff_encode(np.zeros((4, 4), np.float32), predictor=2)
+    # decode-side: predictor 3 declared on integer samples fails loudly
+    blob = bytearray(codecs.tiff_encode(np.zeros((4, 4), np.uint8)))
+    _, tags = codecs._tiff_tags(bytes(blob))
+    idx = bytes(blob).find(b"\x3d\x01")  # tag 317 little-endian in IFD
+    assert idx > 0
+    blob[idx + 8] = 3  # inline SHORT value
+    with pytest.raises(ValueError, match="integer"):
+        codecs.tiff_decode(bytes(blob))
