@@ -287,10 +287,15 @@ def tiff_encode(
     big_endian: bool = False,
     planar: bool = False,
     bigtiff: bool = False,
+    overviews: "list[int] | None" = None,
 ) -> bytes:
     """(H, W) or (H, W, S) array -> (Geo)TIFF bytes; S > 1 writes a
     multi-band interleaved image (PlanarConfiguration=1, chunky — the GDAL
-    default for multi-band satellite rasters).
+    default for multi-band satellite rasters). ``overviews``: decimation
+    factors (e.g. [2, 4, 8]) appended as chained reduced-resolution IFDs
+    (NewSubfileType=1, pixel scale multiplied accordingly) — the COG
+    overview pyramid real writers emit so zoomed-out reads touch a
+    fraction of the bytes; read them back with tiff_decode(level=...).
 
     ``transform`` is (ox, oy, rx, ry) with ry < 0 (north-up): world
     coordinates of the TOP-LEFT corner plus pixel sizes, written as
@@ -370,43 +375,34 @@ def tiff_encode(
             return _packbits_encode(raw)
         return raw
 
-    # planar: band-major segment runs over single-band views
-    band_views = (
-        [img[:, :, b : b + 1] for b in range(spp)] if planar and spp > 1
-        else [img]
-    )
-    segments: list[bytes] = []
-    for view in band_views:
-        vspp = view.shape[2]
-        if tile is None:
-            rows_per_strip = 8
-            for y0 in range(0, h, rows_per_strip):
-                segments.append(_segment_bytes(view[y0 : y0 + rows_per_strip]))
-        else:
-            for ty in range(0, h, tile):
-                for tx in range(0, w, tile):
-                    block = np.zeros((tile, tile, vspp), dtype=img.dtype)
-                    part = view[ty : ty + tile, tx : tx + tile, :]
-                    ph, pw = part.shape[:2]
-                    block[:ph, :pw, :] = part
-                    if comp_code == 7 and (ph < tile or pw < tile):
-                        # edge-replicate the tile padding: zero fill would
-                        # break a block's flatness and make edge blocks
-                        # lossy through the DCT
-                        block[:ph, pw:, :] = block[:ph, pw - 1 : pw, :]
-                        block[ph:, :, :] = block[ph - 1 : ph, :, :]
-                    segments.append(_segment_bytes(block))
-
-    header_len = 16 if bigtiff else 8
-    # pad odd-length segments with one byte so every offset (and the IFD)
-    # stays word-aligned per the TIFF spec; byte counts keep the TRUE length
-    padded = [s + b"\0" if len(s) % 2 else s for s in segments]
-    seg_offsets = []
-    pos = header_len
-    for s in padded:
-        seg_offsets.append(pos)
-        pos += len(s)
-    ifd_offset = pos
+    def _build_segments(limg: "np.ndarray") -> list[bytes]:
+        lh, lw = limg.shape[:2]
+        band_views = (
+            [limg[:, :, b : b + 1] for b in range(spp)]
+            if planar and spp > 1
+            else [limg]
+        )
+        segs: list[bytes] = []
+        for view in band_views:
+            vspp = view.shape[2]
+            if tile is None:
+                for y0 in range(0, lh, 8):
+                    segs.append(_segment_bytes(view[y0 : y0 + 8]))
+            else:
+                for ty in range(0, lh, tile):
+                    for tx in range(0, lw, tile):
+                        block = np.zeros((tile, tile, vspp), dtype=img.dtype)
+                        part = view[ty : ty + tile, tx : tx + tile, :]
+                        ph, pw = part.shape[:2]
+                        block[:ph, :pw, :] = part
+                        if comp_code == 7 and (ph < tile or pw < tile):
+                            # edge-replicate the tile padding: zero fill
+                            # would break a block's flatness and make edge
+                            # blocks lossy through the DCT
+                            block[:ph, pw:, :] = block[:ph, pw - 1 : pw, :]
+                            block[ph:, :, :] = block[ph - 1 : ph, :, :]
+                        segs.append(_segment_bytes(block))
+        return segs
 
     ox, oy, rx, ry = transform
     # GeoKeyDirectory: version 1.1.0, 1 key: GeographicTypeGeoKey(2048) for
@@ -415,72 +411,120 @@ def tiff_encode(
     # (5070 Albers, 3857 web mercator), so a magnitude test misclassifies
     geo_key = 2048 if 4000 <= epsg < 5000 else 3072
     geokeys = [1, 1, 0, 1, geo_key, 0, 1, epsg]
-
-    tags: list[tuple[int, int, list]] = [
-        (256, 4, [w]),
-        (257, 4, [h]),
-        (258, 3, [bits] * spp),
-        (259, 3, [comp_code]),
-        (262, 3, [2 if spp >= 3 else 1]),
-        (277, 3, [spp]),
-        (284, 3, [2 if planar and spp > 1 else 1]),
-        (317, 3, [predictor]),
-        (339, 3, [sample_format]),
-        (33550, 12, [rx, -ry, 0.0]),
-        (33922, 12, [0.0, 0.0, 0.0, ox, oy, 0.0]),
-        (34735, 3, geokeys),
-    ]
-    if comp_code == 7:
-        tags.append((347, 7, list(_jpeg_tables_stream())))
     off_type = 16 if bigtiff else 4  # LONG8 vs LONG for offsets/counts
-    if tile is None:
-        tags += [
-            (273, off_type, seg_offsets),
-            (278, 4, [8]),
-            (279, off_type, [len(s) for s in segments]),
+
+    def _base_tags(limg: "np.ndarray", factor: int) -> list:
+        lh, lw = limg.shape[:2]
+        t: list[tuple[int, int, list]] = [
+            (256, 4, [lw]),
+            (257, 4, [lh]),
+            (258, 3, [bits] * spp),
+            (259, 3, [comp_code]),
+            (262, 3, [2 if spp >= 3 else 1]),
+            (277, 3, [spp]),
+            (284, 3, [2 if planar and spp > 1 else 1]),
+            (317, 3, [predictor]),
+            (339, 3, [sample_format]),
+            # overview pixels are factor x coarser on the same tiepoint
+            (33550, 12, [rx * factor, -ry * factor, 0.0]),
+            (33922, 12, [0.0, 0.0, 0.0, ox, oy, 0.0]),
+            (34735, 3, geokeys),
         ]
-    else:
-        tags += [
-            (322, 4, [tile]), (323, 4, [tile]),
-            (324, off_type, seg_offsets),
-            (325, off_type, [len(s) for s in segments]),
-        ]
-    tags.sort()
+        if factor > 1:
+            t.append((254, 4, [1]))  # NewSubfileType: reduced-resolution
+        if comp_code == 7:
+            t.append((347, 7, list(_jpeg_tables_stream())))
+        return t
+
+    # the main image plus optional COG-style overview levels (chained IFDs
+    # of factor-decimated copies, NewSubfileType=1 — what real COG writers
+    # emit so zoomed-out reads touch a fraction of the bytes)
+    levels = [(img, 1)] + [
+        (np.ascontiguousarray(img[::k, ::k, :]), k) for k in (overviews or [])
+    ]
+
+    header_len = 16 if bigtiff else 8
+    # pad odd-length segments with one byte so every offset (and the IFDs)
+    # stay word-aligned per the TIFF spec; byte counts keep the TRUE length
+    per_level: list[tuple[list[bytes], list[bytes], list]] = []
+    pos = header_len
+    for limg, factor in levels:
+        segs = _build_segments(limg)
+        padded = [s + b"\0" if len(s) % 2 else s for s in segs]
+        seg_offsets = []
+        for s in padded:
+            seg_offsets.append(pos)
+            pos += len(s)
+        tags = _base_tags(limg, factor)
+        if tile is None:
+            tags += [
+                (273, off_type, seg_offsets),
+                (278, 4, [8]),
+                (279, off_type, [len(s) for s in segs]),
+            ]
+        else:
+            tags += [
+                (322, 4, [tile]), (323, 4, [tile]),
+                (324, off_type, seg_offsets),
+                (325, off_type, [len(s) for s in segs]),
+            ]
+        tags.sort()
+        per_level.append((padded, tags))
+
+    first_ifd_offset = pos
+    ifd_blobs: list[bytes] = []
+    for li, (padded, tags) in enumerate(per_level):
+        if bigtiff:
+            ifd_len = 8 + 20 * len(tags) + 8
+        else:
+            ifd_len = 2 + 12 * len(tags) + 4
+        data_base = pos + ifd_len
+        data_area = bytearray()
+        entries = b"".join(
+            _tiff_entry(order, tag, ttype, vals, data_area, data_base,
+                        big=bigtiff)
+            for tag, ttype, vals in tags
+        )
+        next_off = (
+            data_base + len(data_area) if li + 1 < len(per_level) else 0
+        )
+        if bigtiff:
+            ifd = (
+                struct.pack(f"{order}Q", len(tags))
+                + entries
+                + struct.pack(f"{order}Q", next_off)
+            )
+        else:
+            ifd = (
+                struct.pack(f"{order}H", len(tags))
+                + entries
+                + struct.pack(f"{order}I", next_off)
+            )
+        ifd_blobs.append(ifd + bytes(data_area))
+        pos = data_base + len(data_area)
 
     if bigtiff:
-        ifd_len = 8 + 20 * len(tags) + 8
+        magic = struct.pack(
+            f"{order}2sHHHQ", b"MM" if big_endian else b"II", 43, 8, 0,
+            first_ifd_offset,
+        )
     else:
-        ifd_len = 2 + 12 * len(tags) + 4
-    data_base = ifd_offset + ifd_len
-    data_area = bytearray()
-    entries = b"".join(
-        _tiff_entry(order, tag, ttype, vals, data_area, data_base, big=bigtiff)
-        for tag, ttype, vals in tags
+        magic = struct.pack(
+            f"{order}2sHI", b"MM" if big_endian else b"II", 42,
+            first_ifd_offset,
+        )
+    return (
+        magic
+        + b"".join(b"".join(p) for p, _ in per_level)
+        + b"".join(ifd_blobs)
     )
-    if bigtiff:
-        ifd = (
-            struct.pack(f"{order}Q", len(tags))
-            + entries
-            + struct.pack(f"{order}Q", 0)
-        )
-        magic = struct.pack(
-            f"{order}2sHHHQ", b"MM" if big_endian else b"II", 43, 8, 0, ifd_offset
-        )
-    else:
-        ifd = (
-            struct.pack(f"{order}H", len(tags))
-            + entries
-            + struct.pack(f"{order}I", 0)
-        )
-        magic = struct.pack(
-            f"{order}2sHI", b"MM" if big_endian else b"II", 42, ifd_offset
-        )
-    return magic + b"".join(padded) + ifd + bytes(data_area)
 
 
-def _tiff_tags(data: bytes) -> tuple[str, dict]:
-    """Endian-aware IFD walk, classic (42) and BigTIFF (43):
-    (struct byte-order char, {tag: [values]})."""
+def _tiff_ifds(data: bytes) -> tuple[str, list[dict]]:
+    """Endian-aware walk of the FULL IFD chain, classic (42) and BigTIFF
+    (43): (struct byte-order char, [{tag: [values]}, ...]) — index 0 is the
+    full-resolution image, further entries are typically COG overview
+    levels (NewSubfileType=1)."""
     if len(data) < 8 or data[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF: bad byte-order mark")
     order = "<" if data[:2] == b"II" else ">"
@@ -495,42 +539,62 @@ def _tiff_tags(data: bytes) -> tuple[str, dict]:
             raise ValueError("malformed BigTIFF header")
     else:
         raise ValueError("not a TIFF: bad magic")
-    if big:
-        (n_tags,) = struct.unpack_from(f"{order}Q", data, ifd_offset)
-        entry0, entry_len, inline = ifd_offset + 8, 20, 8
-        count_fmt = "Q"
-    else:
-        (n_tags,) = struct.unpack_from(f"{order}H", data, ifd_offset)
-        entry0, entry_len, inline = ifd_offset + 2, 12, 4
-        count_fmt = "I"
-    tags: dict[int, list] = {}
-    for i in range(int(n_tags)):
-        base = entry0 + entry_len * i
-        tag, ttype = struct.unpack_from(f"{order}HH", data, base)
-        (count,) = struct.unpack_from(f"{order}{count_fmt}", data, base + 4)
-        size = _TIFF_TYPE_SIZE.get(ttype)
-        if size is None:
-            continue
-        nbytes = size * int(count)
-        val_base = base + 4 + struct.calcsize(count_fmt)
-        if nbytes <= inline:
-            off = val_base
+    ifds: list[dict] = []
+    while ifd_offset and len(ifds) < 64:  # chain-loop guard
+        if big:
+            (n_tags,) = struct.unpack_from(f"{order}Q", data, ifd_offset)
+            entry0, entry_len, inline = ifd_offset + 8, 20, 8
+            count_fmt = "Q"
         else:
-            (off,) = struct.unpack_from(
-                f"{order}{'Q' if big else 'I'}", data, val_base
+            (n_tags,) = struct.unpack_from(f"{order}H", data, ifd_offset)
+            entry0, entry_len, inline = ifd_offset + 2, 12, 4
+            count_fmt = "I"
+        tags: dict[int, list] = {}
+        for i in range(int(n_tags)):
+            base = entry0 + entry_len * i
+            tag, ttype = struct.unpack_from(f"{order}HH", data, base)
+            (count,) = struct.unpack_from(
+                f"{order}{count_fmt}", data, base + 4
             )
-        fmt = {1: "B", 2: "c", 3: "H", 4: "I", 5: "I", 7: "B", 11: "f",
-               12: "d", 16: "Q"}[ttype]
-        n = int(count) * (2 if ttype == 5 else 1)
-        tags[tag] = list(struct.unpack_from(f"{order}{n}{fmt}", data, off))
-    return order, tags
+            size = _TIFF_TYPE_SIZE.get(ttype)
+            if size is None:
+                continue
+            nbytes = size * int(count)
+            val_base = base + 4 + struct.calcsize(count_fmt)
+            if nbytes <= inline:
+                off = val_base
+            else:
+                (off,) = struct.unpack_from(
+                    f"{order}{'Q' if big else 'I'}", data, val_base
+                )
+            fmt = {1: "B", 2: "c", 3: "H", 4: "I", 5: "I", 7: "B", 11: "f",
+                   12: "d", 16: "Q"}[ttype]
+            n = int(count) * (2 if ttype == 5 else 1)
+            tags[tag] = list(struct.unpack_from(f"{order}{n}{fmt}", data, off))
+        ifds.append(tags)
+        (ifd_offset,) = struct.unpack_from(
+            f"{order}{'Q' if big else 'I'}",
+            data,
+            entry0 + entry_len * int(n_tags),
+        )
+    if not ifds:
+        raise ValueError("TIFF has no IFD")
+    return order, ifds
+
+
+def _tiff_tags(data: bytes) -> tuple[str, dict]:
+    """First-IFD convenience wrapper over _tiff_ifds."""
+    order, ifds = _tiff_ifds(data)
+    return order, ifds[0]
 
 
 def tiff_info(data: bytes) -> dict:
     """Header-only metadata read (the COG 'read the IFD, fetch tiles later'
     pattern): width/height/samples/dtype/compression/tiled flag without
-    touching any pixel segment."""
-    _, tags = _tiff_tags(data)
+    touching any pixel segment; ``overviews`` lists the (width, height) of
+    every chained reduced-resolution IFD."""
+    _, ifds = _tiff_ifds(data)
+    tags = ifds[0]
     bits = tags.get(258, [8])[0]
     fmt = tags.get(339, [1])[0]
     dt = _TIFF_DTYPES.get((fmt, bits))
@@ -541,12 +605,16 @@ def tiff_info(data: bytes) -> dict:
         "dtype": dt,
         "compression": tags.get(259, [1])[0],
         "tiled": 322 in tags,
+        "overviews": [
+            (t[256][0], t[257][0]) for t in ifds[1:] if 256 in t and 257 in t
+        ],
     }
 
 
 def tiff_decode(
     data: bytes,
     window: tuple[int, int, int, int] | None = None,
+    level: int = 0,
 ) -> tuple["np.ndarray", tuple[float, float, float, float], int | None]:
     """(Geo)TIFF bytes -> (pixels, (ox, oy, rx, ry), epsg or None); pixels
     is (H, W) for single-band, (H, W, S) for multi-band interleaved.
@@ -558,13 +626,23 @@ def tiff_decode(
     touched (pytest proves it by corrupting an out-of-window tile). The
     returned transform's origin is shifted to the window's top-left corner.
 
-    Real bitstream parse: endian-aware IFD walk, strip/tile reassembly,
-    DEFLATE/LZW/PackBits decompression plus new-style JPEG-in-TIFF
-    (compression 7 with the shared JPEGTables tag 347 spliced into each
-    abbreviated segment stream — TTN2), per-channel horizontal-predictor
-    undo, GeoTIFF tag extraction. Raises ValueError on unsupported layouts
-    (palette, old-style JPEG (6), float predictor)."""
-    order, tags = _tiff_tags(data)
+    ``level`` selects an IFD in the chain: 0 = full resolution, 1+ = the
+    COG overview levels (window coordinates are then in THAT level's pixel
+    space, and the returned transform carries its coarser pixel scale) —
+    the zoomed-out read path that touches a fraction of the bytes.
+
+    Real bitstream parse: endian-aware IFD-chain walk, strip/tile
+    reassembly, DEFLATE/LZW/PackBits decompression plus new-style
+    JPEG-in-TIFF (compression 7 with the shared JPEGTables tag 347 spliced
+    into each abbreviated segment stream — TTN2), horizontal (2) and
+    floating-point (3) predictor undo, GeoTIFF tag extraction. Raises
+    ValueError on unsupported layouts (palette, old-style JPEG (6))."""
+    order, ifds = _tiff_ifds(data)
+    if not (0 <= level < len(ifds)):
+        raise ValueError(
+            f"TIFF level {level} out of range (file has {len(ifds)} IFDs)"
+        )
+    tags = ifds[level]
 
     def one(tag, default=None):
         v = tags.get(tag)

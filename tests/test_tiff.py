@@ -526,3 +526,57 @@ def test_tiff_predictor_guards():
     blob[idx + 8] = 3  # inline SHORT value
     with pytest.raises(ValueError, match="integer"):
         codecs.tiff_decode(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# COG overview pyramid (chained reduced-resolution IFDs)
+
+
+def test_tiff_overview_pyramid_roundtrip():
+    """overviews=[2, 4] appends chained IFDs (NewSubfileType=1) holding
+    factor-decimated copies with correspondingly coarser pixel scale;
+    tiff_info lists them header-only and tiff_decode(level=N) reads each —
+    across endians, classic/BigTIFF, compressions and strip/tile layouts."""
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 251, size=(50, 70)).astype("uint16")
+    for be in (False, True):
+        for bigt in (False, True):
+            blob = codecs.tiff_encode(
+                img, transform=(10.0, 5.0, 0.5, -0.5), compression="deflate",
+                tile=16, big_endian=be, bigtiff=bigt, overviews=[2, 4],
+            )
+            info = codecs.tiff_info(blob)
+            assert info["overviews"] == [(35, 25), (18, 13)]
+            a0, t0, _ = codecs.tiff_decode(blob)
+            a1, t1, _ = codecs.tiff_decode(blob, level=1)
+            a2, t2, _ = codecs.tiff_decode(blob, level=2)
+            assert np.array_equal(a0, img)
+            assert np.array_equal(a1, img[::2, ::2])
+            assert np.array_equal(a2, img[::4, ::4])
+            assert t1 == (10.0, 5.0, 1.0, -1.0)
+            assert t2 == (10.0, 5.0, 2.0, -2.0)
+
+
+def test_tiff_overview_windowed_read_touches_level_bytes_only():
+    """A windowed read at an overview level never touches full-resolution
+    segments (corrupting ALL of level 0's tiles leaves it intact) — the
+    zoomed-out COG access pattern."""
+    img = (
+        ((np.arange(96)[None, :] * 7 + np.arange(64)[:, None] * 13) % 251)
+    ).astype("uint8")
+    blob = bytearray(codecs.tiff_encode(img, tile=16, overviews=[2]))
+    _, ifds = codecs._tiff_ifds(bytes(blob))
+    for off, cnt in zip(ifds[0][324], ifds[0][325]):
+        blob[off : off + cnt] = b"\xee" * cnt  # wreck every level-0 tile
+    arr, _, _ = codecs.tiff_decode(bytes(blob), window=(0, 0, 16, 16), level=1)
+    assert np.array_equal(arr, img[::2, ::2][:16, :16])
+    with pytest.raises(ValueError):
+        codecs.tiff_decode(bytes(blob), level=5)
+
+
+def test_tiff_legacy_single_ifd_unchanged():
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    blob = codecs.tiff_encode(img)
+    assert codecs.tiff_info(blob)["overviews"] == []
+    arr, _, _ = codecs.tiff_decode(blob)
+    assert np.array_equal(arr, img)
