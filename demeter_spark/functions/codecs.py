@@ -258,7 +258,7 @@ def _tiff_entry(order: str, tag: int, ttype: int, values, data_area: bytearray,
     """One IFD entry (12 bytes classic, 20 bytes BigTIFF); values longer
     than the inline slot (4 / 8 bytes) spill into the data area at
     data_base + current length."""
-    fmt = {3: "H", 4: "I", 7: "B", 12: "d", 16: "Q"}[ttype]
+    fmt = {2: "B", 3: "H", 4: "I", 7: "B", 12: "d", 16: "Q"}[ttype]
     payload = struct.pack(f"{order}{len(values)}{fmt}", *values)
     inline = 8 if big else 4
     count_fmt = "Q" if big else "I"
@@ -288,6 +288,7 @@ def tiff_encode(
     planar: bool = False,
     bigtiff: bool = False,
     overviews: "list[int] | None" = None,
+    nodata: "float | int | None" = None,
 ) -> bytes:
     """(H, W) or (H, W, S) array -> (Geo)TIFF bytes; S > 1 writes a
     multi-band interleaved image (PlanarConfiguration=1, chunky — the GDAL
@@ -434,6 +435,10 @@ def tiff_encode(
             t.append((254, 4, [1]))  # NewSubfileType: reduced-resolution
         if comp_code == 7:
             t.append((347, 7, list(_jpeg_tables_stream())))
+        if nodata is not None:
+            # GDAL_NODATA (42113): ASCII decimal, NUL-terminated — the
+            # de-facto masked-raster convention GDAL reads/writes
+            t.append((42113, 2, list(f"{nodata:g}".encode() + b"\0")))
         return t
 
     # the main image plus optional COG-style overview levels (chained IFDs
@@ -608,7 +613,20 @@ def tiff_info(data: bytes) -> dict:
         "overviews": [
             (t[256][0], t[257][0]) for t in ifds[1:] if 256 in t and 257 in t
         ],
+        "nodata": tiff_nodata_of(tags),
     }
+
+
+def tiff_nodata_of(tags: dict) -> "float | None":
+    """Parse the GDAL_NODATA tag (42113, ASCII decimal) if present."""
+    raw = tags.get(42113)
+    if not raw:
+        return None
+    try:
+        s = b"".join(raw).split(b"\0", 1)[0].strip()
+        return float(s) if s else None
+    except (ValueError, TypeError):
+        return None
 
 
 def tiff_decode(

@@ -444,6 +444,13 @@ def tiff_cells(
                 # row 0 of the FULL image is the TOP row (north-up); flip to
                 # south-up indices against the full-image height
                 siy = (full_h - 1) - fiy
+                # GDAL_NODATA (tag 42113) pixels become NULL values — the
+                # engine's masked-cell convention, matching the reference's
+                # masked-array reads (demeter/raster/__init__.py)
+                vals = arr.astype(np.float64).ravel()
+                nd = codecs.tiff_nodata_of(codecs._tiff_tags(blob)[1])
+                if nd is not None:
+                    vals = np.where(vals == nd, np.nan, vals)
                 # world coords: the decoder already shifted (ox, oy) to the
                 # window's top-left corner, so centers derive from the
                 # window-LOCAL offsets (iy counts down from the top, ry < 0)
@@ -453,7 +460,7 @@ def tiff_cells(
                             "doc_id": d,
                             "ix": ix.ravel().astype("int64"),
                             "iy": siy.ravel().astype("int64"),
-                            "value": arr.astype(np.float64).ravel(),
+                            "value": vals,
                             "cx": ox + (np.mgrid[0:h, 0:w][1].ravel() + 0.5) * rx,
                             "cy": oy + (iy.ravel() + 0.5) * ry,
                         }

@@ -580,3 +580,40 @@ def test_tiff_legacy_single_ifd_unchanged():
     assert codecs.tiff_info(blob)["overviews"] == []
     arr, _, _ = codecs.tiff_decode(blob)
     assert np.array_equal(arr, img)
+
+
+def test_tiff_gdal_nodata_tag():
+    """GDAL_NODATA (tag 42113, ASCII decimal): written by the encoder,
+    surfaced by tiff_info, and honored by the tiff_cells ingestion as NULL
+    values — the reference's masked-array convention."""
+    img = np.array([[1, 2, 255], [255, 5, 6]], dtype=np.uint8)
+    blob = codecs.tiff_encode(img, nodata=255)
+    assert codecs.tiff_info(blob)["nodata"] == 255.0
+    # decode itself is raw (signature stable)
+    arr, _, _ = codecs.tiff_decode(blob)
+    assert np.array_equal(arr, img)
+    # float nodata formats too
+    fblob = codecs.tiff_encode(
+        np.zeros((3, 3), np.float32), nodata=-9999.0, predictor=3,
+        compression="deflate",
+    )
+    assert codecs.tiff_info(fblob)["nodata"] == -9999.0
+    assert codecs.tiff_info(codecs.tiff_encode(img))["nodata"] is None
+
+
+def test_tiff_cells_null_out_nodata(spark):
+    """tiff_cells emits NULL for nodata pixels so downstream NULL-skipping
+    aggregates (zonal stats, merges) treat them as masked."""
+    from demeter_spark.sources import multimodal
+
+    img = np.array([[10, 255], [255, 40]], dtype=np.uint8)
+    blob = codecs.tiff_encode(img, nodata=255)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id BIGINT, payload BINARY"
+    )
+    rows = {(r["ix"], r["iy"]): r["value"]
+            for r in multimodal.tiff_cells(df).collect()}
+    assert len(rows) == 4
+    # south-up: iy 1 = top row of the image
+    assert rows[(0, 1)] == 10.0 and rows[(1, 0)] == 40.0
+    assert rows[(1, 1)] is None and rows[(0, 0)] is None
