@@ -355,6 +355,10 @@ def tiff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                             else (3 if d % 4 == 3 else 2)
                         ),
                         big_endian=d % 7 == 0,
+                        # d%6==4 rows carry a COG overview pyramid (one
+                        # factor-2 level) — the decode features report
+                        # n_overviews, oracle-checked per round
+                        overviews=[2] if d % 6 == 4 else None,
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
@@ -378,9 +382,13 @@ def decode_tiff(media_df: DataFrame) -> DataFrame:
                 "doc_id": [], "width": [], "height": [], "dtype": [],
                 "ox": [], "oy": [], "rx": [], "ry": [], "epsg": [],
                 "px_sum": [], "px_first": [], "px_last": [],
+                "n_overviews": [],
             }
             for d, blob in zip(pdf["doc_id"], pdf["payload"]):
                 arr, (ox, oy, rx, ry), epsg = codecs.tiff_decode(bytes(blob))
+                rows["n_overviews"].append(
+                    len(codecs.tiff_info(bytes(blob))["overviews"])
+                )
                 rows["doc_id"].append(d)
                 rows["height"].append(arr.shape[0])
                 rows["width"].append(arr.shape[1])
@@ -399,7 +407,7 @@ def decode_tiff(media_df: DataFrame) -> DataFrame:
         _decode,
         "doc_id BIGINT, width INT, height INT, dtype STRING, ox DOUBLE, "
         "oy DOUBLE, rx DOUBLE, ry DOUBLE, epsg INT, px_sum DOUBLE, "
-        "px_first DOUBLE, px_last DOUBLE",
+        "px_first DOUBLE, px_last DOUBLE, n_overviews INT",
     )
 
 
@@ -507,6 +515,8 @@ TIFF_ORACLE_SQL = """
            ELSE
              CAST(((doc_id % 37 + 3) * 7 + (doc_id % 23 + 3) * 13 + doc_id)
                   % 251 AS DOUBLE)
-           END AS px_last
+           END AS px_last,
+           CAST(CASE WHEN doc_id % 6 = 4 THEN 1 ELSE 0 END AS INT)
+             AS n_overviews
     FROM documents
 """
