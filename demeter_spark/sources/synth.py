@@ -297,10 +297,16 @@ def raster_tiles(spark: SparkSession, datasets: tuple[tuple[str, int, int], ...]
     (ix + iy) % 41 == 0 — closed-form so the DuckDB oracle regenerates it.
     """
     n_tiles = (GRID_NX // TILE) * (GRID_NY // TILE)
+    # each dataset frame takes a SHARE of the cluster width: the union of
+    # len(datasets) frames then totals ~defaultParallelism partitions
+    # instead of len(datasets) x defaultParallelism micro-tasks (measured:
+    # the 128-task version made every downstream cells stage
+    # scheduling-overhead-bound at ~576 rows/task)
+    n_part = max(1, spark.sparkContext.defaultParallelism // len(datasets))
     frames = []
     for ds, dlo, dhi in datasets:
         frames.append(
-            spark.range(n_tiles).selectExpr(
+            spark.range(0, n_tiles, 1, n_part).selectExpr(
                 f"'{ds}' AS dataset",
                 f"CAST({dlo} AS INT) AS depth_lo",
                 f"CAST({dhi} AS INT) AS depth_hi",
