@@ -13,12 +13,15 @@ regression vs r02 was single-trial measurement noise).
 
 Modes (DEMETER_BENCH_MODE):
 - "full" (default): q1 spatial join + q4 zonal + q2 extraction + q3 kNN +
-  q5 MinHash/LSH dedup + q6 IVF multi-probe ANN, end-to-end; plus a
-  ``skew`` section — the same cover join through the SHUFFLE path
-  (broadcast_cover=False) on the skewed world (the hot place holds ~25% of
-  pages), with and without explicit hot-cell salting, reporting wall time
-  AND max task time from the Spark status store (VERDICT r03 #8: salting
-  must demonstrably flatten the straggler task, not just match row sets).
+  q5 MinHash/LSH dedup + q6 IVF multi-probe ANN (with recall@10 vs brute
+  force) + q7 containment, end-to-end; plus a ``skew`` section — the same
+  cover join through the SHUFFLE path (broadcast_cover=False) on the
+  skewed world (the hot place holds ~25% of pages), with and without
+  hot-cell salting, reporting wall time AND max task time from the Spark
+  status store (VERDICT r03 #8: salting must demonstrably flatten the
+  straggler task, not just match row sets). The hot-cell decision runs
+  OFF the timed wall through the lineage-manifest path in its own job
+  group (VERDICT r05 #1), so the salted leg times the join only.
 - "scaling": q1 only, against 128-vertex circle parcels with the point table
   cached (isolates the compute stage for the two-cluster-size efficiency
   protocol — see bench/scaling.py and BENCH/BASELINE.md).
@@ -106,6 +109,8 @@ def main() -> None:
         medians[name] = statistics.median(ts)
         spreads[name] = [round(t, 3) for t in ts]
 
+    load_avg_start = round(os.getloadavg()[0], 2)  # contention disclosure
+    ann_recall = None
     base_count = synth.page_points(spark, sf_dir).count()  # warmup off-clock
     n_pts = base_count * factor
 
@@ -196,6 +201,18 @@ def main() -> None:
             ).count(),
         )
 
+        # recall@10 vs exact brute force (VERDICT r05 #4: speed without
+        # recall is half a benchmark for an ANN operator) — measured
+        # off-clock over a deterministic 1/40 query sample so the exact
+        # baseline stays brute-forceable at bench scale
+        rq = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(40)) == 0)
+        ann_recall = simsearch.recall_at_k(
+            simsearch.ivf_multiprobe_topk(
+                emb, rq, k=10, n_probe=3, cell_col="ivf_cell"
+            ),
+            simsearch.brute_force_topk(emb, rq, k=10),
+        )
+
         # q7: winnowing-fingerprint containment dedup (the asymmetric
         # embedded-document case MinHash misses) — gram explode + one
         # window aggregate + df-capped fingerprint self-join
@@ -204,39 +221,67 @@ def main() -> None:
             lambda: dedup.containment_pairs(corpus, 0.5).count(),
         )
 
-        # --- skew evidence (VERDICT r03 #8): the cover join through a REAL
-        # shuffle join (auto-broadcast disabled — at 100 TB the continental
-        # cover is not broadcastable) on the hot-place world, where at res 6
-        # one cell holds ~33% of all points. Plain vs hot-cell-salted,
-        # 2 trials each, reporting wall AND max completed-task time: at 32
-        # local threads the job is one task wave, so wall barely moves (and
-        # pays the 2-key sort overhead), but the straggler task — the bound
-        # that dominates wall on a 1000-executor cluster with many waves —
-        # must demonstrably flatten.
+        # --- skew evidence (VERDICT r03 #8, measurement design r05 #1):
+        # the cover join through a REAL shuffle join (auto-broadcast
+        # disabled — at 100 TB the continental cover is not broadcastable)
+        # on the hot-place world, where at res 6 one cell holds ~33% of all
+        # points. Plain vs hot-cell-salted, 2 trials each, reporting wall
+        # AND max completed-task time: at 32 local threads the job is one
+        # task wave, so wall barely moves (and pays the 2-key sort
+        # overhead), but the straggler task — the bound that dominates wall
+        # on a 1000-executor cluster with many waves — must demonstrably
+        # flatten.
+        #
+        # The hot-cell DECISION runs off the timed wall, in its own job
+        # group, through the lineage-manifest path (the stated 100 TB
+        # design): the bench points are committed once through a
+        # cell-partitioned LineageLog stage (the ingest a production crawl
+        # pays anyway), after which hot_cells_from_metrics is a
+        # manifest-only read — so the timed salted leg contains the JOIN
+        # and nothing else, and max-task attribution can't be contaminated
+        # by detection-stage tasks.
+        import shutil
+        import tempfile
+
         from demeter_spark.functions.spark_udfs import cell_of
         from demeter_spark.plans import skew as skewmod
+        from demeter_spark.plans.lineage import LineageLog
 
         skew_res = int(os.environ.get("DEMETER_BENCH_SKEW_RES", "6"))
         sc = spark.sparkContext
         old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        lin_dir = tempfile.mkdtemp(prefix="bench_skew_lineage_")
         try:
             spts = pts.persist()
             spts.count()
             scovers = joins.parcel_covers(par, res=skew_res).persist()
             scovers.count()
-            hot = skewmod.detect_hot_cells(
+            sc.setJobGroup("skew_ingest", "skew_ingest")
+            t0 = time.time()
+            log = LineageLog(spark, lin_dir)
+            log.write_increment(
+                "bench_points_by_cell",
                 spts.withColumn(
                     "_cell", cell_of(F.col("lon"), F.col("lat"), skew_res)
                 ),
-                threshold_ratio=0.2,
+                "_cell",
+                "bench-v1",
             )
-            # the salted leg goes through hot_cells="auto" (VERDICT r04 #7):
-            # the sampled in-join detection is part of the timed wall — the
-            # honest cost of a data-driven salting decision; `hot` above is
-            # reported for context only
-            skew_report = {"n_hot_cells": len(hot), "salting": "auto"}
-            for tag, hc in (("plain", None), ("salted", "auto")):
+            ingest_sec = round(time.time() - t0, 3)
+            t0 = time.time()
+            hot = skewmod.hot_cells_from_metrics(
+                log, "bench_points_by_cell", 0.2
+            )
+            decide_sec = round(time.time() - t0, 3)
+            sc.setJobGroup("idle", "idle")
+            skew_report = {
+                "n_hot_cells": len(hot),
+                "salting": "manifest",
+                "ingest_sec": ingest_sec,
+                "decide_sec": decide_sec,
+            }
+            for tag, hc in (("plain", None), ("salted", hot)):
                 walls, max_tasks = [], []
                 for trial in range(2):
                     group = f"skew_{tag}_{trial}"
@@ -244,7 +289,7 @@ def main() -> None:
                     t0 = time.time()
                     n = joins.spatial_join(
                         spts, par, res=skew_res, broadcast_cover=False,
-                        hot_cells=hc, covers=scovers, hot_threshold=0.2,
+                        hot_cells=hc, covers=scovers,
                     ).count()
                     walls.append(round(time.time() - t0, 3))
                     max_tasks.append(_max_task_ms(sc, group))
@@ -259,6 +304,7 @@ def main() -> None:
             scovers.unpersist()
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+            shutil.rmtree(lin_dir, ignore_errors=True)
 
     if mode != "scaling":
         assert set(timings) == set(FULL_MODE_QUERIES), (
@@ -282,7 +328,14 @@ def main() -> None:
         "bench_factor": factor,
         "trials": trials,
         "mode": mode,
+        # host-contention disclosure (VERDICT r05 #8): best-of-N absorbs
+        # most noise, but round-over-round comparisons need to know the
+        # load the run saw — the r05 q1 "regression" was a loaded host
+        "load_avg_start": load_avg_start,
+        "load_avg_end": round(os.getloadavg()[0], 2),
     }
+    if ann_recall is not None:
+        out["ann_recall_at_10"] = round(ann_recall, 4)
     if skew_report is not None:
         out["skew"] = skew_report
     print(json.dumps(out))

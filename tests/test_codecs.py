@@ -595,3 +595,143 @@ def test_jpeg_progressive_hypothesis_fuzz():
         assert np.array_equal(base, prog)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI (VERDICT r05 #3)
+
+
+def _mk_avi(d=9, n_frames=3, bx=3, by=2, usec=125_000):
+    q = np.ones((8, 8), dtype=np.int64)
+    q[0, 0] = 16
+    frames = []
+    for f in range(n_frames):
+        co = np.zeros((by, bx, 8, 8), dtype=np.int64)
+        for j in range(by):
+            for i in range(bx):
+                co[j, i, 0, 0] = (i * 5 + j * 11 + f * 17 + d) % 128 - 64
+        frames.append(codecs.jpeg_encode_blocks(co, q, bx * 8, by * 8))
+    return codecs.avi_mjpeg_encode(frames, bx * 8, by * 8, usec)
+
+
+def test_avi_mjpeg_roundtrip_closed_form():
+    """Every decoded frame of a DC-only-flat MJPEG stream must equal the
+    closed form 2*DC + 128 — the encode and decode share no state, so the
+    RIFF walk + per-frame Huffman/IDCT path is verified against analytic
+    truth, not against itself."""
+    d, n, bx, by = 9, 4, 3, 2
+    frames, w, h, usec = codecs.avi_mjpeg_decode(
+        _mk_avi(d, n, bx, by, 200_000)
+    )
+    assert (len(frames), w, h, usec) == (n, bx * 8, by * 8, 200_000)
+    for f, arr in enumerate(frames):
+        for j in range(by):
+            for i in range(bx):
+                want = 2 * ((i * 5 + j * 11 + f * 17 + d) % 128)
+                assert (arr[j * 8:(j + 1) * 8, i * 8:(i + 1) * 8] == want).all()
+
+
+def test_avi_mjpeg_malformed_fails_loudly():
+    import struct
+
+    blob = _mk_avi()
+    with pytest.raises(ValueError, match="RIFF"):
+        codecs.avi_mjpeg_decode(b"RIFF" + blob[4:8] + b"WAVE" + blob[12:])
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.avi_mjpeg_decode(blob[: len(blob) // 2])
+    # header/stream frame-count disagreement
+    b2 = bytearray(blob)
+    struct.pack_into("<I", b2, b2.find(b"avih") + 8 + 16, 7)
+    with pytest.raises(ValueError, match="frame-count mismatch"):
+        codecs.avi_mjpeg_decode(bytes(b2))
+    # a frame whose dims disagree with the declared avih dims
+    q = np.ones((8, 8), dtype=np.int64)
+    co = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    small = codecs.jpeg_encode_blocks(co, q, 8, 8)
+    bad = codecs.avi_mjpeg_encode([small], 24, 16, 125_000)
+    with pytest.raises(ValueError, match="declared"):
+        codecs.avi_mjpeg_decode(bad)
+    with pytest.raises(ValueError, match="at least one frame"):
+        codecs.avi_mjpeg_encode([], 8, 8)
+
+
+def test_jpeg_progressive_sos_range_validation():
+    """ADVICE r05: a malformed SOS with Se>63 (or Ss>Se) must raise
+    ValueError, not leak a numpy IndexError out of the zigzag view."""
+    import struct
+
+    q = np.ones((8, 8), dtype=np.int64)
+    q[0, 0] = 16
+    co = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    co[0, 0, 0, 0] = 5
+    blob = bytearray(codecs.jpeg_encode_progressive(co, q, 8, 8))
+    # find an AC scan SOS (Ss > 0) and corrupt its Se byte past 63
+    pos = 2
+    while pos < len(blob) - 1:
+        if blob[pos] == 0xFF and blob[pos + 1] == 0xDA:
+            (ln,) = struct.unpack_from(">H", blob, pos + 2)
+            ns = blob[pos + 4]
+            ss_off = pos + 5 + 2 * ns
+            if blob[ss_off] > 0:  # an AC scan
+                b2 = bytearray(blob)
+                b2[ss_off + 1] = 99  # Se out of range
+                with pytest.raises(ValueError, match="spectral range"):
+                    codecs.jpeg_decode(bytes(b2))
+                b3 = bytearray(blob)
+                b3[ss_off + 1] = 0  # Se < Ss
+                with pytest.raises(ValueError):
+                    codecs.jpeg_decode(bytes(b3))
+                return
+            pos += 2 + ln
+        else:
+            pos += 1
+    raise AssertionError("no AC scan found in progressive stream")
+
+
+def test_decode_real_handles_avi_video(spark):
+    """decode_real now ingests RIFF-AVI payloads (kind='video', n_samples =
+    frame count, sample_rate = fps, mean over all frames' pixels) — the
+    stub is narrowed to H.264-class inter-coded streams only."""
+    from demeter_spark.sources import multimodal
+
+    d = 9
+    df = spark.createDataFrame(
+        [(d, bytearray(_mk_avi(d, 3, 2, 1, 200_000)))],
+        "doc_id BIGINT, payload BINARY",
+    )
+    row = multimodal.decode_real(df).collect()[0]
+    assert (
+        row["kind"], row["width"], row["height"], row["channels"],
+        row["n_samples"], row["sample_rate"],
+    ) == ("video", 16, 8, 1, 3, 5)
+    want = sum(
+        2 * ((i * 5 + j * 11 + f * 17 + d) % 128)
+        for f in range(3) for j in range(1) for i in range(2)
+    ) / 6.0
+    assert row["mean_value"] == want
+
+
+def test_sample_video_frames_stride_and_clock(spark):
+    """sample_video_frames emits every stride-th frame with the avih frame
+    clock (t_ms = frame_idx * usec/1000) and per-frame closed-form means."""
+    from demeter_spark.sources import multimodal
+
+    d = 7  # n_frames = 7%5+2 = 4, bx = 2, by = 2, usec = 200000 (fps 5)
+    med = spark.createDataFrame(
+        [(d, bytearray(_mk_avi(d, 4, 2, 2, 200_000)))],
+        "doc_id BIGINT, payload BINARY",
+    )
+    rows = sorted(
+        multimodal.sample_video_frames(med, stride=3).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 3]
+    for r in rows:
+        assert (r["n_frames"], r["fps"], r["width"], r["height"]) == (4, 5, 16, 16)
+        assert r["t_ms"] == r["frame_idx"] * 200
+        f = r["frame_idx"]
+        want = sum(
+            2 * ((i * 5 + j * 11 + f * 17 + d) % 128)
+            for j in range(2) for i in range(2)
+        ) / 4.0
+        assert r["mean_value"] == want

@@ -264,3 +264,51 @@ def test_containment_pairs_catches_embedded_doc(spark):
     # and symmetric Jaccard would have missed it
     j = dedup.jaccard_pairs(docs, 0.3).collect()
     assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in j)
+
+
+def test_containment_size_prune_identical_to_unpruned(spark):
+    """The size-ratio prefix filter (VERDICT r05 #2) is a pure prune:
+    containment >= t and n_inter <= n_b imply n_b/n_a >= t, so the pruned
+    self-join must emit EXACTLY the pairs (and scores) of the naive
+    formulation — checked against an unpruned reimplementation from the
+    same fingerprint table on the real dedup fixture."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.operators.textstats import winnowing_fingerprints
+
+    corpus = synth.dedup_corpus(spark, SF_DIR)
+    t, max_df = 0.5, 64
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_pairs(corpus, t, max_df=max_df).collect()
+    }
+
+    fp = (
+        winnowing_fingerprints(corpus)
+        .select(F.col("doc_id").alias("_id"), "fp_hash")
+        .distinct()
+    )
+    dfc = fp.groupBy("fp_hash").agg(F.count("*").alias("_df"))
+    fp = fp.join(dfc.filter(F.col("_df") <= max_df), "fp_hash").drop("_df")
+    sizes = fp.groupBy("_id").agg(F.count("*").alias("n_fp"))
+    a = fp.select(F.col("_id").alias("doc_a"), "fp_hash")
+    b = fp.select(F.col("_id").alias("doc_b"), "fp_hash")
+    want = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in (
+            a.join(b, "fp_hash")
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+            .join(
+                sizes.withColumnsRenamed({"_id": "doc_a", "n_fp": "n_a"}),
+                "doc_a",
+            )
+            .withColumn(
+                "containment", F.col("n_inter") / F.col("n_a").cast("double")
+            )
+            .filter(F.col("containment") >= t)
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the fixture must actually exercise the join
