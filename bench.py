@@ -204,13 +204,30 @@ def main() -> None:
         # recall@10 vs exact brute force (VERDICT r05 #4: speed without
         # recall is half a benchmark for an ANN operator) — measured
         # off-clock over a deterministic 1/40 query sample so the exact
-        # baseline stays brute-forceable at bench scale
+        # baseline stays brute-forceable at bench scale. Reported for the
+        # q6 configuration as timed AND for a k-means-trained codebook
+        # (train_centroids; the index-build cost a production deployment
+        # amortizes across queries, reported as ann_train_sec). NB the
+        # synthetic embeddings are near-isotropic (same-label mean cosine
+        # ~0.002) — with no locality to exploit, recall ~ probe fraction
+        # is every ANN index's ceiling here; the clustered-fixture pytest
+        # (test_dedup.py) pins recall >= 0.9 where locality exists.
         rq = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(40)) == 0)
+        exact10 = simsearch.brute_force_topk(emb, rq, k=10).localCheckpoint()
         ann_recall = simsearch.recall_at_k(
             simsearch.ivf_multiprobe_topk(
                 emb, rq, k=10, n_probe=3, cell_col="ivf_cell"
             ),
-            simsearch.brute_force_topk(emb, rq, k=10),
+            exact10,
+        )
+        t0 = time.time()
+        book = simsearch.train_centroids(emb, n_lists, n_iter=2)
+        ann_train_sec = round(time.time() - t0, 3)
+        ann_recall_trained = simsearch.recall_at_k(
+            simsearch.ivf_multiprobe_topk(
+                emb, rq, k=10, n_probe=3, cell_col="ivf_cell", cents=book
+            ),
+            exact10,
         )
 
         # q7: winnowing-fingerprint containment dedup (the asymmetric
@@ -336,6 +353,8 @@ def main() -> None:
     }
     if ann_recall is not None:
         out["ann_recall_at_10"] = round(ann_recall, 4)
+        out["ann_recall_at_10_trained"] = round(ann_recall_trained, 4)
+        out["ann_train_sec"] = ann_train_sec
     if skew_report is not None:
         out["skew"] = skew_report
     print(json.dumps(out))

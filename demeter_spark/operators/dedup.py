@@ -712,9 +712,15 @@ def containment_pairs(
     # filter uses (fl(n_b/n_a) >= fl(n_inter/n_a) by monotonicity of
     # IEEE division in the numerator), so no surviving pair can be
     # rounded away — output provably identical to the unpruned join.
-    from pyspark.sql import Window
-
-    fp = fp.withColumn("n_fp", F.count("*").over(Window.partitionBy("_id")))
+    # The count is attached via a join with the (one-row-per-doc, usually
+    # broadcastable) sizes table, NOT a window — a window would sort the
+    # full fingerprint table per self-join side (measured +30% on q7);
+    # the annotated table is then materialized once and scanned by both
+    # sides.
+    sizes = fp.groupBy("_id").agg(F.count("*").alias("n_fp"))
+    fp = fp.join(sizes, "_id")
+    if materialize:
+        fp = fp.localCheckpoint(eager=True)
     a = fp.select(
         F.col("_id").alias("doc_a"), "fp_hash", F.col("n_fp").alias("n_a")
     )

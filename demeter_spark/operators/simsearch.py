@@ -102,6 +102,52 @@ def centroids(
     )
 
 
+def train_centroids(
+    embeddings: DataFrame,
+    n_lists: int,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means-refined coarse quantizer — the standard IVF training step
+    (VERDICT r05 #4: hash-random seeding gives a weak quantizer; a few
+    Lloyd rounds concentrate true neighbors into few lists, which is what
+    makes n_probe << n_lists recover high recall).
+
+    Shape per round: shuffle-free nearest-centroid assignment (the folded
+    broadcast codebook of ``assign_to_centroids`` — zero Exchange on the
+    vector side) + ONE (cell, dim) groupBy for the new means. The codebook
+    is localCheckpointed each round: iterative Spark loops must cut the
+    logical plan per round or the analyzer re-inlines the whole history
+    (the established contract from connected_components). Clusters that
+    lose all members keep their previous centroid (the usual empty-cluster
+    rule), so the codebook size is stable at ``n_lists``.
+
+    Returns (centroid_id, centroid array<double>) — pass as ``cents`` to
+    ``ivf_multiprobe_topk``. Index training is a BUILD-time cost amortized
+    across every query against the index."""
+    vecs = embeddings.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_lists)).alias("_seed"),
+        F.col(vec_col).alias("_v"),
+    )
+    cents = centroids(vecs, "_seed", "_v").localCheckpoint(eager=True)
+    for _ in range(int(n_iter)):
+        assigned = assign_to_centroids(vecs.select("_v"), cents, "_v", 1)
+        new = centroids(assigned, "centroid_id", "_v")
+        cents = (
+            cents.alias("o")
+            .join(new.alias("n"), "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("n.centroid"), F.col("o.centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def assign_to_centroids(
     df: DataFrame, cents: DataFrame, ident: str, top: int
 ) -> DataFrame:
@@ -155,15 +201,20 @@ def ivf_multiprobe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """True-IVF approximate top-k: vectors are assigned to their *nearest
     centroid* (not their original cell), queries probe their ``n_probe``
     nearest centroids, and exact cosine runs only within probed lists.
 
     Candidate work drops by ~n_probe/n_cells; recall is tested (not assumed)
-    against the brute-force baseline.
-    """
-    cents = F.broadcast(centroids(embeddings, cell_col, vec_col))
+    against the brute-force baseline. ``cents`` supplies a prebuilt
+    codebook (e.g. ``train_centroids`` — a k-means-trained quantizer lifts
+    recall at the same n_probe); default derives untrained per-cell means
+    from ``cell_col``."""
+    if cents is None:
+        cents = centroids(embeddings, cell_col, vec_col)
+    cents = F.broadcast(cents)
 
     vecs = assign_to_centroids(
         embeddings.select(

@@ -203,67 +203,83 @@ def winnowing_fingerprints(
     support containment/overlap detection, not just whole-doc equality
     (which the md5 ``fingerprints`` cover).
 
-    Shape: gram hashes explode to rows ((id, pos, hash) — the k-gram hash
-    is xxhash64(substring); a polynomial rolling hash is an implementation
-    detail of O(1) sliding that the vectorized substring makes
-    unnecessary) and the window minimum is ONE frame-bounded window
-    aggregate: O(n·w) per doc with a single shuffle on the doc key.
-    (A nested higher-order-expression formulation is O(n²·w): Catalyst's
-    projection collapse inlines the full gram-array expression into every
-    window lambda — measured 50s on a 1.5k-char doc.) Struct minima give
-    the (hash, rightmost-position) tie rule. Output: (id, pos, fp_hash),
-    pos 1-based over gram starts."""
-    from pyspark.sql import Window
+    Shape (r06, measured): per-document VECTORIZED winnowing inside the
+    Arrow batch — a narrow mapInPandas with ZERO shuffle and no gram-row
+    materialization. The gram hash is a polynomial rolling hash over code
+    points mod 2^64 (base 1099511628211 — an odd 64-bit constant; hash
+    identity only needs cross-document consistency, and the pytest
+    re-derives both the hashes and the selection independently in pure
+    Python); the window minimum is a numpy sliding-window argmin with the
+    rightmost-tie rule. The r05 Catalyst formulation (gram explode + ONE
+    frame-bounded window aggregate) was already single-shuffle, but it
+    materialized and sorted gram rows ~20x the text bytes in the JVM —
+    measured 3.4 s of q7's 5.1 s at sf0.1; this path computes the same
+    selection in O(n·w) per doc with small numpy constants and no JVM
+    fan-out at any scale. (The nested higher-order-expression formulation
+    remains off the table: Catalyst's projection collapse makes it
+    O(n²·w) — measured 50 s on a 1.5k-char doc in r04.) Output:
+    (id, pos, fp_hash), pos 1-based over gram starts, distinct per doc.
 
-    # spread the gram generation across the cluster BEFORE the explode: a
-    # corpus read as a handful of input partitions would otherwise hash
-    # millions of k-grams on as many cores (measured: the explode stage ran
-    # 3 tasks at sf0.1 and dominated the operator). Repartitioning BY THE
-    # DOC KEY costs one tiny shuffle of the doc rows and is then REUSED by
-    # the window aggregate's partitionBy(id) — the wide gram rows
-    # themselves never get an extra exchange, which is why this path keys
-    # UNCONDITIONALLY (require_keyed) where shingles() keys only when
-    # deficient: here the doc-key exchange exists either way, so paying it
-    # on the small doc rows instead of the ~20x gram rows wins at any
-    # scale. ``n_input`` hints the input partition count so composed
-    # pipelines skip the plan-forcing probe (ADVICE r05).
+    Parallelism: deficient inputs are widened by the shared
+    ``key_repartition`` policy (same conditional rule as ``shingles`` —
+    the per-doc kernel is embarrassingly parallel, so a corpus read as a
+    handful of partitions would otherwise fingerprint on as many cores;
+    a well-partitioned corpus is left alone). ``n_input`` hints the input
+    partition count so composed pipelines skip the plan-forcing probe
+    (ADVICE r05)."""
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
     from demeter_spark.plans.bucketing import key_repartition
 
-    docs = key_repartition(docs, id_col, n_input=n_input, require_keyed=True)
+    docs = key_repartition(
+        docs.select(id_col, text_col), id_col, n_input=n_input,
+        require_keyed=False,
+    )
+    base = np.uint64(1099511628211)
+    kk, ww = int(k), int(window)
 
-    n_grams = f"(length({text_col}) - {k} + 1)"
-    grams = docs.selectExpr(
-        id_col,
-        # NB: sequence(1, 0) DESCENDS in Spark — guard short docs (same
-        # gotcha as dedup.SHINGLE_EXPR); posexplode of array() emits none
-        f"""CASE WHEN {n_grams} < 1 THEN array()
-             ELSE transform(sequence(1, {n_grams}),
-                            i -> xxhash64(substr({text_col}, i, {k})))
-        END AS _g""",
-    ).selectExpr(id_col, "posexplode(_g) AS (_p0, _h)").selectExpr(
-        id_col, "_p0 + 1 AS _j", "_h"
-    )
-    wmin = (
-        Window.partitionBy(id_col).orderBy("_j").rowsBetween(0, window - 1)
-    )
-    wcnt = Window.partitionBy(id_col)
-    return (
-        grams.withColumn(
-            "_m",
-            F.min(
-                F.struct(F.col("_h").alias("h"), (-F.col("_j")).alias("negp"))
-            ).over(wmin),
-        )
-        .withColumn("_n", F.count("*").over(wcnt))
-        # one selection per window start j in 1..max(n-window+1, 1)
-        .filter(
-            F.col("_j")
-            <= F.greatest(F.col("_n") - F.lit(window - 1), F.lit(1))
-        )
-        .select(
-            id_col,
-            (-F.col("_m.negp")).alias("pos"),
-            F.col("_m.h").alias("fp_hash"),
-        )
-        .distinct()
+    def _win(batches):
+        for pdf in batches:
+            ids, poss, hashes = [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                # utf-32 decode = exact code-point semantics (positions
+                # count CHARACTERS, matching substr in the r05 path)
+                c = np.frombuffer(
+                    t.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.uint64)
+                n = len(c) - kk + 1
+                if n < 1:
+                    continue  # shorter than k: no grams, no fingerprints
+                h = np.zeros(n, dtype=np.uint64)
+                for j in range(kk):  # k vector ops; wraparound mod 2^64
+                    h = h * base + c[j : j + n]
+                # minima are taken in SIGNED int64 order — the order the
+                # emitted BIGINT column carries, so selection and stored
+                # hash agree (and downstream signed comparisons match)
+                s = h.view(np.int64)
+                m = n - ww + 1
+                if m < 1:
+                    # fewer grams than the window: one window of all grams
+                    a = int(np.argmin(s[::-1]))  # first in rev = rightmost
+                    sel = np.array([n - 1 - a])
+                else:
+                    am = np.argmin(sliding_window_view(s, ww)[:, ::-1], axis=1)
+                    sel = np.unique(np.arange(m) + (ww - 1 - am))
+                ids.extend([did] * len(sel))
+                poss.extend((sel + 1).tolist())
+                hashes.extend(s[sel].tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "pos": pd.Series(poss, dtype="int32"),
+                    "fp_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        _win, f"{id_col} BIGINT, pos INT, fp_hash BIGINT"
     )

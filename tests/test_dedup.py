@@ -211,20 +211,22 @@ def test_winnowing_fingerprints_match_reference_and_guarantee(spark):
     for r in winnowing_fingerprints(docs, k=K, window=W).collect():
         got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp_hash"]))
 
-    # reference: same gram hashes via Spark's xxhash64 (collected once),
-    # selection re-derived independently in Python
-    from pyspark.sql import functions as F
+    # reference: gram hashes AND selection re-derived fully independently
+    # in pure Python (scalar polynomial hash mod 2^64, signed int64 view)
+    B = 1099511628211
+
+    def gram_hash(g):
+        h = 0
+        for ch in g:
+            h = (h * B + ord(ch)) % (1 << 64)
+        return h - (1 << 64) if h >= (1 << 63) else h
 
     for did, text in texts.items():
         n = len(text) - K + 1
         if n < 1:
             assert did not in got
             continue
-        grams = [text[i : i + K] for i in range(n)]
-        hdf = spark.createDataFrame(
-            [(g,) for g in grams], "g STRING"
-        ).select(F.xxhash64("g").alias("h")).collect()
-        hashes = [r["h"] for r in hdf]
+        hashes = [gram_hash(text[i : i + K]) for i in range(n)]
         sel = set()
         for j in range(max(n - W + 1, 1)):
             win = hashes[j : j + W]
@@ -312,3 +314,58 @@ def test_containment_size_prune_identical_to_unpruned(spark):
     }
     assert got == want
     assert len(got) > 0  # the fixture must actually exercise the join
+
+
+def test_trained_ivf_recall_floor_on_clustered_fixture(spark):
+    """VERDICT r05 #4: recall floor for the k-means-trained IVF index on a
+    seeded fixture WITH locality (40 planted clusters, tight within-cluster
+    noise). The driver's synthetic embeddings are near-isotropic (same-label
+    mean cosine ~0.002 — no locality to exploit), where ANY ANN index
+    degenerates to recall ~ probe fraction; this fixture is what real
+    embedding corpora look like, and the trained quantizer must recover
+    >= 0.9 of exact top-10 probing only 3 of ~22 lists — with BALANCED
+    lists (no degenerate all-in-one-list collapse, which would buy recall
+    without pruning). On the bench fixture training lifts recall 0.37 ->
+    0.53 at the same n_probe (recorded in BENCH); here the floor is
+    pinned where locality exists."""
+    import numpy as np
+
+    from demeter_spark.operators import simsearch
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(40, 16)) * 5.0
+    vecs = [
+        (int(c * 12 + i), (centers[c] + rng.normal(size=16) * 0.3).tolist())
+        for c in range(40)
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).withColumn("cell", F.pmod(F.xxhash64("vec_id"), F.lit(22)))
+    q = emb.filter(F.col("vec_id") % 5 == 0)
+    exact = simsearch.brute_force_topk(emb, q, k=10).localCheckpoint()
+
+    book = simsearch.train_centroids(emb, n_lists=22, n_iter=2)
+    trained = simsearch.recall_at_k(
+        simsearch.ivf_multiprobe_topk(
+            emb, q, k=10, n_probe=3, cell_col="cell", cents=book
+        ),
+        exact,
+    )
+    assert trained >= 0.9, trained
+    # list sizes must stay balanced: pruning is real, recall isn't bought
+    # by collapsing the corpus into the probed lists
+    sizes = [
+        r["count"]
+        for r in simsearch.assign_to_centroids(
+            emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("_v")),
+            book,
+            "id",
+            1,
+        )
+        .groupBy("centroid_id")
+        .count()
+        .collect()
+    ]
+    assert max(sizes) <= 3 * (sum(sizes) / len(sizes)), sorted(sizes)

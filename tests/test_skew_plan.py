@@ -29,13 +29,21 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_winnowing_is_single_shuffle(spark):
-    """Exactly ONE (non-broadcast) Exchange in the whole fingerprint plan:
-    the doc-key repartition before the gram explode; the window aggregate
-    reuses that partitioning instead of shuffling the ~20x gram rows."""
-    corpus = synth.dedup_corpus(spark, SF_DIR)
+def test_winnowing_shuffle_free_kernel(spark):
+    """The vectorized winnowing kernel is NARROW (mapInPandas): the only
+    Exchange a deficient (1-partition) input sees is the conditional
+    doc-key widening, and an already-wide input sees NONE — no gram rows
+    ever exist JVM-side to shuffle or sort."""
+    corpus = synth.dedup_corpus(spark, SF_DIR).coalesce(1)
     plan = _plan(winnowing_fingerprints(corpus))
     assert len(_SHUFFLE.findall(plan)) == 1, plan
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = synth.dedup_corpus(spark, SF_DIR).repartition(width * 2)
+    plan_wide = _plan(winnowing_fingerprints(wide))
+    # the caller's own round-robin repartition is the only Exchange
+    assert len(_SHUFFLE.findall(plan_wide)) == 1, plan_wide
+    assert "hashpartitioning(doc_id" not in plan_wide, plan_wide
 
 
 def test_shingles_repartition_is_conditional(spark):
