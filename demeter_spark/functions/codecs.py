@@ -2274,8 +2274,10 @@ def avi_mjpeg_encode(
     movi_body = b"movi"
     idx = b""
     for f in frames:
-        # idx1 offset: position of the '00dc' fourcc relative to 'movi'
-        idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body) - 4 + 4, len(f))
+        # idx1 offset: position of the '00dc' fourcc relative to the
+        # 'movi' fourcc (movi_body starts with it, so the running length
+        # IS the offset; first chunk lands at 4)
+        idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body), len(f))
         movi_body += chunk(b"00dc", f)
     movi = chunk(b"LIST", movi_body)
     idx1 = chunk(b"idx1", idx)

@@ -55,14 +55,13 @@ def shingles(
     corpus the repartition is deliberately SKIPPED — it would shuffle the
     raw text, which costs more than the map-side-combined aggregate rows
     the downstream groupBys shuffle instead (the 100 TB consideration cuts
-    the other way from the tiny-input one; contrast
-    ``winnowing_fingerprints``, whose downstream WINDOW aggregate keys by
-    doc regardless, so it always keys up front). Policy + probe live in
-    ``plans.bucketing.key_repartition``; ``n_input`` hints the input
+    the other way from the tiny-input one). Policy + probe live in
+    ``plans.bucketing.key_repartition`` — the same conditional rule
+    ``winnowing_fingerprints`` uses; ``n_input`` hints the input
     partition count to skip the plan-forcing probe (ADVICE r05)."""
     from demeter_spark.plans.bucketing import key_repartition
 
-    docs = key_repartition(docs, id_col, n_input=n_input, require_keyed=False)
+    docs = key_repartition(docs, id_col, n_input=n_input)
     return (
         docs.select(id_col, F.split(F.col(text_col), " ").alias("_words"))
         .select(id_col, F.explode(F.expr(SHINGLE_EXPR)).alias("shingle"))

@@ -234,8 +234,7 @@ def winnowing_fingerprints(
     from demeter_spark.plans.bucketing import key_repartition
 
     docs = key_repartition(
-        docs.select(id_col, text_col), id_col, n_input=n_input,
-        require_keyed=False,
+        docs.select(id_col, text_col), id_col, n_input=n_input
     )
     base = np.uint64(1099511628211)
     kk, ww = int(k), int(window)

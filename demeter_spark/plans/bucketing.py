@@ -51,25 +51,17 @@ def key_repartition(
     df: DataFrame,
     key: str,
     n_input: int | None = None,
-    require_keyed: bool = False,
 ) -> DataFrame:
-    """Hash-repartition ``df`` by ``key`` ahead of an explode-heavy stage —
-    the shared policy mechanism behind ``dedup.shingles`` and
+    """Hash-repartition ``df`` by ``key`` ONLY when the input parallelism
+    is deficient (fewer partitions than the shuffle width) — the shared
+    policy behind ``dedup.shingles`` and
     ``textstats.winnowing_fingerprints`` (ADVICE r05: one mechanism, one
-    probe, per-operator policy expressed as a flag).
-
-    - ``require_keyed=False`` (shingles): repartition ONLY when the input
-      parallelism is deficient (fewer partitions than the shuffle width).
-      A corpus read as a handful of partitions would otherwise explode on
-      as many cores; a well-partitioned corpus is left alone because its
-      downstream groupBys shuffle map-side-combined aggregate rows, which
-      cost less than re-shuffling the raw text.
-    - ``require_keyed=True`` (winnowing): always key by ``key``, at
-      ``max(shuffle width, input partitions)`` — the downstream window
-      aggregate partitions by the doc key regardless, so keying the small
-      doc rows up front replaces a shuffle of the ~20x-larger exploded
-      gram rows at ANY scale, and the max() guard never SHRINKS an
-      already-wide input's parallelism.
+    probe, one policy). A corpus read as a handful of partitions would
+    otherwise run its per-doc kernels/explodes on as many cores; a
+    well-partitioned corpus is left alone because re-shuffling the raw
+    text costs more than whatever the downstream stages shuffle
+    (map-side-combined aggregate rows, or nothing at all for the narrow
+    winnowing kernel).
 
     ``n_input``: explicit input-partition-count hint. When None it is
     probed via ``df.rdd.getNumPartitions()``, which forces physical
@@ -81,8 +73,6 @@ def key_repartition(
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if n_input is None:
         n_input = df.rdd.getNumPartitions()
-    if require_keyed:
-        return df.repartition(max(width, n_input), key)
     if n_input < width:
         return df.repartition(width, key)
     return df
