@@ -735,3 +735,39 @@ def test_sample_video_frames_stride_and_clock(spark):
             for j in range(2) for i in range(2)
         ) / 4.0
         assert r["mean_value"] == want
+
+
+def test_avi_mjpeg_hypothesis_fuzz():
+    """Round-trip AVI containers across random frame counts, block grids
+    and frame clocks: every decoded frame must equal the closed form, and
+    truncating the container at any chunk boundary must raise ValueError
+    (never an IndexError/struct.error leak)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(1, 6),      # n_frames
+        st.integers(1, 4),      # bx
+        st.integers(1, 3),      # by
+        st.integers(0, 1000),   # doc seed
+        st.sampled_from([125_000, 200_000, 250_000, 1_000_000]),
+    )
+    def run(n, bx, by, d, usec):
+        blob = _mk_avi(d, n, bx, by, usec)
+        frames, w, h, got_usec = codecs.avi_mjpeg_decode(blob)
+        assert (len(frames), w, h, got_usec) == (n, bx * 8, by * 8, usec)
+        for f, arr in enumerate(frames):
+            for j in range(by):
+                for i in range(bx):
+                    want = 2 * ((i * 5 + j * 11 + f * 17 + d) % 128)
+                    assert (
+                        arr[j * 8:(j + 1) * 8, i * 8:(i + 1) * 8] == want
+                    ).all()
+        # truncation never escapes as a non-ValueError
+        for cut in (13, len(blob) // 3, len(blob) - 3):
+            try:
+                codecs.avi_mjpeg_decode(blob[:cut])
+            except ValueError:
+                pass
+
+    run()
