@@ -497,12 +497,25 @@ def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style quality-filter signals (top-word repetition fraction,
-    TTR, stopword evidence) + the keep flag — pure higher-order exprs."""
+    """The full webtext filter-gate pass, three operators in one row (the
+    registry rides the driver's 50-query budget, so the per-doc gates are
+    folded like fingerprints into text_stats):
+
+    - quality_flags: Gopher top-word/TTR/stopword gates (map-only),
+    - repetition_stats: Gopher n-gram repetition gates — top-2-gram coverage
+      + duplicate-3-gram fraction (map-only, zero Exchange pytest-asserted),
+    - boilerplate_ngrams: CCNet-style corpus-shared-span fraction (distinct
+      6-grams appearing in >= 3 docs; ONE gram-keyed shuffle, no all-pairs).
+
+    Joined 1:1:1 on doc_id (every synthetic doc has >= 10 words, so the
+    gram explode drops nothing — pinned by the row-count gate)."""
     from demeter_spark.operators import textstats
     from demeter_spark.sources import synth
 
-    return textstats.quality_flags(synth.documents(spark, sf_dir))
+    docs = synth.documents(spark, sf_dir)
+    rep = textstats.repetition_stats(docs).drop("n_words")
+    bp = textstats.boilerplate_ngrams(docs)
+    return textstats.quality_flags(docs).join(rep, "doc_id").join(bp, "doc_id")
 
 
 def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1860,7 +1873,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_flags": oracle_query(
             """
-            SELECT doc_id,
+            WITH qf AS (
+              SELECT doc_id,
                    CAST(len(ws) AS INT) AS n_words,
                    CAST(list_max(list_transform(list_distinct(ws),
                         w -> len(list_filter(ws, x -> x = w)))) AS INT)
@@ -1881,7 +1895,71 @@ def oracle_sql() -> dict[str, str]:
                         AND len(list_intersect(list_distinct(ws),
                               ['the','a','of','and','to','in','is'])) >= 1
                         THEN 1 ELSE 0 END AS INT) AS keep
-            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+            ),
+            rg AS (
+              SELECT doc_id, len(ws) AS n_words,
+                CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+                  i -> array_to_string(list_slice(ws, i, i+1), ' '))
+                  ELSE [] END AS gt,
+                CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws)-1),
+                  i -> array_to_string(list_slice(ws, i, i+2), ' '))
+                  ELSE [] END AS gd
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+            ),
+            rc AS (
+              SELECT doc_id, n_words,
+                CAST(coalesce(list_max(list_transform(list_distinct(gt),
+                     g -> len(list_filter(gt, x -> x = g)))), 0) AS INT)
+                  AS top_gram_n,
+                CAST(len(list_filter(gd,
+                     g -> len(list_filter(gd, x -> x = g)) > 1)) AS INT)
+                  AS dup_gram_n,
+                CAST(len(gd) AS INT) AS n_dup_positions
+              FROM rg
+            ),
+            rep AS (
+              SELECT doc_id, top_gram_n,
+                   CAST(top_gram_n * 2 AS DOUBLE) / n_words AS top_gram_frac,
+                   dup_gram_n,
+                   CASE WHEN n_dup_positions > 0
+                        THEN CAST(dup_gram_n AS DOUBLE) / n_dup_positions
+                        ELSE CAST(0 AS DOUBLE) END AS dup_gram_frac,
+                   CAST(CASE WHEN CAST(top_gram_n * 2 AS DOUBLE) / n_words
+                          <= 0.18e0
+                        AND (CASE WHEN n_dup_positions > 0
+                             THEN CAST(dup_gram_n AS DOUBLE) / n_dup_positions
+                             ELSE 0 END) <= 0.60e0
+                        THEN 1 ELSE 0 END AS INT) AS keep_repetition
+              FROM rc
+            ),
+            pdx AS (
+              SELECT doc_id, unnest(CASE WHEN len(ws) >= 6 THEN
+                list_distinct(list_transform(range(1, len(ws)-4),
+                  i -> array_to_string(list_slice(ws, i, i+5), ' ')))
+                ELSE [] END) AS gram
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+            ),
+            gdc AS (
+              SELECT gram, CAST(count(*) AS BIGINT) AS gram_docs
+              FROM pdx GROUP BY gram
+            ),
+            bp AS (
+              SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_grams,
+                   CAST(sum(CASE WHEN gram_docs >= 3 THEN 1 ELSE 0 END) AS INT)
+                     AS n_shared,
+                   CAST(sum(CASE WHEN gram_docs >= 3 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS shared_frac,
+                   CAST(CASE WHEN CAST(sum(CASE WHEN gram_docs >= 3
+                               THEN 1 ELSE 0 END) AS DOUBLE) / count(*) > 0.5e0
+                        THEN 1 ELSE 0 END AS INT) AS boilerplate
+              FROM pdx JOIN gdc USING (gram) GROUP BY doc_id
+            )
+            SELECT qf.*, rep.top_gram_n, rep.top_gram_frac, rep.dup_gram_n,
+                   rep.dup_gram_frac, rep.keep_repetition,
+                   bp.n_grams, bp.n_shared, bp.shared_frac, bp.boilerplate
+            FROM qf JOIN rep USING (doc_id) JOIN bp USING (doc_id)
             """,
             (),
         ),

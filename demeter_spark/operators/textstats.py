@@ -282,3 +282,133 @@ def winnowing_fingerprints(
     return docs.mapInPandas(
         _win, f"{id_col} BIGINT, pos INT, fp_hash BIGINT"
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 3,
+    max_top_frac: float = 0.18,
+    max_dup_frac: float = 0.60,
+) -> DataFrame:
+    """Gopher-style n-gram repetition signals (the published web-corpus
+    repetition filters the reference-era pipelines gate training data on):
+
+    - top{top_n}gram_frac: words covered by the single most frequent word
+      ``top_n``-gram / n_words (the 'fraction of characters in the most
+      common n-gram' rule, word-denominated so Spark and the SQL oracle
+      agree exactly),
+    - dup{dup_n}gram_frac: fraction of ``dup_n``-gram positions whose gram
+      occurs more than once in the document (the 'fraction of characters in
+      duplicate n-grams' rule),
+    - keep_repetition: the conjunction gating the training set.
+
+    Everything stays inside one row — grams built with transform(sequence)
+    over the word array, counts via nested higher-order filters. O(L^2) per
+    document inside whole-stage codegen, but ZERO shuffle: at 100 TB this is
+    a map-only pass over the corpus (the explode+groupBy alternative ships
+    every gram through an exchange). L is bounded upstream by the tokenizer.
+
+    Reference anchor: the reference has no text stack (raster/vector only,
+    demeter/raster/__init__.py); this covers the webtext payload axis.
+    """
+    ws = f"split({text_col}, ' ')"
+
+    def grams(n: int) -> str:
+        # gram starting at 1-based word i, i in 1 .. L-n+1. The guard matters:
+        # Spark's sequence(1, 0) is DESCENDING [1, 0], not empty, and
+        # slice(_, 0, n) throws — so short docs must short-circuit to array().
+        return (
+            f"CASE WHEN size({ws}) >= {n} THEN"
+            f" transform(sequence(1, size({ws}) - {n - 1}),"
+            f" i -> concat_ws(' ', slice({ws}, i, {n})))"
+            " ELSE array() END"
+        )
+
+    return docs.selectExpr(
+        id_col,
+        f"size({ws}) AS n_words",
+        f"{grams(top_n)} AS _gt",
+        f"{grams(dup_n)} AS _gd",
+    ).selectExpr(
+        id_col,
+        "n_words",
+        "CAST(coalesce(array_max(transform(array_distinct(_gt),"
+        " g -> size(filter(_gt, x -> x = g)))), 0) AS INT) AS top_gram_n",
+        "CAST(size(filter(_gd, g -> size(filter(_gd, x -> x = g)) > 1)) AS INT)"
+        " AS dup_gram_n",
+        "CAST(size(_gd) AS INT) AS n_dup_positions",
+    ).selectExpr(
+        id_col,
+        "n_words",
+        "top_gram_n",
+        f"CAST(top_gram_n * {top_n} AS DOUBLE) / n_words AS top_gram_frac",
+        "dup_gram_n",
+        "CASE WHEN n_dup_positions > 0 THEN CAST(dup_gram_n AS DOUBLE)"
+        " / n_dup_positions ELSE CAST(0 AS DOUBLE) END AS dup_gram_frac",
+    ).selectExpr(
+        id_col,
+        "n_words",
+        "top_gram_n",
+        "top_gram_frac",
+        "dup_gram_n",
+        "dup_gram_frac",
+        f"CAST(CASE WHEN top_gram_frac <= {max_top_frac}e0"
+        f" AND dup_gram_frac <= {max_dup_frac}e0"
+        " THEN 1 ELSE 0 END AS INT) AS keep_repetition",
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 6,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate detection (CCNet-style shared-span removal,
+    word-gram denominated): for each document, the fraction of its DISTINCT
+    word ``n``-grams that also occur in at least ``min_docs`` documents
+    overall. Documents dominated by corpus-shared spans (navigation chrome,
+    templated legal text) score high and are flagged.
+
+    Scale shape: distinct grams per doc are exploded once and aggregated by
+    gram — ONE shuffle keyed on the gram (high cardinality, naturally
+    balanced; no hot keys because grams shared by everything are exactly the
+    boilerplate being counted and still spread across hash partitions by
+    gram text). The doc-side rollup reuses the doc_id partitioning. No
+    all-pairs comparison anywhere — cost is O(total grams), the same
+    discipline as the MinHash/shingle stack (operators/dedup.py).
+    """
+    ws = f"split({text_col}, ' ')"
+    # same short-doc guard as repetition_stats: sequence(1, 0) is [1, 0]
+    grams = (
+        f"CASE WHEN size({ws}) >= {n} THEN"
+        f" array_distinct(transform(sequence(1, size({ws}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({ws}, i, {n}))))"
+        " ELSE array() END"
+    )
+    per_doc = docs.selectExpr(id_col, f"explode({grams}) AS gram")
+    gram_docs = per_doc.groupBy("gram").agg(
+        F.count("*").alias("gram_docs")  # per_doc grams are distinct per doc
+    )
+    return (
+        per_doc.join(gram_docs, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.sum((F.col("gram_docs") >= min_docs).cast("int"))
+            .cast("int")
+            .alias("n_shared"),
+        )
+        .selectExpr(
+            id_col,
+            "n_grams",
+            "n_shared",
+            "CAST(n_shared AS DOUBLE) / n_grams AS shared_frac",
+            "CAST(CASE WHEN CAST(n_shared AS DOUBLE) / n_grams > 0.5"
+            " THEN 1 ELSE 0 END AS INT) AS boilerplate",
+        )
+    )
