@@ -728,6 +728,13 @@ _ALBERS_DST = dict(ox=-1536000.0, oy=-1280000.0, rx=32000.0, ry=32000.0,
 # cells of floor() margin (tests/test_ellipsoidal.py)
 _TM_DST = dict(ox=-1200000.0, oy=200000.0, rx=25000.0, ry=40000.0,
                nx=96, ny=80)
+# ellipsoidal Lambert-Conformal-Conic destination grid (same 96x80 pixel
+# index space, LCC meters, std parallels 8/24 like _ALBERS): inverse lands
+# inside the source extent with >=2.0e-4 cells of floor() margin
+# (tests/test_lcc.py) — enough to absorb the pow(_, 1/n) ~1-ulp
+# cross-engine budget on top of the trig calls
+_LCC_DST = dict(ox=-1500000.0, oy=-1396750.0, rx=31250.0, ry=36250.0,
+                nx=96, ny=80)
 
 
 def _q_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,13 +748,16 @@ def _q_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyproj) — plus a THIRD column, v_tm_ell, the nearest warp through the
     ellipsoidal TRANSVERSE MERCATOR inverse (the EPSG:269xx UTM datum math,
     reference api.py:132-151 to_crs(utm)) on its own meters grid joined on
-    the shared pixel index space. Nearest is the oracle-able kernel through
-    trig: only floor() agreement is needed and every source coordinate
-    clears cell boundaries by >=5e-5 cells for all three warps (asserted in
-    tests/test_albers.py and tests/test_ellipsoidal.py); interpolating
-    kernels through the conic are pytest-verified. All three value columns
-    ride the row hash, so a regression in any datum's math fails the
-    gate."""
+    the shared pixel index space — plus a FOURTH column, v_lcc_ell, the
+    ellipsoidal LAMBERT CONFORMAL CONIC inverse (the SPCS/StatePlane
+    Lambert construction, Snyder 15 + conformal-latitude series). Nearest
+    is the oracle-able kernel through trig: only floor() agreement is
+    needed and every source coordinate clears cell boundaries by >=5e-5
+    cells for all four warps (asserted in tests/test_albers.py,
+    tests/test_ellipsoidal.py and tests/test_lcc.py — the LCC margin also
+    absorbs its pow(_, 1/n) ulp budget); interpolating kernels through the
+    conic are pytest-verified. All four value columns ride the row hash,
+    so a regression in any datum's math fails the gate."""
     from demeter_spark.operators import reproject as rp
     from demeter_spark.sources import synth
 
@@ -766,10 +776,18 @@ def _q_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, sg, rp.Grid(**_TM_DST),
         rp.tm_ell_to_lonlat(lon0=_ALBERS["lon0"]), broadcast_src=True,
     )
+    # fourth datum/projection family: ellipsoidal Lambert Conformal Conic
+    # (the SPCS/StatePlane Lambert construction, Snyder 15) on its own
+    # meters grid, same pixel index space
+    lcc = rp.reproject_nearest(
+        src, sg, rp.Grid(**_LCC_DST),
+        rp.lcc_ell_to_lonlat(**_ALBERS), broadcast_src=True,
+    )
     return (
         sph.withColumnRenamed("value", "v_sph")
         .join(ell.withColumnRenamed("value", "v_ell"), ["ix", "iy"])
         .join(tm.withColumnRenamed("value", "v_tm_ell"), ["ix", "iy"])
+        .join(lcc.withColumnRenamed("value", "v_lcc_ell"), ["ix", "iy"])
     )
 
 
@@ -777,6 +795,7 @@ def _albers_oracle_sql() -> str:
     from demeter_spark.operators.reproject import (
         albers_ell_inverse_sql,
         albers_inverse_sql,
+        lcc_ell_inverse_sql,
         tm_ell_inverse_sql,
     )
 
@@ -787,9 +806,12 @@ def _albers_oracle_sql() -> str:
     tx = "(-1200000e0 + (x.ix + 0.5e0) * 25000e0)"
     ty = "(200000e0 + (y.iy + 0.5e0) * 40000e0)"
     lon_t, lat_t = tm_ell_inverse_sql(tx, ty, lon0=_ALBERS["lon0"])
+    lx = "(-1500000e0 + (x.ix + 0.5e0) * 31250e0)"
+    ly = "(-1396750e0 + (y.iy + 0.5e0) * 36250e0)"
+    lon_l, lat_l = lcc_ell_inverse_sql(lx, ly, **_ALBERS)
     return f"""
             SELECT d.ix, d.iy, s.value AS v_sph, e.value AS v_ell,
-                   t.value AS v_tm_ell
+                   t.value AS v_tm_ell, l.value AS v_lcc_ell
             FROM (
               SELECT x.ix, y.iy,
                      CAST(floor(({lon_s} - 0e0) / 0.25e0) AS BIGINT) AS six,
@@ -797,7 +819,9 @@ def _albers_oracle_sql() -> str:
                      CAST(floor(({lon_e} - 0e0) / 0.25e0) AS BIGINT) AS eix,
                      CAST(floor(({lat_e} - 0e0) / 0.25e0) AS BIGINT) AS eiy,
                      CAST(floor(({lon_t} - 0e0) / 0.25e0) AS BIGINT) AS tix,
-                     CAST(floor(({lat_t} - 0e0) / 0.25e0) AS BIGINT) AS tiy
+                     CAST(floor(({lat_t} - 0e0) / 0.25e0) AS BIGINT) AS tiy,
+                     CAST(floor(({lon_l} - 0e0) / 0.25e0) AS BIGINT) AS lix,
+                     CAST(floor(({lat_l} - 0e0) / 0.25e0) AS BIGINT) AS liy
               FROM range(96) x(ix), range(80) y(iy)) d
             LEFT JOIN (SELECT ix, iy, value FROM raster_cells
                        WHERE dataset = 'elevation') s
@@ -808,6 +832,9 @@ def _albers_oracle_sql() -> str:
             LEFT JOIN (SELECT ix, iy, value FROM raster_cells
                        WHERE dataset = 'elevation') t
               ON t.ix = d.tix AND t.iy = d.tiy
+            LEFT JOIN (SELECT ix, iy, value FROM raster_cells
+                       WHERE dataset = 'elevation') l
+              ON l.ix = d.lix AND l.iy = d.liy
     """
 
 
