@@ -384,3 +384,263 @@ def ivf_topk(
         .withColumn("cos", _cos("_qv", "_cv", "_qn", "_cn"))
     )
     return _ranked(pairs, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou/Douze/Schmid 2011, public knowledge): encode
+# each vector as m uint8-range codes (one per d/m-dim subspace, k centroids
+# per subspace) and score candidates with an asymmetric-distance (ADC)
+# lookup table built once per query. The 100 TB point: candidate lists
+# carry m small ints + one precomputed norm instead of d floats — memory
+# traffic per candidate drops by ~4d/m bytes (64-dim float -> 8 codes is
+# 32x), which is what lets a billion-vector index fit hot in executor
+# memory. Everything below is pure Catalyst higher-order expressions: the
+# codebook folds into ONE broadcast row, so training assignment, encoding
+# and ADC scoring add ZERO Exchange on the vector side.
+
+_SUB_L2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - y)"
+    " * (CAST(x AS DOUBLE) - y)), 0D, (acc, v) -> acc + v)"
+)
+_SUB_IP = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+    "0D, (acc, v) -> acc + v)"
+)
+
+
+def _fold_pq_book(codebook: DataFrame) -> DataFrame:
+    """(sub, code, centroid) rows -> ONE broadcastable row ``_pq``:
+    array-indexed by sub, each entry an array of (code, centroid, n2)
+    structs sorted by code — so element_at(_pq, s+1).cbs is the sub's
+    codebook and element_at(.., c+1) is code c's entry."""
+    return F.broadcast(
+        codebook.withColumn(
+            "n2", F.expr("aggregate(centroid, 0D, (acc, v) -> acc + v * v)")
+        )
+        .groupBy("sub")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("code", "centroid", "n2"))
+            ).alias("cbs")
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "cbs"))).alias("_pqb"))
+        .select(F.expr("transform(_pqb, s -> s.cbs)").alias("_pq"))
+    )
+
+
+def _pq_dims(embeddings: DataFrame, m: int, vec_col: str) -> int:
+    """Subspace width d/m. One single-row driver action at BUILD time (the
+    codebook is a build artifact; never on the per-query path)."""
+    d = embeddings.select(F.size(vec_col)).first()[0]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    return d // m
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace k-means codebook -> (sub, code, centroid array<double>).
+
+    Each Lloyd round is: shuffle-free assignment (folded broadcast book,
+    argmin via array_min over a struct transform — struct ordering breaks
+    distance ties toward the smaller code) + ONE (sub, code, dim) groupBy
+    for the new means. Codebook localCheckpointed per round (the iterative-
+    loop plan-growth contract shared with train_centroids / connected
+    components). Empty clusters keep their previous centroid, so every
+    (sub, code) slot stays populated."""
+    dsub = _pq_dims(embeddings, m, vec_col)
+    subs = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> struct("
+                f"s AS sub, slice({vec_col}, s * {dsub} + 1, {dsub}) AS sv))"
+            )
+        ).alias("_e"),
+    ).select("_id", F.col("_e.sub").alias("sub"), F.col("_e.sv").alias("sv"))
+
+    def _means(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select(
+                "sub", "code", F.posexplode("sv").alias("dim", "x")
+            )
+            .groupBy("sub", "code", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("mv"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mv"))).alias("_dm"))
+            .select(
+                "sub",
+                "code",
+                F.expr("transform(_dm, s -> s.mv)").alias("centroid"),
+            )
+        )
+
+    book = _means(
+        subs.withColumn("code", F.pmod(F.xxhash64("_id", "sub"), F.lit(k)).cast("int"))
+    ).localCheckpoint(eager=True)
+    argmin = (
+        "array_min(transform(element_at(_pq, sub + 1), e -> struct("
+        + _SUB_L2.format(a="sv", b="e.centroid")
+        + " AS dist, e.code AS code))).code"
+    )
+    for _ in range(int(n_iter)):
+        assigned = (
+            subs.crossJoin(_fold_pq_book(book))
+            .withColumn("code", F.expr(argmin))
+            .drop("_pq")
+        )
+        book = (
+            book.alias("o")
+            .join(_means(assigned).alias("n"), ["sub", "code"], "left")
+            .select(
+                "sub",
+                "code",
+                F.coalesce(F.col("n.centroid"), F.col("o.centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return book
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>, pq_norm) — the compressed index rows.
+    Zero Exchange on the vector side (folded broadcast book); pq_norm is
+    the reconstructed-vector norm sqrt(sum_s |c_s|^2), precomputed once at
+    encode time so ADC cosine needs no per-pair norm work. (Subspace
+    centroids are near-orthogonal blocks of the reconstruction, so the sum
+    of per-sub n2 IS the exact reconstructed norm-squared.)"""
+    dsub = _pq_dims(embeddings, m, vec_col)
+    pick = (
+        f"transform(sequence(0, {m - 1}), s -> array_min("
+        f"transform(element_at(_pq, s + 1), e -> struct("
+        + _SUB_L2.format(a=f"slice({vec_col}, s * {dsub} + 1, {dsub})", b="e.centroid")
+        + " AS dist, e.code AS code, e.n2 AS n2))))"
+    )
+    return (
+        embeddings.crossJoin(_fold_pq_book(codebook))
+        .withColumn("_cs", F.expr(pick))
+        .select(
+            F.col(id_col),
+            F.expr("transform(_cs, e -> e.code)").alias("codes"),
+            F.expr(
+                "sqrt(aggregate(_cs, 0D, (acc, e) -> acc + e.n2))"
+            ).alias("pq_norm"),
+        )
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 3,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    cents: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    re_rank: int = 0,
+) -> DataFrame:
+    """IVF-PQ: coarse lists prune candidates (n_probe of n_lists), ADC
+    tables score them from codes alone, and an optional exact re-rank of
+    the top ``re_rank`` ADC survivors recovers near-exact ordering while
+    touching only k..re_rank full vectors per query.
+
+    Per query the ADC table is ONE higher-order expression (m x k inner
+    products against the folded broadcast codebook); per candidate the
+    score is m int-indexed lookups — no O(d) arithmetic on the pair path.
+    ``re_rank=0`` returns pure ADC order (what a billion-vector first pass
+    runs); ``re_rank=R`` joins the R survivors back to full vectors by id
+    (k..R rows per query, not the corpus)."""
+    if codebook is None:
+        codebook = train_pq(embeddings, m=m, id_col=id_col, vec_col=vec_col)
+    dsub = _pq_dims(embeddings, m, vec_col)
+    if cents is None:
+        cents = centroids(embeddings, cell_col, vec_col)
+    cents = F.broadcast(cents)
+
+    enc = pq_encode(embeddings, codebook, m=m, id_col=id_col, vec_col=vec_col)
+    vecs = assign_to_centroids(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        ),
+        cents,
+        "neighbor_id",
+        1,
+    ).join(
+        enc.select(
+            F.col(id_col).alias("neighbor_id"), "codes", "pq_norm"
+        ),
+        "neighbor_id",
+    ).drop("_v")
+
+    qtab = (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"transform(element_at(_pq, s + 1), e -> "
+        + _SUB_IP.format(a=f"slice(_qv, s * {dsub} + 1, {dsub})", b="e.centroid")
+        + "))"
+    )
+    qs = (
+        assign_to_centroids(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v")
+            ),
+            cents,
+            "query_id",
+            n_probe,
+        )
+        .withColumnRenamed("_v", "_qv")
+        .withColumn("_qn", F.expr(NORM.format(a="_qv")))
+        .crossJoin(_fold_pq_book(codebook))
+        .withColumn("_qtab", F.expr(qtab))
+        .drop("_pq")
+    )
+
+    pairs = (
+        qs.join(vecs, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn(
+            "cos",
+            F.expr(
+                "aggregate(zip_with(codes, _qtab,"
+                " (c, t) -> element_at(t, c + 1)), 0D, (acc, v) -> acc + v)"
+            )
+            / (F.col("_qn") * F.col("pq_norm")),
+        )
+    )
+    if re_rank <= 0:
+        return _ranked(pairs, k)
+    shortlist = _ranked(pairs, re_rank).drop("rnk")
+    full = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.expr(NORM.format(a=vec_col)).alias("_cn"),
+    )
+    qfull = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.expr(NORM.format(a=vec_col)).alias("_qn"),
+    )
+    exact = (
+        shortlist.join(full, "neighbor_id")
+        .join(qfull, "query_id")
+        .withColumn("cos", _cos("_qv", "_cv", "_qn", "_cn"))
+    )
+    return _ranked(exact, k)
