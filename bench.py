@@ -230,6 +230,35 @@ def main() -> None:
             exact10,
         )
 
+        # IVF-PQ: ADC scoring replaces O(d) pair arithmetic with m table
+        # lookups — the memory-compression path to billion-vector indexes
+        # (codes are m bytes vs d floats per candidate). Probe loss is the
+        # isotropic-fixture ceiling documented above, so the honest PQ
+        # metric is ADC ordering FIDELITY vs exact scoring over the SAME
+        # probed lists, reported next to end-to-end recall vs brute force.
+        t0 = time.time()
+        pq_book = simsearch.train_pq(emb, m=8, k=16, n_iter=2)
+        pq_train_sec = round(time.time() - t0, 3)
+        adc10 = simsearch.ivfpq_topk(
+            emb, rq, k=10, n_probe=3, m=8, cell_col="ivf_cell",
+            cents=book, codebook=pq_book,
+        ).localCheckpoint()
+        pq_recall = simsearch.recall_at_k(adc10, exact10)
+        exact_probe10 = simsearch.ivf_multiprobe_topk(
+            emb, rq, k=10, n_probe=3, cell_col="ivf_cell", cents=book
+        ).localCheckpoint()
+        pq_fidelity = simsearch.recall_at_k(adc10, exact_probe10)
+        # the production shape: ADC shortlist + exact re-rank of 60
+        # survivors recovers exact-scoring order while touching only
+        # ~60 full vectors per query (measured 1.0 across m/k configs)
+        pq_fidelity_rerank = simsearch.recall_at_k(
+            simsearch.ivfpq_topk(
+                emb, rq, k=10, n_probe=3, m=8, cell_col="ivf_cell",
+                cents=book, codebook=pq_book, re_rank=60,
+            ),
+            exact_probe10,
+        )
+
         # q7: winnowing-fingerprint containment dedup (the asymmetric
         # embedded-document case MinHash misses) — gram explode + one
         # window aggregate + df-capped fingerprint self-join
@@ -355,6 +384,10 @@ def main() -> None:
         out["ann_recall_at_10"] = round(ann_recall, 4)
         out["ann_recall_at_10_trained"] = round(ann_recall_trained, 4)
         out["ann_train_sec"] = ann_train_sec
+        out["ann_recall_at_10_pq"] = round(pq_recall, 4)
+        out["pq_adc_fidelity_at_10"] = round(pq_fidelity, 4)
+        out["pq_rerank60_fidelity_at_10"] = round(pq_fidelity_rerank, 4)
+        out["pq_train_sec"] = pq_train_sec
     if skew_report is not None:
         out["skew"] = skew_report
     print(json.dumps(out))

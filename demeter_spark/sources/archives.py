@@ -63,9 +63,14 @@ def extract_members(
     )
 
 
-def parse_dbf(blob: bytes) -> pd.DataFrame:
+def parse_dbf(blob: bytes, keep_positions: bool = False) -> pd.DataFrame:
     """Minimal dBase III DBF reader (the .vat.dbf sidecar format): header +
     fixed-width ASCII records -> DataFrame of string fields.
+
+    ``keep_positions=True`` adds a ``_rec_no`` column holding each record's
+    1-based FILE position (deleted records still consume a position) — the
+    implicit .shp<->.dbf join key, which must not shift when a deleted row
+    is dropped.
 
     Mirrors the reference's raw-mode read (dbfread raw=True,
     demeter/raster/usgs/hydrography.py:231-240): every field comes back as a
@@ -123,6 +128,8 @@ def parse_dbf(blob: bytes) -> pd.DataFrame:
             off += length
         rec += record_size
     df = pd.DataFrame(cols)
+    if keep_positions:
+        df["_rec_no"] = range(1, len(df) + 1)
     return df[pd.Series(active).to_numpy()].reset_index(drop=True)
 
 
@@ -131,21 +138,31 @@ def dbf_records(
 ) -> DataFrame:
     """Explode extracted .dbf member blobs into records: one row per record,
     fields as a map<string,string> (schemas vary per sidecar; callers
-    try_cast the fields they need — S7 DBF sidecar -> dimension map)."""
+    try_cast the fields they need — S7 DBF sidecar -> dimension map).
+
+    ``rec_no`` is the 1-based record position in file order — the implicit
+    join key the shapefile contract defines between a .dbf sidecar and its
+    .shp geometry records (see sources/shapefile.py)."""
 
     def _records(batches):
         for pdf in batches:
             out_src = {c: [] for c in src_cols}
+            rec_nos: list[int] = []
             recs: list[dict] = []
             for i in range(len(pdf)):
-                table = parse_dbf(bytes(pdf[data_col].iloc[i]))
+                table = parse_dbf(bytes(pdf[data_col].iloc[i]), keep_positions=True)
                 for _, row in table.iterrows():
                     for c in src_cols:
                         out_src[c].append(pdf[c].iloc[i])
+                    rec_nos.append(int(row.pop("_rec_no")))
                     recs.append({k: str(v) for k, v in row.items()})
             out = pd.DataFrame(out_src)
+            out["rec_no"] = pd.Series(rec_nos, dtype="int64")
             out["fields"] = pd.Series(recs, dtype=object)
             yield out
 
-    schema = ", ".join(f"{c} STRING" for c in src_cols) + ", fields MAP<STRING, STRING>"
+    schema = (
+        ", ".join(f"{c} STRING" for c in src_cols)
+        + ", rec_no BIGINT, fields MAP<STRING, STRING>"
+    )
     return members.select(*src_cols, data_col).mapInPandas(_records, schema)
