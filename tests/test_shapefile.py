@@ -78,8 +78,8 @@ def test_unclosed_ring_and_bad_shape_type_rejected():
     with pytest.raises(ValueError, match="unclosed"):
         shp.parse_shp(shp.encode_shp([(5, [open_ring])]))
     blob = bytearray(shp.encode_shp([(1, (1.0, 1.0))]))
-    struct.pack_into("<i", blob, 108, 13)  # PointZ: unsupported
-    with pytest.raises(ValueError, match="unsupported shape type 13"):
+    struct.pack_into("<i", blob, 108, 31)  # MultiPatch: unsupported
+    with pytest.raises(ValueError, match="unsupported shape type 31"):
         shp.parse_shp(bytes(blob))
 
 
@@ -144,3 +144,114 @@ def test_bundle_end_to_end(spark, tmp_path):
     ).select("pid", "parcel_id")
     got = {(r["pid"], names[r["parcel_id"]]) for r in joined.collect()}
     assert got == {(1, "A1"), (2, "A2")}
+
+
+def test_zm_variants_decode_as_2d():
+    """Z/M record layouts carry z/m payload AFTER the XY block; the decode
+    must emit identical 2-D WKT and preserve the type suffix."""
+    flat = shp.parse_shp(
+        shp.encode_shp([(1, (3.0, 4.0)), (5, [SQ, HOLE]), (8, [(1.0, 2.0), (3.0, 4.0)]), (3, [[(0.0, 0.0), (1.0, 1.0)]])])
+    )
+    for zoff, suffix in ((10, "Z"), (20, "M")):
+        t = shp.parse_shp(
+            shp.encode_shp(
+                [
+                    (1 + zoff, (3.0, 4.0)),
+                    (5 + zoff, [SQ, HOLE]),
+                    (8 + zoff, [(1.0, 2.0), (3.0, 4.0)]),
+                    (3 + zoff, [[(0.0, 0.0), (1.0, 1.0)]]),
+                ]
+            )
+        )
+        assert t["wkt"].tolist() == flat["wkt"].tolist()
+        assert t["shape_type"].tolist() == [
+            "Point" + suffix, "Polygon" + suffix, "MultiPoint" + suffix, "PolyLine" + suffix,
+        ]
+
+
+def test_shx_windowed_read_touches_only_requested_records():
+    """COG-style windowed-read proof: corrupt every byte OUTSIDE the
+    requested records' ranges; the windowed decode still succeeds and
+    matches the full parse, while a full parse of the corrupted blob
+    fails."""
+    shapes = [(5, [SQ]), (1, (1.5, 2.5)), (5, [FAR]), (8, [(9.0, 9.0), (8.0, 8.0)])]
+    blob = shp.encode_shp(shapes)
+    idx = shp.parse_shx(shp.encode_shx(blob))
+    assert [r for r, _, _ in idx] == [1, 2, 3, 4]
+    full = shp.parse_shp(blob)
+
+    want = [2, 4]
+    keep = set()
+    entries = {r: (off, ln) for r, off, ln in idx}
+    for r in want:
+        off, ln = entries[r]
+        keep.update(range(off, off + 8 + ln))
+    corrupted = bytes(
+        b if i in keep or i < 100 else 0xFF for i, b in enumerate(blob)
+    )
+    with pytest.raises(ValueError):
+        shp.parse_shp(corrupted)
+    t = shp.parse_shp_window(corrupted, idx, want)
+    assert t["rec_no"].tolist() == want
+    assert t["wkt"].tolist() == [full["wkt"][1], full["wkt"][3]]
+    with pytest.raises(ValueError, match="not in shx index"):
+        shp.parse_shp_window(blob, idx, [9])
+
+
+def test_shapefile_hypothesis_roundtrip():
+    """Fuzz: random geometries of every supported family survive the
+    encode->parse round-trip with exact coordinates (doubles are carried
+    verbatim), and truncation anywhere past the header fails loudly or
+    returns only complete records (never garbage)."""
+    from hypothesis import given, settings, strategies as st
+
+    coord = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+    pt = st.tuples(coord, coord)
+
+    def ring(pts):
+        closed = pts + [pts[0]]
+        return closed
+
+    shape = st.one_of(
+        st.tuples(st.just(1), pt),
+        st.tuples(st.just(8), st.lists(pt, min_size=1, max_size=5)),
+        st.tuples(st.just(3), st.lists(st.lists(pt, min_size=2, max_size=5), min_size=1, max_size=3)),
+        st.tuples(
+            st.just(5),
+            st.lists(
+                st.lists(pt, min_size=3, max_size=6, unique=True).map(ring),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(shape, min_size=1, max_size=6), st.data())
+    def run(shapes, data):
+        blob = shp.encode_shp(shapes)
+        t = shp.parse_shp(blob)
+        assert len(t) == len(shapes)
+        # coordinates round-trip exactly: every encoded point appears in wkt
+        for (stype, payload), wkt in zip(shapes, t["wkt"]):
+            if stype == 1:
+                assert shp._fmt(payload[0]) in wkt
+            elif stype == 8:
+                assert all(shp._fmt(x) in wkt for x, _ in payload)
+            else:
+                assert all(shp._fmt(x) in wkt for part in payload for x, _ in part)
+        # index round-trip agrees with the sequential walk
+        idx = shp.parse_shx(shp.encode_shx(blob))
+        w = shp.parse_shp_window(blob, idx, [r for r, _, _ in idx])
+        assert w["wkt"].tolist() == t["wkt"].tolist()
+        # truncation: cut inside the record region
+        cut = data.draw(st.integers(min_value=100, max_value=len(blob) - 1))
+        try:
+            partial = shp.parse_shp(blob[:cut])
+            assert partial["wkt"].tolist() == t["wkt"].tolist()[: len(partial)]
+        except ValueError:
+            pass
+
+    run()
