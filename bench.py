@@ -250,7 +250,8 @@ def main() -> None:
         pq_fidelity = simsearch.recall_at_k(adc10, exact_probe10)
         # the production shape: ADC shortlist + exact re-rank of 60
         # survivors recovers exact-scoring order while touching only
-        # ~60 full vectors per query (measured 1.0 across m/k configs)
+        # ~60 full vectors per query (0.9-1.0 observed: codebook means
+        # inherit float64 reduction-order ulps, see BENCH/BASELINE.md)
         pq_fidelity_rerank = simsearch.recall_at_k(
             simsearch.ivfpq_topk(
                 emb, rq, k=10, n_probe=3, m=8, cell_col="ivf_cell",
