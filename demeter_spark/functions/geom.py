@@ -672,3 +672,93 @@ def parts_intersect(a: list[list[Ring]], b: list[list[Ring]]) -> bool:
     if points_in_parts(bx0, by0, a).any():
         return True
     return segments_cross_any(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)
+
+
+def _dp_keep_mask(xs: np.ndarray, ys: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask for the OPEN polyline (xs, ys).
+
+    Iterative stack formulation of the public recursive algorithm; the
+    farthest-point search per span is vectorized numpy (squared
+    point-to-segment distance, so no sqrt in the hot loop). Endpoints are
+    always kept; a point survives iff some processed span has it as its
+    max-deviation vertex with deviation > eps. Ties on the max pick the
+    lowest index (np.argmax), making output deterministic.
+    """
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    eps2 = eps * eps
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        px = xs[i + 1 : j]
+        py = ys[i + 1 : j]
+        dx = xs[j] - xs[i]
+        dy = ys[j] - ys[i]
+        seg2 = dx * dx + dy * dy
+        if seg2 == 0.0:
+            d2 = (px - xs[i]) ** 2 + (py - ys[i]) ** 2
+        else:
+            # squared distance to the INFINITE line through i-j, clamped to
+            # the segment by projecting t into [0, 1]
+            t = np.clip(((px - xs[i]) * dx + (py - ys[i]) * dy) / seg2, 0.0, 1.0)
+            d2 = (px - (xs[i] + t * dx)) ** 2 + (py - (ys[i] + t * dy)) ** 2
+        k = int(np.argmax(d2))
+        if d2[k] > eps2:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
+def simplify_ring(xs: np.ndarray, ys: np.ndarray, eps: float) -> Ring | None:
+    """Douglas-Peucker for a CLOSED ring (no closing vertex in the input).
+
+    Rings have no natural endpoints, so the ring is split at vertex 0 and
+    at the vertex farthest from vertex 0 (the public closed-ring DP
+    construction), each arc simplified independently, then rejoined.
+    Returns None when the survivors cannot carry area (< 3 vertices) —
+    callers drop such rings (a hole vanishes; an outer ring removes its
+    part), mirroring how tile renderers cull sub-pixel geometry.
+    """
+    n = len(xs)
+    if n < 3:
+        return None
+    if eps <= 0.0:
+        return xs, ys
+    split = int(np.argmax((xs - xs[0]) ** 2 + (ys - ys[0]) ** 2))
+    if split == 0:  # all vertices coincide
+        return None
+    first = _dp_keep_mask(xs[: split + 1], ys[: split + 1], eps)
+    wrap_x = np.concatenate([xs[split:], xs[:1]])
+    wrap_y = np.concatenate([ys[split:], ys[:1]])
+    second = _dp_keep_mask(wrap_x, wrap_y, eps)
+    keep = np.zeros(n, dtype=bool)
+    keep[: split + 1] = first
+    keep[split:] |= second[:-1]
+    keep[0] |= second[-1]
+    if keep.sum() < 3:
+        return None
+    return xs[keep], ys[keep]
+
+
+def simplify_parts(
+    parts: list[list[Ring]], eps: float
+) -> list[list[Ring]]:
+    """Simplify every ring of a (multi)polygon; collapsed holes are
+    dropped, a collapsed outer ring drops its whole part."""
+    out: list[list[Ring]] = []
+    for rings in parts:
+        outer = simplify_ring(rings[0][0], rings[0][1], eps)
+        if outer is None:
+            continue
+        kept = [outer]
+        for xs, ys in rings[1:]:
+            hole = simplify_ring(xs, ys, eps)
+            if hole is not None:
+                kept.append(hole)
+        out.append(kept)
+    return out

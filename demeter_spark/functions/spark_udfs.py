@@ -11,7 +11,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 from demeter_spark.functions import cellgrid as cg
 
@@ -79,3 +79,30 @@ def kring_of(cell: Column, k: int) -> Column:
         return pd.Series(list(arr))
 
     return _kring(cell)
+
+
+def simplify_wkt(geom: Column, eps: float) -> Column:
+    """Column: (MULTI)POLYGON WKT -> Douglas-Peucker-simplified
+    MULTIPOLYGON WKT (NULL when every part collapses below ``eps``).
+
+    Arrow-batched Series->Series over the numpy DP kernel
+    (geom.simplify_parts) — the tiling engine's zoom-level geometry
+    reduction: rings keep every vertex that deviates more than ``eps``
+    from the simplified chain (the DP guarantee), so per-zoom parcel
+    boundaries stay within one screen pixel of the source geometry while
+    vertex counts drop by orders of magnitude.
+    """
+    from demeter_spark.functions import geom as gm
+
+    @F.pandas_udf(StringType())
+    def _simp(w: pd.Series) -> pd.Series:
+        out = []
+        for wkt in w:
+            if wkt is None:
+                out.append(None)
+                continue
+            parts = gm.simplify_parts(gm.parse_wkt_polygons(wkt), eps)
+            out.append(gm.multipolygon_wkt(parts) if parts else None)
+        return pd.Series(out, dtype=object)
+
+    return _simp(geom)
