@@ -36,7 +36,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grid_xy", "quadkey", "tile_pyramid"]
+__all__ = [
+    "grid_xy",
+    "quadkey",
+    "tile_pyramid",
+    "rollup_base",
+    "incremental_tile_pyramid",
+]
 
 
 def grid_xy(lon: Column, lat: Column, res: int) -> tuple[Column, Column]:
@@ -119,9 +125,35 @@ def tile_pyramid(
             F.max("max_v").alias("max_v"),
         ]
     base = points.select(*base_cols).groupBy("ix", "iy").agg(*aggs)
+    pyr = rollup_base(base, res_max, res_min, merge_aggs)
+    if with_quadkey:
+        pyr = pyr.withColumn(
+            "quadkey", quadkey(F.col("ix"), F.col("iy"), F.col("res"))
+        )
+    return pyr
 
+
+def _merge_aggs(value_col: str | None) -> list[Column]:
+    aggs = [F.sum("n_points").alias("n_points")]
+    if value_col is not None:
+        aggs += [
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        ]
+    return aggs
+
+
+def rollup_base(
+    base: DataFrame,
+    res_max: int,
+    res_min: int,
+    merge_aggs: list[Column],
+) -> DataFrame:
+    """Ancestor rollup of base-tile partials (re-aggregable stats only):
+    explode runs on AGGREGATED rows, then one groupBy merges every zoom."""
     levels = res_max - res_min
-    pyr = (
+    return (
         base.select(
             F.explode(F.expr(f"sequence(0, {levels})")).alias("_s"),
             "*",
@@ -135,8 +167,60 @@ def tile_pyramid(
         .groupBy("res", "ix", "iy")
         .agg(*merge_aggs)
     )
-    if with_quadkey:
-        pyr = pyr.withColumn(
-            "quadkey", quadkey(F.col("ix"), F.col("iy"), F.col("res"))
+
+
+def incremental_tile_pyramid(
+    log,
+    points_increment: DataFrame,
+    inc_id: int,
+    res_max: int,
+    res_min: int = 0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    value_col: str | None = None,
+    stage: str = "tile_pyramid_parts",
+    n_parts: int = 8,
+) -> DataFrame:
+    """Continuous-crawl tile index: fold an increment of new points into a
+    LineageLog-backed pyramid, exactly once, and return the CURRENT pyramid.
+
+    State (stage ``tile_pyramid_parts``) holds BASE-zoom partials per
+    increment — count/sum/min/max are re-aggregable, so the serve-side
+    pyramid is derived by one rollup over the committed partials; no
+    committed tile is ever rewritten by later increments.
+
+    - partitions are keyed (inc_id, tile-hash bucket) composited into one
+      long, so each increment owns DISTINCT partitions — dynamic overwrite
+      can never clobber an earlier increment's partials (the same
+      composite-key contract as incremental MinHash dedup);
+    - work per increment: aggregate the increment's points to base tiles
+      (one shuffle over increment rows only) + the read-side rollup —
+      committed increments are scanned as pre-aggregated partials
+      (parquet, bounded by distinct tiles, not by points);
+    - crash/replay of the same increment is healed by write_increment's
+      idempotent partition overwrite; the union over increments equals
+      the batch tile_pyramid over all points (pytest-pinned, exact ints).
+    """
+    ix, iy = grid_xy(F.col(lon_col), F.col(lat_col), res_max)
+    cols = [ix.alias("ix"), iy.alias("iy")]
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    if value_col is not None:
+        cols.append(F.col(value_col).alias("_v"))
+        aggs += [
+            F.sum("_v").alias("sum_v"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+        ]
+    base_inc = (
+        points_increment.select(*cols)
+        .groupBy("ix", "iy")
+        .agg(*aggs)
+        .withColumn(
+            "part_key",
+            F.lit(int(inc_id) * n_parts)
+            + F.pmod(F.xxhash64("ix", "iy"), F.lit(n_parts)),
         )
-    return pyr
+    )
+    log.write_increment(stage, base_inc, "part_key", f"tiles-{inc_id}")
+    committed = log.read_stage(stage).drop("part_key", "_part")
+    return rollup_base(committed, res_max, res_min, _merge_aggs(value_col))
