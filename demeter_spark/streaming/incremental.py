@@ -201,3 +201,49 @@ def streaming_containment(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_tile_pyramid(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    res_max: int,
+    res_min: int = 0,
+    value_col: str | None = None,
+) -> None:
+    """Continuously-maintained tile index as a STREAM: newly-arrived point
+    files fold into the LineageLog-backed pyramid state exactly once
+    (micro-batch id = increment id, same bridge as streaming_dedup), and
+    each batch publishes the CURRENT multi-zoom pyramid snapshot.
+
+    The sink is a full-snapshot overwrite rather than a partitioned append:
+    the pyramid is a derived view of the committed base-tile partials, so a
+    replayed batch recommits state idempotently and republishes an
+    identical snapshot — last-write-wins is exactly-once here. The
+    published snapshot equals the batch tile_pyramid over every point seen
+    so far (pytest-verified)."""
+    from demeter_spark.operators.tilepyramid import incremental_tile_pyramid
+    from demeter_spark.plans.lineage import LineageLog
+
+    log = LineageLog(spark, state_dir)
+    schema = "lon DOUBLE, lat DOUBLE"
+    if value_col is not None:
+        schema += f", {value_col} BIGINT"
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        pyramid = incremental_tile_pyramid(
+            log, batch_df, int(batch_id), res_max, res_min,
+            value_col=value_col,
+        )
+        pyramid.write.mode("overwrite").parquet(output_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -73,3 +73,32 @@ def test_increments_own_disjoint_partitions(spark, tmp_path):
     assert parts0 and parts1
     assert parts0.isdisjoint(parts1)
     assert all(p < 8 for p in parts0) and all(8 <= p < 16 for p in parts1)
+
+
+def test_streaming_pyramid_equals_batch(spark, tmp_path):
+    """Two file arrivals through the AvailableNow stream: the published
+    snapshot equals the batch pyramid over all points; a third run with
+    nothing new leaves it untouched."""
+    from demeter_spark.streaming.incremental import streaming_tile_pyramid
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    _pts(spark, 0, 1200).write.mode("append").parquet(in_dir)
+    streaming_tile_pyramid(
+        spark, in_dir, out_dir, ckpt, state, RES_MAX, RES_MIN, value_col="v"
+    )
+    _pts(spark, 1200, N).write.mode("append").parquet(in_dir)
+    streaming_tile_pyramid(
+        spark, in_dir, out_dir, ckpt, state, RES_MAX, RES_MIN, value_col="v"
+    )
+    want = _tiles(
+        tp.tile_pyramid(_pts(spark, 0, N), RES_MAX, RES_MIN, value_col="v")
+    )
+    assert _tiles(spark.read.parquet(out_dir)) == want
+    streaming_tile_pyramid(
+        spark, in_dir, out_dir, ckpt, state, RES_MAX, RES_MIN, value_col="v"
+    )
+    assert _tiles(spark.read.parquet(out_dir)) == want
