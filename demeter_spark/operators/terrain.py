@@ -72,7 +72,9 @@ def horn_derivatives(
         F.when((F.col("_o.ox") == 0) & (F.col("_o.oy") == 0), F.col("_v")).alias(
             "_center"
         ),
-        F.lit(1).alias("_n"),
+        # NULL values (nodata holes) don't count as support, so a hole
+        # suppresses its 3x3 neighborhood exactly like a missing row
+        F.when(F.col("_v").isNotNull(), 1).alias("_n"),
     )
     return (
         contrib.groupBy("ix", "iy")

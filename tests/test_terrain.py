@@ -154,3 +154,81 @@ def test_edge_and_hole_cells_suppressed(spark):
         out.where((F.abs(F.col("ix") - 10) <= 1) & (F.abs(F.col("iy") - 9) <= 1)).count()
         == 0
     )
+
+
+def test_null_value_suppresses_neighborhood(spark):
+    pdf = _dem_pdf()
+    pdf.loc[(pdf.ix == 10) & (pdf.iy == 9), "v"] = None
+    df = spark.createDataFrame(pdf)
+    out = terrain.horn_derivatives(df)
+    assert out.count() == (W - 2) * (H - 2) - 9
+    assert (
+        out.where((F.abs(F.col("ix") - 10) <= 1) & (F.abs(F.col("iy") - 9) <= 1)).count()
+        == 0
+    )
+
+
+def test_zonal_slope_composition(spark):
+    """terrain -> zonal composition: mean squared-gradient-numerator per
+    parcel over the synthetic elevation grid, verified against a driver-side
+    numpy Horn + center-PIP recomputation (independent of every Spark op in
+    the chain)."""
+    from demeter_spark.operators import zonal
+    from demeter_spark.functions import geom as gmod
+    from demeter_spark.sources import synth
+
+    cells = synth.raster_cells(spark).filter("dataset = 'elevation'")
+    d = terrain.horn_derivatives(cells, value_col="value")
+    slope_cells = (
+        d.join(cells.select("ix", "iy", "cx", "cy"), ["ix", "iy"])
+        .selectExpr(
+            "'slope' AS dataset",
+            "0 AS depth_lo",
+            "cx",
+            "cy",
+            "dzdx_num * dzdx_num + dzdy_num * dzdy_num AS value",
+        )
+    )
+    par = synth.parcels(spark)
+    got = {
+        r.parcel_id: (r.n_valid, r.sum_value)
+        for r in zonal.zonal_stats(slope_cells, par).collect()
+    }
+
+    # independent recomputation
+    pdf = cells.select("ix", "iy", "cx", "cy", "value").toPandas()
+    w = int(pdf.ix.max()) + 1
+    h = int(pdf.iy.max()) + 1
+    grid = np.full((w, h), np.nan)
+    grid[pdf.ix.to_numpy(), pdf.iy.to_numpy()] = pdf.value.to_numpy()
+    want: dict[int, list] = {}
+    parcels = {
+        r.parcel_id: gmod.parse_wkt_polygons(r.geom_wkt)
+        for r in par.collect()
+    }
+    cxs = dict(zip(pdf.ix, pdf.cx))
+    cys = dict(zip(pdf.iy, pdf.cy))
+    for ix in range(1, w - 1):
+        for iy in range(1, h - 1):
+            win = grid[ix - 1 : ix + 2, iy - 1 : iy + 2]
+            if np.isnan(win).any():
+                continue
+            dzdx = (
+                (win[2, 0] + 2 * win[2, 1] + win[2, 2])
+                - (win[0, 0] + 2 * win[0, 1] + win[0, 2])
+            )
+            dzdy = (
+                (win[0, 2] + 2 * win[1, 2] + win[2, 2])
+                - (win[0, 0] + 2 * win[1, 0] + win[2, 0])
+            )
+            s2 = dzdx * dzdx + dzdy * dzdy
+            px, py = np.array([cxs[ix]]), np.array([cys[iy]])
+            for pid, parts in parcels.items():
+                if gmod.points_in_parts(px, py, parts)[0]:
+                    want.setdefault(pid, [0, 0.0])
+                    want[pid][0] += 1
+                    want[pid][1] += s2
+    assert set(got) == set(want)
+    for pid in want:
+        assert got[pid][0] == want[pid][0], pid
+        assert math.isclose(got[pid][1], want[pid][1], rel_tol=1e-12), pid
