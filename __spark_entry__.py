@@ -47,10 +47,19 @@ def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geocoding: regex place extraction + broadcast gazetteer join (S5/J2)."""
+    """Geocoding: regex place extraction + broadcast gazetteer join (S5/J2),
+    plus the two cell indexes side by side — quad (S2-style Morton) and hex
+    (H3-style axial, round 6) — both pure Catalyst; the hex id is
+    oracle-checked bit-for-bit against hexgrid.hex_of_sql's DuckDB text."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.functions import spark_udfs as su
     from demeter_spark.sources import synth
 
-    return synth.page_points(spark, sf_dir)
+    pts = synth.page_points(spark, sf_dir)
+    return pts.withColumn(
+        "hex_id", su.hex_of(F.col("lon"), F.col("lat"), 7)
+    )
 
 
 def _q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,6 +880,17 @@ def _stencil_cte(alias: str, weights=None) -> str:
               {joins}"""
 
 
+def _geocode_oracle_sql() -> str:
+    """page_points + the H3-style hex id (bit-exact: hexgrid.hex_of_sql
+    emits the same float64 arithmetic the Catalyst expression runs)."""
+    from demeter_spark.functions import hexgrid as hx
+
+    return (
+        "SELECT url, doc_id, place_id, lon, lat, "
+        f"{hx.hex_of_sql('lon', 'lat', 7)} AS hex_id FROM page_points"
+    )
+
+
 def _kernels_oracle_sql() -> str:
     """All four interpolating kernels per destination pixel, each kernel's
     expression text unchanged from its previously-verified standalone oracle
@@ -1240,7 +1260,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "extract_text": oracle_query("SELECT url, text FROM pages", ("pages",)),
-        "geocode_points": oracle_query("SELECT * FROM page_points"),
+        "geocode_points": oracle_query(_geocode_oracle_sql()),
         "reproject_kernels": oracle_query(
             _kernels_oracle_sql(), ("raster_cells",)
         ),

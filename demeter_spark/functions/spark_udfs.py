@@ -106,3 +106,63 @@ def simplify_wkt(geom: Column, eps: float) -> Column:
         return pd.Series(out, dtype=object)
 
     return _simp(geom)
+
+
+def hex_of(lon: Column, lat: Column, res: int) -> Column:
+    """Column expression: point -> H3-style hexagonal cell id at ``res``.
+
+    Pure Catalyst (no Python in the hot path): fractional axial
+    coordinates, cube rounding with floor(x+0.5) (the cross-engine-stable
+    rounding — see functions/hexgrid.py), offset-encoded into the int64
+    layout hexgrid.encode uses. Literal-for-literal the same float64
+    arithmetic as the numpy kernel and hexgrid.hex_of_sql's DuckDB text,
+    so all three agree bit-for-bit; equivalence with numpy is
+    property-tested in tests/test_hexgrid.py.
+    """
+    from demeter_spark.functions import hexgrid as hx
+
+    s = F.lit(hx.hex_size(res))
+    qf = (lon * F.lit(hx._K_Q) - lat * F.lit(hx._K_THIRD)) / s
+    rf = (lat * F.lit(hx._K_R)) / s
+    cx, cz = qf, rf
+    cy = -qf - rf
+    rx = F.floor(cx + F.lit(0.5)).cast("double")
+    ry = F.floor(cy + F.lit(0.5)).cast("double")
+    rz = F.floor(cz + F.lit(0.5)).cast("double")
+    dx = F.abs(rx - cx)
+    dy = F.abs(ry - cy)
+    dz = F.abs(rz - cz)
+    fix_x = (dx > dy) & (dx > dz)
+    q = F.when(fix_x, -ry - rz).otherwise(rx).cast("long")
+    r = (
+        F.when(~fix_x & ~(dy > dz), -rx - ry).otherwise(rz).cast("long")
+    )
+    return (
+        F.lit(res).cast("long") * F.lit(hx._RES_SHIFT)
+        + (q + F.lit(hx._COORD_OFF)) * F.lit(hx._COORD_SHIFT)
+        + (r + F.lit(hx._COORD_OFF))
+    )
+
+
+def hex_of_pandas(lon: Column, lat: Column, res: int) -> Column:
+    """pandas-UDF variant of hex_of (kept for parity testing)."""
+    from demeter_spark.functions import hexgrid as hx
+
+    @F.pandas_udf(LongType())
+    def _hex_of(lo: pd.Series, la: pd.Series) -> pd.Series:
+        return pd.Series(hx.hex_of(lo.to_numpy(), la.to_numpy(), res))
+
+    return _hex_of(lon, lat)
+
+
+def hex_kring_of(cell: Column, k: int) -> Column:
+    """Column: hex id -> array of the filled k-ring (3k(k+1)+1 ids) —
+    the hex analogue of kring_of for kNN expansion."""
+    from demeter_spark.functions import hexgrid as hx
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _hkring(c: pd.Series) -> pd.Series:
+        arr = hx.kring(c.to_numpy(), k)
+        return pd.Series(list(arr))
+
+    return _hkring(cell)
