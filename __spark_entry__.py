@@ -514,9 +514,12 @@ def _q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     - repetition_stats: Gopher n-gram repetition gates — top-2-gram coverage
       + duplicate-3-gram fraction (map-only, zero Exchange pytest-asserted),
     - boilerplate_ngrams: CCNet-style corpus-shared-span fraction (distinct
-      6-grams appearing in >= 3 docs; ONE gram-keyed shuffle, no all-pairs).
+      6-grams appearing in >= 3 docs; ONE gram-keyed shuffle, no all-pairs),
+    - bigram_surprise: CCNet perplexity-filter analogue — corpus bigram LM
+      counts, per-doc improbable-transition fraction, integer-exact so the
+      oracle comparison is bit-stable (round 6).
 
-    Joined 1:1:1 on doc_id (every synthetic doc has >= 10 words, so the
+    Joined 1:1:1:1 on doc_id (every synthetic doc has >= 10 words, so the
     gram explode drops nothing — pinned by the row-count gate)."""
     from demeter_spark.operators import textstats
     from demeter_spark.sources import synth
@@ -524,7 +527,13 @@ def _q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synth.documents(spark, sf_dir)
     rep = textstats.repetition_stats(docs).drop("n_words")
     bp = textstats.boilerplate_ngrams(docs)
-    return textstats.quality_flags(docs).join(rep, "doc_id").join(bp, "doc_id")
+    lm = textstats.bigram_surprise(docs)
+    return (
+        textstats.quality_flags(docs)
+        .join(rep, "doc_id")
+        .join(bp, "doc_id")
+        .join(lm, "doc_id")
+    )
 
 
 def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2002,11 +2011,40 @@ def oracle_sql() -> dict[str, str]:
                                THEN 1 ELSE 0 END) AS DOUBLE) / count(*) > 0.5e0
                         THEN 1 ELSE 0 END AS INT) AS boilerplate
               FROM pdx JOIN gdc USING (gram) GROUP BY doc_id
+            ),
+            tr AS (
+              SELECT doc_id, unnest(gt) AS g FROM rg
+            ),
+            bgc AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS c_bg FROM tr GROUP BY g
+            ),
+            prc AS (
+              SELECT string_split(g, ' ')[1] AS w1,
+                     CAST(count(*) AS BIGINT) AS c_pre
+              FROM tr GROUP BY 1
+            ),
+            lm AS (
+              SELECT doc_id,
+                   CAST(count(*) AS INT) AS lm_n_trans,
+                   CAST(sum(CASE WHEN c_bg * 32 < c_pre THEN 1 ELSE 0 END)
+                        AS INT) AS lm_n_improbable,
+                   CAST(sum(c_bg) AS BIGINT) AS lm_sum_cbg
+              FROM tr
+              JOIN bgc USING (g)
+              JOIN prc ON string_split(g, ' ')[1] = prc.w1
+              GROUP BY doc_id
             )
             SELECT qf.*, rep.top_gram_n, rep.top_gram_frac, rep.dup_gram_n,
                    rep.dup_gram_frac, rep.keep_repetition,
-                   bp.n_grams, bp.n_shared, bp.shared_frac, bp.boilerplate
+                   bp.n_grams, bp.n_shared, bp.shared_frac, bp.boilerplate,
+                   lm.lm_n_trans, lm.lm_n_improbable, lm.lm_sum_cbg,
+                   CAST(lm.lm_n_improbable AS DOUBLE) / lm.lm_n_trans
+                     AS lm_improbable_frac,
+                   CAST(CASE WHEN CAST(lm.lm_n_improbable AS DOUBLE)
+                          / lm.lm_n_trans <= 0.5e0
+                        THEN 1 ELSE 0 END AS INT) AS keep_lm
             FROM qf JOIN rep USING (doc_id) JOIN bp USING (doc_id)
+                    JOIN lm USING (doc_id)
             """,
             (),
         ),

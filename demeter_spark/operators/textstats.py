@@ -412,3 +412,102 @@ def boilerplate_ngrams(
             " THEN 1 ELSE 0 END AS INT) AS boilerplate",
         )
     )
+
+
+def bigram_lm_train(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus bigram language model as a count table: one row per observed
+    transition ``g`` = "w1 w2" with ``c_bg`` (corpus occurrences of the
+    bigram) and ``c_pre`` (corpus occurrences of w1 as a transition
+    prefix), so P(w2|w1) = c_bg / c_pre over the transition multiset.
+
+    The CCNet recipe scores web documents under a corpus LM and gates on
+    perplexity; this is that model's exact count core, kept integer so the
+    scoring pass stays bit-exact cross-engine (log/exp are the known
+    non-oracle-safe transcendentals — tests/test_reproject.py).
+
+    Scale: grams explode map-side, then ONE hash aggregate each for
+    bigram and prefix counts (map-side combined; distinct observed bigrams
+    are corpus-bounded and heavy-tailed, the classic LM-training shuffle).
+    The model is a dimension table relative to the corpus.
+    """
+    ws = f"split({text_col}, ' ')"
+    trans = docs.selectExpr(
+        id_col,
+        f"CASE WHEN size({ws}) >= 2 THEN"
+        f" transform(sequence(1, size({ws}) - 1),"
+        f" i -> concat_ws(' ', slice({ws}, i, 2)))"
+        " ELSE array() END AS _gt",
+    ).select(F.explode("_gt").alias("g"))
+    bg = trans.groupBy("g").agg(F.count(F.lit(1)).alias("c_bg"))
+    pre = (
+        trans.select(F.split(F.col("g"), " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_pre"))
+    )
+    return bg.withColumn("w1", F.split(F.col("g"), " ").getItem(0)).join(
+        pre, "w1"
+    ).select("g", "c_bg", "c_pre")
+
+
+def bigram_surprise(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    max_improbable_frac: float = 0.5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document LM-surprise signals under a corpus bigram model — the
+    CCNet perplexity-filter analogue, integer-exact for the oracle gate:
+
+    - lm_n_trans: transitions scored,
+    - lm_n_improbable: transitions with P(w2|w1) < 1/k, tested as the
+      integer comparison ``c_bg * k < c_pre`` (no division, no log —
+      bit-exact in every engine),
+    - lm_sum_cbg: summed bigram counts (integer => order-independent, so
+      the groupBy re-aggregation is hash-safe despite shuffle order),
+    - lm_improbable_frac: the one float, a single division of two exact
+      integers (correctly rounded identically everywhere),
+    - keep_lm: gate at ``max_improbable_frac``.
+
+    ``model=None`` trains on ``docs`` itself (self-scoring, the CCNet
+    in-domain setup; every transition is then in-vocabulary so the inner
+    join drops nothing). Scale: the model is broadcast when
+    ``broadcast_model`` (vocabulary-sized — correct for any real corpus);
+    set False to force a shuffle join keyed on the gram for adversarial
+    vocabularies, where AQE handles head-gram skew.
+    """
+    if model is None:
+        model = bigram_lm_train(docs, id_col=id_col, text_col=text_col)
+    ws = f"split({text_col}, ' ')"
+    trans = docs.selectExpr(
+        id_col,
+        f"CASE WHEN size({ws}) >= 2 THEN"
+        f" transform(sequence(1, size({ws}) - 1),"
+        f" i -> concat_ws(' ', slice({ws}, i, 2)))"
+        " ELSE array() END AS _gt",
+    ).select(id_col, F.explode("_gt").alias("g"))
+    m = F.broadcast(model) if broadcast_model else model
+    scored = trans.join(m, "g").groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("lm_n_trans"),
+        F.sum(
+            F.when(
+                F.col("c_bg") * F.lit(k) < F.col("c_pre"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("int")
+        .alias("lm_n_improbable"),
+        F.sum("c_bg").cast("bigint").alias("lm_sum_cbg"),
+    )
+    return scored.selectExpr(
+        id_col,
+        "lm_n_trans",
+        "lm_n_improbable",
+        "lm_sum_cbg",
+        "CAST(lm_n_improbable AS DOUBLE) / lm_n_trans AS lm_improbable_frac",
+        f"CAST(CASE WHEN CAST(lm_n_improbable AS DOUBLE) / lm_n_trans"
+        f" <= {max_improbable_frac}e0 THEN 1 ELSE 0 END AS INT) AS keep_lm",
+    )
