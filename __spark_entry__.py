@@ -484,16 +484,19 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver gate re-verifies all of them every round (VERDICT r03 #1):
     token/type counts + stopword ratio + language guess + quality flag
     (text_stats), whitespace + BPE-ish subword token counting
-    (token_counts), and raw/normalized content fingerprints (fingerprints)."""
-    from demeter_spark.operators import textstats
+    (token_counts), raw/normalized content fingerprints (fingerprints), and
+    the deterministic salted-hash train/valid/test assignment
+    (sampling.split_assign, round 6 — md5-bucket ranges, engine-portable)."""
+    from demeter_spark.operators import sampling, textstats
     from demeter_spark.sources import synth
 
     docs = synth.documents(spark, sf_dir)
-    return (
+    joined = (
         textstats.text_stats(docs)
         .join(textstats.token_counts(docs), "doc_id")
         .join(textstats.fingerprints(docs), "doc_id")
     )
+    return sampling.split_assign(joined, key_col="doc_id")
 
 
 def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -887,6 +890,12 @@ def _stencil_cte(alias: str, weights=None) -> str:
                      CASE WHEN {valid} THEN {value_expr} END AS value
               FROM corner c
               {joins}"""
+
+
+def _split_oracle_case() -> str:
+    from demeter_spark.operators import sampling
+
+    return sampling.split_assign_oracle_case(key_col="doc_id")
 
 
 def _geocode_oracle_sql() -> str:
@@ -1899,9 +1908,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(lower(text),
                         '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_subtokens,
                    md5(text) AS fp_raw,
-                   md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp_norm
+                   md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp_norm,
+                   {split_case} AS split
             FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
-            """,
+            """.format(split_case=_split_oracle_case()),
             (),
         ),
         "top_terms": oracle_query(

@@ -1,0 +1,118 @@
+"""Deterministic sampling / split assignment for training-data curation.
+
+The operations every large-scale training pipeline runs after filtering
+and dedup: carve train/valid/test splits and draw per-stratum samples
+(language/domain balancing) — REPRODUCIBLY. Randomness comes from a
+salted md5 of a stable row key, never from an RNG: re-running the
+pipeline, resuming from a checkpoint, or adding executors yields the
+same assignment for every row (rand()-based sampling is not stable
+under retries/re-partitioning — a documented Spark footgun).
+
+All map-only, pure JVM expressions (md5 + string slicing + integer
+compares): ZERO shuffle, no Python, and the identical SQL evaluates in
+DuckDB for the oracle gate (md5 hex strings are engine-portable — the
+same trick the SimHash oracle uses, operators/dedup.py:274).
+
+Reference anchor: the reference has no sampling layer (its tests fix
+tiny AOIs by hand, e.g. demeter/tests/raster/test_polaris.py); these are
+the webtext-payload counterpart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_BUCKETS = 1 << 32
+
+
+def _bucket_expr(key_col: str, salt: str) -> str:
+    """Uniform [0, 2^32) bucket from a salted md5 of the key — Spark SQL
+    text; sampling_oracle_bucket() emits the DuckDB twin."""
+    return (
+        f"CAST(conv(substring(md5(concat('{salt}', ':', {key_col})), 1, 8),"
+        " 16, 10) AS BIGINT)"
+    )
+
+
+def sampling_oracle_bucket(key_col: str, salt: str) -> str:
+    """DuckDB expression computing the same bucket (hex parse via ::BIGINT
+    of a 0x literal; md5 of identical input bytes => identical hex)."""
+    return (
+        f"CAST(('0x' || substring(md5('{salt}' || ':' || {key_col}), 1, 8))"
+        " AS BIGINT)"
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "url",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split with the
+    given weights (default 90/5/5 train/valid/test).
+
+    Assignment is by bucket ranges over the salted hash: thresholds are
+    EXACT integers (floor of cumulative weight * 2^32), so the boundary
+    comparison is integer-only and cross-engine stable. Keying on url
+    (not doc_id) keeps the assignment stable across re-crawls that renumber
+    documents — the property that prevents test-set leakage between runs.
+    """
+    weights = weights or {"train": 0.90, "valid": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    b = _bucket_expr(key_col, salt)
+    cases, acc = [], 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cases.append((name, int(acc * _BUCKETS)))
+    expr = "CASE"
+    for name, thr in cases:
+        expr += f" WHEN {b} < {thr} THEN '{name}'"
+    expr += f" ELSE '{items[-1][0]}' END AS split"
+    return docs.selectExpr("*", expr)
+
+
+def split_assign_oracle_case(
+    weights: dict[str, float] | None = None,
+    key_col: str = "url",
+    salt: str = "split-v1",
+) -> str:
+    """The DuckDB CASE expression mirroring split_assign (same thresholds,
+    same hash) for oracle SQL composition."""
+    weights = weights or {"train": 0.90, "valid": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    b = sampling_oracle_bucket(key_col, salt)
+    items = list(weights.items())
+    expr, acc = "CASE", 0.0
+    for name, w in items[:-1]:
+        acc += w / total
+        expr += f" WHEN {b} < {int(acc * _BUCKETS)} THEN '{name}'"
+    return expr + f" ELSE '{items[-1][0]}' END"
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "url",
+    salt: str = "sample-v1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff its
+    bucket < fraction[stratum] * 2^32 (exact integer threshold).
+
+    The language/domain re-balancing draw of corpus curation: e.g.
+    {"en": 0.1, "fr": 1.0} keeps 10% of English, all French. Map-only —
+    the per-stratum thresholds compile into ONE CASE expression (no join,
+    no shuffle, works at any number of strata that fits a CASE; for
+    thousands of strata broadcast-join a threshold dim instead). Expected
+    counts concentrate tightly (Chernoff) because buckets are uniform;
+    exactness of per-row membership — not of counts — is the contract.
+    """
+    b = _bucket_expr(key_col, salt)
+    thr = "CASE"
+    for s, f in fractions.items():
+        thr += f" WHEN {stratum_col} = '{s}' THEN {int(f * _BUCKETS)}"
+    thr += f" ELSE {int(default_fraction * _BUCKETS)} END"
+    return docs.where(f"{b} < ({thr})")

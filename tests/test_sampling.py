@@ -1,0 +1,107 @@
+"""Deterministic split assignment + stratified hash sampling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from demeter_spark.operators import sampling
+
+
+def _docs(spark, n=4000):
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://site{i % 37}.example/p/{i}" for i in range(n)],
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": np.where(
+                np.arange(n) % 10 < 7, "en", np.where(np.arange(n) % 10 < 9, "fr", "de")
+            ),
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(8), pdf
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    df, _ = _docs(spark)
+    out = sampling.split_assign(df).toPandas()
+    again = sampling.split_assign(df.repartition(3)).toPandas()
+    a = out.sort_values("doc_id")["split"].to_numpy()
+    b = again.sort_values("doc_id")["split"].to_numpy()
+    # identical assignment regardless of partitioning/run
+    assert np.array_equal(a, b)
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.90) < 0.03
+    assert abs(frac["valid"] - 0.05) < 0.02
+    assert abs(frac["test"] - 0.05) < 0.02
+
+
+def test_split_keyed_on_url_survives_renumbering(spark):
+    df, pdf = _docs(spark)
+    out1 = sampling.split_assign(df).toPandas().set_index("url")["split"]
+    renum = spark.createDataFrame(
+        pdf.assign(doc_id=pdf["doc_id"].to_numpy()[::-1].copy())
+    )
+    out2 = sampling.split_assign(renum).toPandas().set_index("url")["split"]
+    # same url -> same split even when doc_ids are reassigned
+    assert (out1.sort_index() == out2.sort_index()).all()
+
+
+def test_split_salt_changes_assignment(spark):
+    df, _ = _docs(spark, n=1000)
+    a = sampling.split_assign(df, salt="a").toPandas().set_index("url")["split"]
+    b = sampling.split_assign(df, salt="b").toPandas().set_index("url")["split"]
+    assert (a.sort_index() != b.sort_index()).any()
+
+
+def test_split_matches_duckdb_oracle(spark, ddb):
+    df, pdf = _docs(spark, n=1500)
+    got = (
+        sampling.split_assign(df, key_col="doc_id")
+        .toPandas()
+        .sort_values("doc_id")["split"]
+        .to_numpy()
+    )
+    ddb.register("samp_docs", pdf)
+    case = sampling.split_assign_oracle_case(key_col="doc_id")
+    want = (
+        ddb.sql(f"SELECT doc_id, {case} AS split FROM samp_docs ORDER BY doc_id")
+        .df()["split"]
+        .to_numpy()
+    )
+    assert np.array_equal(got, want)
+
+
+def test_stratified_sample_membership_and_rates(spark, ddb):
+    df, pdf = _docs(spark)
+    fr = {"en": 0.25, "fr": 1.0}
+    out = sampling.stratified_sample(df, fr).toPandas()
+    # de default_fraction=0 -> excluded entirely; fr kept entirely
+    assert set(out["lang"]) == {"en", "fr"}
+    assert (out["lang"] == "fr").sum() == (pdf["lang"] == "fr").sum()
+    en_rate = (out["lang"] == "en").sum() / (pdf["lang"] == "en").sum()
+    assert abs(en_rate - 0.25) < 0.05
+    # per-row membership matches the DuckDB mirror exactly
+    ddb.register("samp_docs2", pdf)
+    b = sampling.sampling_oracle_bucket("url", "sample-v1")
+    want = ddb.sql(
+        f"""SELECT url FROM samp_docs2 WHERE {b} < (CASE
+             WHEN lang = 'en' THEN {int(0.25 * (1 << 32))}
+             WHEN lang = 'fr' THEN {1 << 32} ELSE 0 END)
+            ORDER BY url"""
+    ).df()["url"].to_numpy()
+    assert np.array_equal(np.sort(out["url"].to_numpy()), want)
+
+
+def test_sampling_is_map_only(spark):
+    pdf = pd.DataFrame(
+        {"url": [f"u{i}" for i in range(200)], "lang": ["en"] * 200}
+    )
+    df = spark.createDataFrame(pdf)
+    plan = (
+        sampling.stratified_sample(df, {"en": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
