@@ -1,0 +1,450 @@
+"""Hydrology over cell grids: D8 flow direction, watershed labeling, and
+two-level flow accumulation.
+
+Capability extension of the reference's hydrography stack: demeter
+fetches USGS NHDPlus catchment rasters and Watershed Boundary Dataset
+polygons (demeter/raster/usgs/hydrography.py:50,358-412, the WBD query in
+demeter/vector — S11) and joins AOIs against *precomputed* drainage
+products. This module computes those products from elevation directly —
+the public D8 algorithm family (O'Callaghan & Mark 1984; the parallel
+decomposition follows TauDEM's published tile-partitioned design).
+
+Scale shapes:
+
+- ``d8_flow``: one x9 stencil explode + ONE groupBy — same single-Exchange
+  shape as terrain.horn_derivatives. Steepest descent is ranked on the
+  INTEGER key ``w * drop^2`` (w=2 cardinal, 1 diagonal: d_c > d_d/sqrt(2)
+  <=> 2*d_c^2 > d_d^2 for positive drops), so direction assignment is
+  exact for integer DEMs and DuckDB-oracle-checkable — no sqrt, no float.
+- ``watershed_label``: pointer doubling on the D8 successor function —
+  log2(longest flow path) self-join rounds, each one shuffle; the
+  functional-graph trick connected components already uses
+  (operators/dedup.py large-star) applied to drainage basins (the WBD
+  analogue). localCheckpoint per round caps logical-plan growth.
+- ``flow_accumulation``: the counting problem is a path-sum over the flow
+  forest — inherently sequential along rivers, so the parallel form is
+  TauDEM's two-level scheme: (1) per-tile sequential accumulation inside
+  applyInPandas (each B x B tile resolved in one vectorized pass, no
+  cross-executor traffic), (2) a boundary graph ~1/B the linear size
+  iterated to fixpoint (rounds = tile-graph longest path ~ path/B), then
+  (3) one replay join pushing converged externals back through tiles.
+  At 100 TB the boundary phase touches only perimeter cells — the
+  interior (B^2 vs 4B scaling) never re-shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["d8_flow", "watershed_label", "flow_accumulation", "D8_OFFSETS"]
+
+# ESRI D8 codes in tie-break priority order: E SE S SW W NW N NE.
+# (dx, dy, code, w): w = 2 for cardinal, 1 for diagonal — the integer
+# steepest-descent weight (compare w * drop^2).
+D8_OFFSETS = [
+    (1, 0, 1, 2),
+    (1, -1, 2, 1),
+    (0, -1, 4, 2),
+    (-1, -1, 8, 1),
+    (-1, 0, 16, 2),
+    (-1, 1, 32, 1),
+    (0, 1, 64, 2),
+    (1, 1, 128, 1),
+]
+
+
+def d8_flow(
+    cells: DataFrame,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    value_col: str = "v",
+) -> DataFrame:
+    """Steepest-descent D8 direction per interior cell.
+
+    Output: (ix, iy, v, d8_code, down_ix, down_iy). ``d8_code`` 0 = pit or
+    flat (no lower neighbor) with NULL down coordinates; edge cells (any
+    of the 8 neighbors missing or nodata) are suppressed like the Horn
+    stencil. Ties on the integer key ``w*drop^2`` break toward the
+    smallest code (E before SE before S ...), the deterministic rule the
+    oracle mirrors.
+    """
+    # every cell contributes itself to each neighbor's window (and to its
+    # own as offset 0,0 == code NULL)
+    offsets = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy, {code} AS code, {w} AS w)"
+        for dx, dy, code, w in D8_OFFSETS
+    )
+    contrib = cells.select(
+        F.explode(
+            F.expr(f"array(struct(0 AS dx, 0 AS dy, 0 AS code, 0 AS w), {offsets})")
+        ).alias("_o"),
+        F.col(ix_col).alias("_sx"),
+        F.col(iy_col).alias("_sy"),
+        # BIGINT from the start so w*drop^2 can't overflow an int32 DEM
+        F.col(value_col).cast("long").alias("_v"),
+    ).select(
+        # the source cell at (sx, sy) is, from the TARGET's viewpoint,
+        # the neighbor in direction (dx, dy) = (sx - tx, sy - ty)
+        (F.col("_sx") - F.col("_o.dx")).alias("ix"),
+        (F.col("_sy") - F.col("_o.dy")).alias("iy"),
+        F.col("_o.code").alias("_code"),
+        F.col("_o.w").alias("_w"),
+        F.col("_o.dx").alias("_dx"),
+        F.col("_o.dy").alias("_dy"),
+        F.col("_v").alias("_v"),
+    )
+    grouped = contrib.groupBy("ix", "iy").agg(
+        F.max(F.when(F.col("_code") == 0, F.col("_v"))).alias("v"),
+        F.collect_list(
+            F.when(
+                F.col("_code") != 0,
+                F.struct("_code", "_w", "_dx", "_dy", "_v"),
+            )
+        ).alias("_nbs"),
+        F.sum(F.when(F.col("_v").isNotNull(), 1).otherwise(0)).alias("_n"),
+    )
+    # interior cells only (center + 8 neighbors all present and non-null);
+    # fold the neighbor array to the best (max w*drop^2, min code) — the
+    # fold is order-independent, so collect_list's nondeterministic order
+    # cannot change the result
+    best = (
+        "aggregate(_nbs, "
+        "CAST(NULL AS struct<key BIGINT, code INT, dx INT, dy INT>), "
+        "(acc, nb) -> CASE "
+        "  WHEN v <= nb._v THEN acc "  # not a descent
+        "  WHEN acc IS NULL"
+        "    OR nb._w * (v - nb._v) * (v - nb._v) > acc.key"
+        "    OR (nb._w * (v - nb._v) * (v - nb._v) = acc.key"
+        "        AND nb._code < acc.code) "
+        "  THEN struct(CAST(nb._w * (v - nb._v) * (v - nb._v) AS BIGINT)"
+        "              AS key, nb._code AS code, nb._dx AS dx, nb._dy AS dy) "
+        "  ELSE acc END)"
+    )
+    return (
+        grouped.where(F.col("_n") == 9)
+        .withColumn("_best", F.expr(best))
+        .select(
+            "ix",
+            "iy",
+            "v",
+            F.coalesce(F.col("_best.code"), F.lit(0)).alias("d8_code"),
+            (F.col("ix") + F.col("_best.dx")).alias("down_ix"),
+            (F.col("iy") + F.col("_best.dy")).alias("down_iy"),
+        )
+    )
+
+
+def watershed_label(
+    flow: DataFrame, max_rounds: int = 40
+) -> DataFrame:
+    """Label every cell with its terminal sink (drainage basin id) by
+    pointer doubling: each round replaces every cell's current successor
+    with the successor's successor, so path lengths halve — log2(longest
+    flow path) rounds, one self-join shuffle each. Cells draining off the
+    mapped area (down cell absent from ``flow``) become their own basins'
+    outlets at the last mapped cell.
+
+    Input: d8_flow output. Output: (ix, iy, sink_ix, sink_iy, basin_id).
+    """
+    spark = flow.sparkSession
+    # successor pointer; pits AND cells draining off the mapped region
+    # point to themselves (the basin outlet is the last MAPPED cell)
+    targets = flow.select(
+        F.col("ix").alias("down_ix"),
+        F.col("iy").alias("down_iy"),
+        F.lit(1).alias("_mapped"),
+    )
+    cur = (
+        flow.join(targets, ["down_ix", "down_iy"], "left")
+        .select(
+            "ix",
+            "iy",
+            F.when(F.col("_mapped").isNotNull(), F.col("down_ix"))
+            .otherwise(F.col("ix"))
+            .alias("px"),
+            F.when(F.col("_mapped").isNotNull(), F.col("down_iy"))
+            .otherwise(F.col("iy"))
+            .alias("py"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nxt = (
+            cur.alias("a")
+            .join(
+                cur.select(
+                    F.col("ix").alias("px"),
+                    F.col("iy").alias("py"),
+                    F.col("px").alias("ppx"),
+                    F.col("py").alias("ppy"),
+                ).alias("b"),
+                ["px", "py"],
+                "left",
+            )
+            .select(
+                "ix",
+                "iy",
+                F.coalesce("ppx", "px").alias("px"),
+                F.coalesce("ppy", "py").alias("py"),
+            )
+        ).localCheckpoint(eager=True)
+        moved = (
+            nxt.alias("n")
+            .join(cur.alias("c"), ["ix", "iy"])
+            .where(
+                (F.col("n.px") != F.col("c.px"))
+                | (F.col("n.py") != F.col("c.py"))
+            )
+            .limit(1)
+            .count()
+        )
+        prev = cur
+        cur = nxt
+        prev.unpersist()
+        if moved == 0:
+            break
+    return cur.select(
+        "ix",
+        "iy",
+        F.col("px").alias("sink_ix"),
+        F.col("py").alias("sink_iy"),
+        (F.col("px") * F.lit(1 << 32) + F.col("py")).alias("basin_id"),
+    )
+
+
+def _tile_local_accumulate(pdf, tile_b: int):
+    """Sequential in-tile pass (runs inside applyInPandas): local
+    accumulation counting only in-tile drainage, plus per-cell path
+    metadata for the replay phase."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(pdf)
+    idx = {
+        (int(x), int(y)): i
+        for i, (x, y) in enumerate(zip(pdf["ix"], pdf["iy"]))
+    }
+    down = np.full(n, -1, dtype=np.int64)
+    tx = pdf["ix"].to_numpy() // tile_b
+    ty = pdf["iy"].to_numpy() // tile_b
+    for i, (dx, dy) in enumerate(zip(pdf["down_ix"], pdf["down_iy"])):
+        if pd.isna(dx):
+            continue
+        j = idx.get((int(dx), int(dy)))
+        if j is not None and tx[j] == tx[i] and ty[j] == ty[i]:
+            down[i] = j
+    # topological accumulation: indegree peel (Kahn) over the in-tile forest
+    acc = np.ones(n, dtype=np.int64)
+    indeg = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        if down[i] >= 0:
+            indeg[down[i]] += 1
+    stack = [i for i in range(n) if indeg[i] == 0]
+    while stack:
+        i = stack.pop()
+        j = down[i]
+        if j >= 0:
+            acc[j] += acc[i]
+            indeg[j] -= 1
+            if indeg[j] == 0:
+                stack.append(j)
+    return down, acc
+
+
+def flow_accumulation(
+    flow: DataFrame, tile_b: int = 64, max_rounds: int = 10000
+) -> DataFrame:
+    """Cells draining through each cell (upstream count, self included) —
+    TauDEM-style two-level parallel accumulation (see module docstring).
+
+    Input: d8_flow output. Output: (ix, iy, acc).
+    """
+    import pandas as pd
+
+    spark = flow.sparkSession
+
+    tiled = flow.withColumn(
+        "_tx", F.floor(F.col("ix") / tile_b)
+    ).withColumn("_ty", F.floor(F.col("iy") / tile_b))
+
+    def local_pass(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        down, acc = _tile_local_accumulate(pdf, tile_b)
+        # walk each cell to its in-tile terminal to find where external
+        # inflow arriving at it would exit; memoized pointer chase
+        import numpy as np
+
+        n = len(pdf)
+        term = np.full(n, -1, dtype=np.int64)
+
+        def terminal(i):
+            chain = []
+            while term[i] < 0 and down[i] >= 0:
+                chain.append(i)
+                term[i] = -2  # visiting marker (forest: no cycles)
+                i = down[i]
+            t = i if down[i] < 0 and term[i] < 0 else term[i]
+            if t < 0:
+                t = i
+            for c in chain:
+                term[c] = t
+            term[i] = t
+            return t
+
+        for i in range(n):
+            if term[i] < 0:
+                terminal(i)
+        out = pdf[["ix", "iy", "down_ix", "down_iy"]].copy()
+        out["local_acc"] = acc
+        out["term_ix"] = pdf["ix"].to_numpy()[term]
+        out["term_iy"] = pdf["iy"].to_numpy()[term]
+        # the terminal's own downstream cell (exit target, possibly in
+        # another tile; NaN if the terminal is a pit)
+        out["exit_ix"] = pdf["down_ix"].to_numpy()[term]
+        out["exit_iy"] = pdf["down_iy"].to_numpy()[term]
+        return out
+
+    schema = (
+        "ix BIGINT, iy BIGINT, down_ix BIGINT, down_iy BIGINT, "
+        "local_acc BIGINT, term_ix BIGINT, term_iy BIGINT, "
+        "exit_ix DOUBLE, exit_iy DOUBLE"
+    )
+    local = (
+        tiled.groupBy("_tx", "_ty")
+        .applyInPandas(local_pass, schema)
+        .localCheckpoint(eager=True)
+    )
+
+    # ---- boundary graph: nodes = inflow cells (cells fed from another
+    # tile); each inflow forwards its external count to the inflow its
+    # tile-path exit feeds. Initial input at inflow s = sum of local_acc
+    # of cross-tile predecessors.
+    cells = local.select(
+        "ix", "iy", "local_acc", "term_ix", "term_iy", "exit_ix", "exit_iy"
+    )
+    cross = (
+        local.where(
+            F.col("down_ix").isNotNull()
+            & (
+                (F.floor(F.col("down_ix") / tile_b) != F.floor(F.col("ix") / tile_b))
+                | (F.floor(F.col("down_iy") / tile_b) != F.floor(F.col("iy") / tile_b))
+            )
+        )
+        .select(
+            F.col("ix").alias("src_ix"),
+            F.col("iy").alias("src_iy"),
+            F.col("down_ix").alias("ix"),
+            F.col("down_iy").alias("iy"),
+            F.col("local_acc").alias("contrib"),
+        )
+    )
+    # initial external input per inflow node
+    inflow = cross.groupBy("ix", "iy").agg(
+        F.sum("contrib").alias("ext0")
+    )
+    # boundary edge: inflow (ix,iy) -> the inflow cell its exit feeds,
+    # IF that exit crosses a tile edge (otherwise the path dies in-tile)
+    edges = (
+        inflow.join(cells, ["ix", "iy"])
+        .where(
+            F.col("exit_ix").isNotNull()
+            & (
+                (F.floor(F.col("exit_ix") / tile_b) != F.floor(F.col("term_ix") / tile_b))
+                | (F.floor(F.col("exit_iy") / tile_b) != F.floor(F.col("term_iy") / tile_b))
+            )
+        )
+        .select(
+            "ix",
+            "iy",
+            F.col("exit_ix").cast("bigint").alias("nxt_ix"),
+            F.col("exit_iy").cast("bigint").alias("nxt_iy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ext = inflow.localCheckpoint(eager=True)
+    # fixpoint push: ext_{k+1}(b) = ext0(b) + sum over boundary preds of
+    # ext_k(pred). Rounds = boundary-graph longest path (~max path / B).
+    base = ext.select("ix", "iy", F.col("ext0"))
+    for _ in range(max_rounds):
+        pushed = (
+            ext.alias("e")
+            .join(edges.alias("g"), ["ix", "iy"])
+            .groupBy(
+                F.col("g.nxt_ix").alias("ix"), F.col("g.nxt_iy").alias("iy")
+            )
+            .agg(F.sum(F.col("e.ext0")).alias("recv"))
+        )
+        nxt = (
+            base.alias("b")
+            .join(pushed.alias("p"), ["ix", "iy"], "left")
+            .select(
+                "ix",
+                "iy",
+                (F.col("b.ext0") + F.coalesce("p.recv", F.lit(0))).alias("ext0"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(ext.alias("o"), ["ix", "iy"])
+            .where(F.col("n.ext0") != F.col("o.ext0"))
+            .limit(1)
+            .count()
+        )
+        prev = ext
+        ext = nxt
+        prev.unpersist()
+        if changed == 0:
+            break
+
+    # ---- replay: push converged external counts through each tile.
+    # Every in-tile cell on the path of inflow b gains ext(b); paths are
+    # re-walked per tile in pandas (same layout as the local pass).
+    ext_in = ext.select(
+        F.col("ix").alias("b_ix"), F.col("iy").alias("b_iy"), "ext0"
+    )
+    annotated = local.join(
+        ext_in,
+        (F.col("ix") == F.col("b_ix")) & (F.col("iy") == F.col("b_iy")),
+        "left",
+    ).select(
+        "ix", "iy", "down_ix", "down_iy", "local_acc",
+        F.coalesce("ext0", F.lit(0)).alias("ext"),
+    )
+
+    def replay(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        down, _ = _tile_local_accumulate(pdf, tile_b)
+        n = len(pdf)
+        add = np.zeros(n, dtype=np.int64)
+        ext_v = pdf["ext"].to_numpy()
+        # push each inflow's external count along its in-tile path —
+        # aggregate with the same indegree peel (linear, not quadratic)
+        indeg = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            if down[i] >= 0:
+                indeg[down[i]] += 1
+        carry = ext_v.astype(np.int64).copy()
+        stack = [i for i in range(n) if indeg[i] == 0]
+        order = []
+        while stack:
+            i = stack.pop()
+            order.append(i)
+            j = down[i]
+            if j >= 0:
+                carry[j] += carry[i]
+                indeg[j] -= 1
+                if indeg[j] == 0:
+                    stack.append(j)
+        # carry[i] now holds all external units passing through i
+        out = pdf[["ix", "iy"]].copy()
+        out["acc"] = pdf["local_acc"].to_numpy() + carry
+        return out
+
+    return (
+        annotated.withColumn("_tx", F.floor(F.col("ix") / tile_b))
+        .withColumn("_ty", F.floor(F.col("iy") / tile_b))
+        .groupBy("_tx", "_ty")
+        .applyInPandas(replay, "ix BIGINT, iy BIGINT, acc BIGINT")
+    )
