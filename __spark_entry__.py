@@ -486,8 +486,11 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text_stats), whitespace + BPE-ish subword token counting
     (token_counts), raw/normalized content fingerprints (fingerprints), and
     the deterministic salted-hash train/valid/test assignment
-    (sampling.split_assign, round 6 — md5-bucket ranges, engine-portable)."""
-    from demeter_spark.operators import sampling, textstats
+    (sampling.split_assign, round 6 — md5-bucket ranges, engine-portable),
+    and corpus-wide segment-level dedup stats (dedup.segment_dedup, the
+    CCNet paragraph-dedup stage: first occurrence kept, md5 of the
+    deduplicated text oracle-checked)."""
+    from demeter_spark.operators import dedup, sampling, textstats
     from demeter_spark.sources import synth
 
     docs = synth.documents(spark, sf_dir)
@@ -495,6 +498,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.text_stats(docs)
         .join(textstats.token_counts(docs), "doc_id")
         .join(textstats.fingerprints(docs), "doc_id")
+        .join(dedup.segment_dedup(docs), "doc_id")
     )
     return sampling.split_assign(joined, key_col="doc_id")
 
@@ -1888,7 +1892,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_stats": oracle_query(
             """
-            SELECT doc_id,
+            WITH segx AS (
+              SELECT doc_id, s.pos AS pos, s.seg AS seg
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(0, CAST(ceil(len(ws) / 10e0) AS INT)),
+                         i -> {{'pos': i, 'seg': array_to_string(
+                                 list_slice(ws, i * 10 + 1, i * 10 + 10), ' ')}}))
+                         AS s
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+              )
+            ),
+            segr AS (
+              SELECT doc_id, pos, seg,
+                     row_number() OVER (PARTITION BY seg
+                                        ORDER BY doc_id, pos) AS rn
+              FROM segx
+            ),
+            segd AS (
+              SELECT doc_id,
+                     CAST(count(*) AS INT) AS n_segs,
+                     CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT)
+                       AS n_dup_segs,
+                     md5(string_agg(seg, ' ' ORDER BY pos)
+                         FILTER (WHERE rn = 1)) AS dedup_fp
+              FROM segr GROUP BY doc_id
+            )
+            SELECT ts.*, segd.n_segs, segd.n_dup_segs,
+                   coalesce(segd.dedup_fp, md5('')) AS dedup_fp,
+                   {split_case} AS split
+            FROM (
+              SELECT doc_id,
                    CAST(length(text) AS INT) AS n_chars_text,
                    CAST(len(ws) AS INT) AS n_tokens,
                    CAST(len(list_distinct(ws)) AS INT) AS n_types,
@@ -1908,9 +1943,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(lower(text),
                         '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_subtokens,
                    md5(text) AS fp_raw,
-                   md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp_norm,
-                   {split_case} AS split
-            FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+                   md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp_norm
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+            ) ts JOIN segd USING (doc_id)
             """.format(split_case=_split_oracle_case()),
             (),
         ),

@@ -851,3 +851,66 @@ def incremental_containment_pairs(
         (F.col("n_inter") / F.col("n_b").cast("double")).alias("containment"),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Segment-level exact dedup — the CCNet paragraph-dedup stage: drop
+    every repeated segment CORPUS-WIDE except its first occurrence
+    (earliest doc_id, then earliest position), keeping the remainder of
+    each document intact. Catches boilerplate and syndicated spans that
+    whole-document dedup misses by construction.
+
+    Segmentation: consecutive ``seg_words``-word chunks (web corpora
+    split on newline; this corpus is a flat word stream, so chunking is
+    the deterministic stand-in — same operator shape either way).
+
+    Per-doc output: n_segs, n_dup_segs (segments dropped here because an
+    earlier occurrence exists), dedup_fp = md5 of the reassembled
+    deduplicated text (engine-portable, so the whole pass is
+    SQL-oracle-checkable).
+
+    Scale: segments explode map-side; first-occurrence ranking is ONE
+    window shuffle keyed on the segment hash (dup groups are tiny — the
+    heavy hitters are exactly the boilerplate being removed, bounded by
+    corpus-distinct segments); reassembly is ONE groupBy(doc) whose
+    sort_array makes the concat order deterministic regardless of
+    shuffle arrival order.
+    """
+    from pyspark.sql import Window
+
+    ws = f"split({text_col}, ' ')"
+    segs = docs.selectExpr(
+        id_col,
+        f"explode(transform(sequence(0, CAST(ceil(size({ws}) / {seg_words}e0)"
+        f" AS INT) - 1), i -> struct(i AS pos,"
+        f" concat_ws(' ', slice({ws}, i * {seg_words} + 1, {seg_words}))"
+        " AS seg))) AS s",
+    ).select(id_col, "s.pos", "s.seg")
+    w = Window.partitionBy("seg").orderBy(id_col, "pos")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_segs"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_dup_segs"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct("pos", "seg", (F.col("rn") == 1).alias("keep"))
+                )
+            ).alias("_segs"),
+        )
+        .selectExpr(
+            id_col,
+            "n_segs",
+            "n_dup_segs",
+            "md5(concat_ws(' ', transform(filter(_segs, s -> s.keep),"
+            " s -> s.seg))) AS dedup_fp",
+        )
+    )
