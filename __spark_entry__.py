@@ -524,9 +524,12 @@ def _q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       6-grams appearing in >= 3 docs; ONE gram-keyed shuffle, no all-pairs),
     - bigram_surprise: CCNet perplexity-filter analogue — corpus bigram LM
       counts, per-doc improbable-transition fraction, integer-exact so the
-      oracle comparison is bit-stable (round 6).
+      oracle comparison is bit-stable (round 6),
+    - pii_stats: C4/Dolma-style scrub signals — email/IPv4/phone match
+      counts + md5 of the placeholder-redacted text, backslash-free
+      patterns so both regex dialects read identical bytes (round 6).
 
-    Joined 1:1:1:1 on doc_id (every synthetic doc has >= 10 words, so the
+    Joined 1:1 on doc_id (every synthetic doc has >= 10 words, so the
     gram explode drops nothing — pinned by the row-count gate)."""
     from demeter_spark.operators import textstats
     from demeter_spark.sources import synth
@@ -535,11 +538,13 @@ def _q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = textstats.repetition_stats(docs).drop("n_words")
     bp = textstats.boilerplate_ngrams(docs)
     lm = textstats.bigram_surprise(docs)
+    pii = textstats.pii_stats(docs)
     return (
         textstats.quality_flags(docs)
         .join(rep, "doc_id")
         .join(bp, "doc_id")
         .join(lm, "doc_id")
+        .join(pii, "doc_id")
     )
 
 
@@ -2079,6 +2084,24 @@ def oracle_sql() -> dict[str, str]:
               JOIN prc ON string_split(g, ' ')[1] = prc.w1
               GROUP BY doc_id
             )
+            ,
+            pii AS (
+              SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}'))
+                     AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                     '([0-9]{1,3}[.]){3}[0-9]{1,3}')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                     '[+][0-9][0-9() -]{6,14}[0-9]')) AS INT) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '([0-9]{1,3}[.]){3}[0-9]{1,3}', '<IP>', 'g'),
+                     '[+][0-9][0-9() -]{6,14}[0-9]', '<PHONE>', 'g'))
+                     AS redacted_fp
+              FROM documents
+            )
             SELECT qf.*, rep.top_gram_n, rep.top_gram_frac, rep.dup_gram_n,
                    rep.dup_gram_frac, rep.keep_repetition,
                    bp.n_grams, bp.n_shared, bp.shared_frac, bp.boilerplate,
@@ -2087,9 +2110,13 @@ def oracle_sql() -> dict[str, str]:
                      AS lm_improbable_frac,
                    CAST(CASE WHEN CAST(lm.lm_n_improbable AS DOUBLE)
                           / lm.lm_n_trans <= 0.5e0
-                        THEN 1 ELSE 0 END AS INT) AS keep_lm
+                        THEN 1 ELSE 0 END AS INT) AS keep_lm,
+                   pii.n_email, pii.n_ipv4, pii.n_phone,
+                   CAST(CASE WHEN pii.n_email + pii.n_ipv4 + pii.n_phone = 0
+                        THEN 1 ELSE 0 END AS INT) AS pii_free,
+                   pii.redacted_fp
             FROM qf JOIN rep USING (doc_id) JOIN bp USING (doc_id)
-                    JOIN lm USING (doc_id)
+                    JOIN lm USING (doc_id) JOIN pii USING (doc_id)
             """,
             (),
         ),

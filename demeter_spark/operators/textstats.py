@@ -511,3 +511,61 @@ def bigram_surprise(
         f"CAST(CASE WHEN CAST(lm_n_improbable AS DOUBLE) / lm_n_trans"
         f" <= {max_improbable_frac}e0 THEN 1 ELSE 0 END AS INT) AS keep_lm",
     )
+
+
+# PII patterns — deliberately restricted to the regex subset where Java
+# (Spark) and RE2 (DuckDB) agree exactly: character classes, bounded
+# quantifiers, grouping; no backrefs, no lookaround, and NO backslashes
+# (SQL string-literal escape rules differ between the engines — '[.]'
+# and '[+]' express the literals portably).
+PII_PATTERNS = {
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}",
+    "ipv4": "([0-9]{1,3}[.]){3}[0-9]{1,3}",
+    "phone": "[+][0-9][0-9() -]{6,14}[0-9]",
+}
+
+
+def pii_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII detection + redaction signals — the scrub stage every
+    training-data pipeline runs before release (the public C4/Dolma-style
+    recipe: regex matches for emails / bare IPv4s / international phone
+    numbers, replaced by typed placeholder tokens).
+
+    Per-doc output: n_email / n_ipv4 / n_phone match counts, pii_free
+    flag, and redacted_fp = md5 of the text with every match replaced by
+    its <TYPE> placeholder (md5 keeps the oracle row narrow; the
+    redaction itself is the same regexp_replace chain). Map-only, zero
+    shuffle, no Python — counts via regexp_count, redaction via chained
+    regexp_replace, all inside whole-stage codegen.
+    """
+    email, ipv4, phone = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["ipv4"],
+        PII_PATTERNS["phone"],
+    )
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace({text_col},"
+        f" '{email}', '<EMAIL>'),"
+        f" '{ipv4}', '<IP>'),"
+        f" '{phone}', '<PHONE>')"
+    )
+    return docs.selectExpr(
+        id_col,
+        f"CAST(size(regexp_extract_all({text_col}, '{email}', 0)) AS INT)"
+        " AS n_email",
+        f"CAST(size(regexp_extract_all({text_col}, '{ipv4}', 0)) AS INT)"
+        " AS n_ipv4",
+        f"CAST(size(regexp_extract_all({text_col}, '{phone}', 0)) AS INT)"
+        " AS n_phone",
+        f"md5({red}) AS redacted_fp",
+    ).selectExpr(
+        id_col,
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "CAST(CASE WHEN n_email + n_ipv4 + n_phone = 0 THEN 1 ELSE 0 END"
+        " AS INT) AS pii_free",
+        "redacted_fp",
+    )
