@@ -914,3 +914,92 @@ def segment_dedup(
             " s -> s.seg))) AS dedup_fp",
         )
     )
+
+
+def incremental_segment_dedup(
+    log,
+    docs_increment: DataFrame,
+    inc_id: int,
+    seg_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 8,
+) -> DataFrame:
+    """Continuous-crawl segment dedup: the CCNet paragraph-dedup stage as
+    an exactly-once increment over LineageLog state — new documents'
+    segments are kept only if no EARLIER committed occurrence exists (and
+    they are the first occurrence within this increment).
+
+    State is one stage, ``segment_firsts``: the distinct segment hashes of
+    every committed increment, partitioned (inc_id, hash bucket) — each
+    increment owns distinct partitions, so write_increment's idempotent
+    overwrite heals crash/replay, and the probe filters to buckets of
+    STRICTLY EARLIER increments (bucket < inc_id*n_parts), which makes a
+    replayed increment blind to its own committed copy (idempotent output).
+
+    "First occurrence" is first-SEEN: when increments arrive in doc_id
+    order (the natural crawl order), the union of increment outputs equals
+    batch segment_dedup exactly (pytest-pinned); out-of-order arrival
+    keeps monotone-discovery semantics (a later increment never reclaims a
+    segment an earlier commit already owns), the same caveat
+    incremental_minhash_pairs documents.
+
+    Work per increment: segmentation and ranking run over the increment
+    ONLY; the committed corpus is touched through one hash-bucket-pruned
+    semi-join probe. Returns the same per-doc shape as segment_dedup.
+    """
+    from pyspark.sql import Window
+
+    fingerprint = f"inc-{int(inc_id)}"
+    ws = f"split({text_col}, ' ')"
+    segs = docs_increment.selectExpr(
+        id_col,
+        f"explode(transform(sequence(0, CAST(ceil(size({ws}) / {seg_words}e0)"
+        f" AS INT) - 1), i -> struct(i AS pos,"
+        f" concat_ws(' ', slice({ws}, i * {seg_words} + 1, {seg_words}))"
+        " AS seg))) AS s",
+    ).selectExpr(id_col, "s.pos AS pos", "s.seg AS seg", "md5(s.seg) AS seg_hash")
+    w = Window.partitionBy("seg_hash").orderBy(id_col, "pos")
+    ranked = segs.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+
+    # commit this increment's distinct hashes into its own buckets
+    new_hashes = ranked.where(F.col("rn") == 1).select("seg_hash").distinct()
+    part = F.lit(int(inc_id) * n_parts) + F.pmod(
+        F.xxhash64(F.col("seg_hash")), F.lit(n_parts)
+    )
+    log.write_increment(
+        "segment_firsts", new_hashes.withColumn("bucket", part), "bucket", fingerprint
+    )
+
+    # probe STRICTLY EARLIER increments only (bucket prefix encodes inc_id)
+    committed = (
+        log.read_stage("segment_firsts")
+        .where(F.col("bucket") < int(inc_id) * n_parts)
+        .select("seg_hash")
+    )
+    flagged = ranked.join(
+        committed.withColumn("_seen", F.lit(1)), "seg_hash", "left"
+    ).withColumn(
+        "keep", (F.col("rn") == 1) & F.col("_seen").isNull()
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_segs"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_dup_segs"),
+            F.sort_array(
+                F.collect_list(F.struct("pos", "seg", "keep"))
+            ).alias("_segs"),
+        )
+        .selectExpr(
+            id_col,
+            "n_segs",
+            "n_dup_segs",
+            "md5(concat_ws(' ', transform(filter(_segs, s -> s.keep),"
+            " s -> s.seg))) AS dedup_fp",
+        )
+    )

@@ -181,3 +181,72 @@ def test_streaming_containment_equals_batch(spark, tmp_path):
     streaming_containment(spark, in_dir, out_dir, ckpt, state)
     assert _cpair_set(spark.read.parquet(out_dir)) == batch
     corpus.unpersist()
+
+
+# ----------------------------------------------- incremental segment dedup
+
+
+def _seg_rows(df):
+    return {
+        (r["doc_id"], r["n_segs"], r["n_dup_segs"], r["dedup_fp"])
+        for r in df.collect()
+    }
+
+
+def test_incremental_segment_dedup_equals_batch(spark, tmp_path):
+    import pandas as pd
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4, 5],
+                "text": [
+                    "a b c x y z",          # inc 0
+                    "a b c q r s",          # inc 0: dup of doc 0's first seg
+                    "m n o a b c",          # inc 1: cross-increment dup
+                    "m n o m n o",          # inc 1: dup of doc 2 + self-dup
+                    "q r s fresh words",    # inc 2: dup of doc 1's tail
+                    "all new tokens here",  # inc 2
+                ],
+            }
+        )
+    )
+    batch = _seg_rows(dedup.segment_dedup(corpus, seg_words=3))
+
+    from demeter_spark.plans.lineage import LineageLog
+
+    log = LineageLog(spark, str(tmp_path / "seg_state"))
+    incs = [
+        corpus.filter("doc_id < 2"),
+        corpus.filter("doc_id IN (2, 3)"),
+        corpus.filter("doc_id >= 4"),
+    ]
+    got = set()
+    for i, inc in enumerate(incs):
+        got |= _seg_rows(
+            dedup.incremental_segment_dedup(log, inc, i, seg_words=3)
+        )
+    assert got == batch
+
+    # idempotent replay: re-running increment 1 after its commit yields
+    # byte-identical per-doc rows (the probe is blind to its own buckets)
+    replay = _seg_rows(
+        dedup.incremental_segment_dedup(log, incs[1], 1, seg_words=3)
+    )
+    assert replay == {r for r in batch if r[0] in (2, 3)}
+
+
+def test_incremental_segment_dedup_empty_increment(spark, tmp_path):
+    import pandas as pd
+
+    from demeter_spark.plans.lineage import LineageLog
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["p q r"]})
+    )
+    log = LineageLog(spark, str(tmp_path / "seg_state2"))
+    dedup.incremental_segment_dedup(log, corpus, 0, seg_words=3).collect()
+    out = dedup.incremental_segment_dedup(
+        log, corpus.limit(0), 1, seg_words=3
+    ).collect()
+    assert out == []
