@@ -247,3 +247,48 @@ def streaming_tile_pyramid(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_segment_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    seg_words: int = 10,
+) -> None:
+    """Continuous-crawl segment (paragraph) dedup as a STREAM — the CCNet
+    line-dedup stage over the same exactly-once bridge as streaming_dedup:
+    foreachBatch maps the micro-batch id to the increment id of
+    operators/dedup.incremental_segment_dedup (LineageLog-backed hash
+    buckets, probe blind to its own increment), and the per-doc output is
+    idempotent by batch_id (dynamic partition overwrite). When files
+    arrive in doc order, the union of all emitted micro-batches equals
+    batch segment_dedup over the full corpus (pytest-verified)."""
+    from demeter_spark.operators.dedup import incremental_segment_dedup
+    from demeter_spark.plans.lineage import LineageLog
+
+    log = LineageLog(spark, state_dir)
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(
+        input_dir
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = incremental_segment_dedup(
+            log, batch_df, int(batch_id), seg_words=seg_words
+        )
+        (
+            out.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

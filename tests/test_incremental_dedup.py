@@ -250,3 +250,41 @@ def test_incremental_segment_dedup_empty_increment(spark, tmp_path):
         log, corpus.limit(0), 1, seg_words=3
     ).collect()
     assert out == []
+
+
+def test_streaming_segment_dedup_equals_batch(spark, tmp_path):
+    """Two doc-ordered file arrivals through the AvailableNow stream: the
+    union of per-batch per-doc rows equals batch segment_dedup; a third
+    run with nothing new emits no new batch partitions."""
+    import pandas as pd
+
+    from demeter_spark.streaming.incremental import streaming_segment_dedup
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "alpha beta gamma one two three",
+                    "alpha beta gamma four five six",
+                    "four five six seven eight nine",
+                    "totally fresh words only here now",
+                ],
+            }
+        )
+    )
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    corpus.filter("doc_id < 2").write.mode("append").parquet(in_dir)
+    streaming_segment_dedup(spark, in_dir, out_dir, ckpt, state, seg_words=3)
+    corpus.filter("doc_id >= 2").write.mode("append").parquet(in_dir)
+    streaming_segment_dedup(spark, in_dir, out_dir, ckpt, state, seg_words=3)
+
+    got = _seg_rows(spark.read.parquet(out_dir).drop("batch_id"))
+    batch = _seg_rows(dedup.segment_dedup(corpus, seg_words=3))
+    assert got == batch
+    streaming_segment_dedup(spark, in_dir, out_dir, ckpt, state, seg_words=3)
+    assert _seg_rows(spark.read.parquet(out_dir).drop("batch_id")) == batch
