@@ -236,3 +236,95 @@ def test_hex_kring_of_explodes_for_knn(spark):
         pdf2["nb"].to_numpy().astype(np.int64),
     )
     assert d.max() == k
+
+
+# ------------------------------------------- hex cover-join consistency
+
+
+def test_hex_cover_join_parity_with_quad_spatial_join(spark):
+    """A hex cover join (polyfill_hex cover + hex_of point assignment +
+    exact PIP refine) reproduces the quad-grid flagship join's (url,
+    parcel_id) pairs exactly — the two indexes are interchangeable
+    filter stages over the same refine."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from demeter_spark.functions import geom
+    from demeter_spark.operators import joins
+    from demeter_spark.sources import synth
+    from tests.conftest import SF_DIR
+
+    pts = synth.page_points(spark, SF_DIR)
+    par = synth.parcels(spark)
+    want = {
+        (r["url"], r["parcel_id"])
+        for r in joins.spatial_join(pts, par, res=8)
+        .select("url", "parcel_id")
+        .collect()
+    }
+
+    res = 5
+    # driver-side cover build mirrors the engine's dimension-side cover
+    # (the parcel table is a dimension; this is the broadcast path)
+    rows = []
+    for r in par.select("parcel_id", "geom_wkt").collect():
+        parts = geom.parse_wkt_polygons(r["geom_wkt"])
+        for part in parts:
+            xs, ys = part[0]
+            cells, full = hx.polyfill_hex(xs, ys, res, classify=True)
+            for c, f in zip(cells, full):
+                rows.append((r["parcel_id"], int(c), bool(f)))
+    cover = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["parcel_id", "hex_id", "full"])
+    )
+    cand = (
+        pts.withColumn("hex_id", su.hex_of(F.col("lon"), F.col("lat"), res))
+        .join(F.broadcast(cover), "hex_id")
+    )
+    # refine: exact PIP for boundary hexes, skip for provably-full hexes
+    wkt = {r["parcel_id"]: r["geom_wkt"] for r in par.collect()}
+    got = set()
+    for r in cand.collect():
+        if r["full"]:
+            got.add((r["url"], r["parcel_id"]))
+            continue
+        parts = geom.parse_wkt_polygons(wkt[r["parcel_id"]])
+        inside = False
+        for part in parts:
+            hit = False
+            for ring_i, (xs, ys) in enumerate(part):
+                if geom.points_in_ring(
+                    np.array([r["lon"]]), np.array([r["lat"]]), xs, ys
+                )[0]:
+                    hit = not hit if ring_i else True
+                elif ring_i == 0:
+                    break
+            inside = inside or hit
+        if inside:
+            got.add((r["url"], r["parcel_id"]))
+    assert got == want
+
+
+def test_hex_kring_knn_candidate_completeness(spark):
+    """kNN via hex k-ring expansion: for every query point, the true
+    nearest neighbor's hex lies within the k-ring whose radius covers the
+    current best distance — the ring-expansion invariant the quad kNN
+    relies on, at uniform neighbor spacing."""
+    rng = np.random.default_rng(77)
+    qx, qy = rng.uniform(0, 10, 50), rng.uniform(0, 10, 50)
+    px, py = rng.uniform(0, 10, 2000), rng.uniform(0, 10, 2000)
+    res = 6
+    s = hx.hex_size(res)
+    q_hex = hx.hex_of(qx, qy, res)
+    p_hex = hx.hex_of(px, py, res)
+    # true NN
+    d2 = (qx[:, None] - px[None, :]) ** 2 + (qy[:, None] - py[None, :]) ** 2
+    nn = d2.argmin(axis=1)
+    for i in range(50):
+        true_d = np.sqrt(d2[i, nn[i]])
+        # a k-ring of radius k covers every point within k * inradius*2
+        # (adjacent hex centers are sqrt(3)*s apart; the guarantee is
+        # conservative: k = ceil(d / (sqrt(3)*s)) + 1)
+        k = int(np.ceil(true_d / (np.sqrt(3.0) * s))) + 1
+        ring_ids = hx.kring(q_hex[i : i + 1], k)[0]
+        assert p_hex[nn[i]] in ring_ids
