@@ -105,3 +105,71 @@ def test_sampling_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_greedy_semantics(spark, ddb):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000, dtype=np.int64),
+            "n_tokens": (np.arange(3000) % 700 + 50).astype(np.int64),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = sampling.pack_sequences(df, budget=2048, n_groups=16).toPandas()
+    # every doc assigned exactly one pack; assignment deterministic
+    again = sampling.pack_sequences(
+        spark.createDataFrame(pdf).repartition(3), budget=2048, n_groups=16
+    ).toPandas()
+    a = out.sort_values("doc_id")["pack_id"].to_numpy()
+    b = again.sort_values("doc_id")["pack_id"].to_numpy()
+    assert np.array_equal(a, b)
+    # within each group, packs are the greedy cumsum partition: no pack
+    # except possibly a group's last starts beyond the budget boundary
+    # rule, and pack indexes are nondecreasing in doc order
+    for gid, grp in out.sort_values("doc_id").groupby("pack_group"):
+        run = 0
+        prev_pack = -1
+        for t, p in zip(grp["n_tokens"], grp["pack_id"]):
+            assert p >= prev_pack
+            assert (p & ((1 << 40) - 1)) == run // 2048
+            run += t
+            prev_pack = p
+    # DuckDB window mirror agrees exactly (DuckDB's hash() differs from
+    # xxhash64, so the Spark-side grouping is exported and the window
+    # re-evaluated over it)
+    ddb.register("pack_docs", pdf)
+    got_groups = out[["doc_id", "pack_group"]]
+    ddb.register("spark_groups", got_groups)
+    want2 = ddb.sql(
+        """
+        SELECT d.doc_id,
+               sg.pack_group * 1099511627776
+               + ((sum(d.n_tokens) OVER (PARTITION BY sg.pack_group
+                     ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING)
+                   - d.n_tokens) // 2048) AS pack_id
+        FROM pack_docs d JOIN spark_groups sg USING (doc_id)
+        ORDER BY d.doc_id
+        """
+    ).df()
+    assert np.array_equal(a, want2["pack_id"].to_numpy())
+
+
+def test_pack_sequences_oversized_doc_gets_own_packs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "n_tokens": [100, 5000, 100],  # doc 1 alone exceeds the budget
+        }
+    )
+    out = (
+        sampling.pack_sequences(
+            spark.createDataFrame(pdf), budget=1024, n_groups=1
+        )
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    packs = out["pack_id"].to_numpy()
+    # doc 1 starts at offset 100 -> pack 0; doc 2 starts at 5100 -> pack 4:
+    # the oversized doc consumed packs 0-4 but didn't stall the stream
+    assert packs[0] == packs[1]
+    assert packs[2] - packs[0] == 4
