@@ -340,6 +340,42 @@ def main() -> None:
         tiling["flowacc_sec"] = round(dt, 3)
         tiling["flowacc_cells_per_sec"] = round(n_flow / dt)
 
+        # --- curation section (off-total): the composed webtext story.
+        # (a) end-to-end curate() over the REAL documents table — language-
+        # free variant: quality + repetition + PII (map-only), LM surprise,
+        # segment dedup, MinHash near-dup clustering, split assignment —
+        # reported as docs/sec of final decision rows; (b) distributed BPE
+        # training (vocab-table merge loop) + corpus encoding tokens/sec.
+        from demeter_spark.operators import curation, tokenizer
+
+        docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs_tbl.count()
+        best = None
+        for _ in range(2):  # first trial absorbs codegen/Arrow warmup
+            t0 = time.time()
+            tiling["curate_kept"] = (
+                curation.curate(docs_tbl).filter("keep = 1").count()
+            )
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        tiling["curate_docs"] = n_docs
+        tiling["curate_sec"] = round(best, 3)
+        tiling["curate_docs_per_sec"] = round(n_docs / best)
+
+        t0 = time.time()
+        merges = tokenizer.bpe_train(docs_tbl, 16, checkpoint_every=8)
+        tiling["bpe_train_sec"] = round(time.time() - t0, 3)
+        tiling["bpe_n_merges"] = len(merges)
+        t0 = time.time()
+        n_tokens = (
+            tokenizer.bpe_encode(docs_tbl, merges)
+            .agg(F.sum("n_tokens"))
+            .collect()[0][0]
+        )
+        dt = time.time() - t0
+        tiling["bpe_encode_sec"] = round(dt, 3)
+        tiling["bpe_encode_tokens_per_sec"] = round(n_tokens / dt)
+
         # --- skew evidence (VERDICT r03 #8, measurement design r05 #1):
         # the cover join through a REAL shuffle join (auto-broadcast
         # disabled — at 100 TB the continental cover is not broadcastable)

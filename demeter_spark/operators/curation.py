@@ -1,0 +1,141 @@
+"""End-to-end web-corpus curation pipeline — the composed training-data
+story (the C4/CCNet/Gopher stage order, public recipes throughout):
+
+    language ID -> quality gates -> repetition gates -> PII scrub
+    -> LM-surprise filter -> segment dedup -> near-dup dedup
+    -> deterministic split assignment
+
+Each stage already exists as an independently-tested operator; ``curate``
+composes them into ONE wide per-document decision frame so a user runs a
+single call instead of re-plumbing eight joins. The reference engine's
+closest analogue is the staged point-enrichment dataflow
+(/root/reference/demeter/api.py:13-102 — fetch, join, concat per source);
+this is that shape, re-aimed at the webtext axis.
+
+Shuffle accounting (what matters at 100 TB):
+- quality / repetition / PII signals are MAP-ONLY selectExprs — fused into
+  the same scan, zero Exchanges;
+- LM surprise, language ID, segment dedup each shuffle once on their own
+  key (gram / doc / segment-hash) and re-key to doc_id for the join;
+- near-dup clustering is the existing banded MinHash + contraction loop
+  (never all-pairs);
+- the final assembly is a doc_id-keyed multi-way join: every post-shuffle
+  signal table arrives already hashed on doc_id, so AQE coalesces the
+  join into co-partitioned exchanges rather than re-shuffling the corpus
+  per signal.
+
+``keep`` is the conjunction actually used to gate training data; the
+frame keeps every per-stage flag so downstream consumers can loosen any
+single gate without re-running the pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from demeter_spark.operators import dedup, langid, sampling, textstats
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_profiles: DataFrame | None = None,
+    keep_langs: tuple[str, ...] = ("en",),
+    minhash_threshold: float = 0.8,
+    split_key: str | None = None,
+    split_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-document curation decision frame.
+
+    Columns: id, lang + lang gate, quality signals + keep flag,
+    repetition signals + keep flag, PII counts + pii_free, LM-surprise
+    signals + keep flag, segment-dedup stats, near-dup cluster id +
+    canonical flag, split, and the final ``keep`` conjunction.
+
+    ``lang_profiles``: Cavnar-Trenkle profiles (langid.train_profiles);
+    when None, falls back to the stopword-ratio one-bit guess already
+    inside quality_flags' n_stop evidence (lang column passes through).
+    ``split_key``: column whose salted hash assigns train/valid/test
+    (defaults to the id column; use a URL-like column when available so
+    re-crawls that renumber documents cannot leak test into train).
+    """
+    base = docs.select(id_col, text_col, *[
+        c for c in docs.columns if c not in (id_col, text_col)
+    ])
+
+    # --- map-only signal stages (fused into one scan each, no shuffle)
+    quality = textstats.quality_flags(base, id_col, text_col)
+    repetition = textstats.repetition_stats(base, id_col, text_col)
+    pii = textstats.pii_stats(base, id_col, text_col)
+
+    # --- one-shuffle signal stages
+    lm = textstats.bigram_surprise(base, None, id_col, text_col).select(
+        id_col, "lm_n_trans", "lm_improbable_frac", "keep_lm"
+    )
+    seg = dedup.segment_dedup(base, id_col, text_col).select(
+        id_col, "n_segs", "n_dup_segs", "dedup_fp"
+    )
+
+    # --- near-dup clustering: canonical = cluster representative
+    pairs = dedup.minhash_lsh_pairs(
+        base.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        minhash_threshold,
+    )
+    comps = dedup.connected_components(
+        pairs,
+        base.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+    ).select(
+        F.col("doc_id").alias(id_col),
+        F.col("cluster_id").alias("neardup_cluster"),
+    )
+
+    out = (
+        base.drop(text_col)
+        .join(quality.withColumnRenamed("keep", "keep_quality"), id_col)
+        .join(
+            repetition.select(
+                id_col, "top_gram_frac", "dup_gram_frac", "keep_repetition"
+            ),
+            id_col,
+        )
+        .join(pii.select(id_col, "n_email", "n_ipv4", "n_phone", "pii_free"), id_col)
+        .join(lm, id_col)
+        .join(seg, id_col)
+        .join(comps, id_col)
+        .withColumn(
+            "keep_neardup",
+            (F.col(id_col) == F.col("neardup_cluster")).cast("int"),
+        )
+    )
+
+    if lang_profiles is not None:
+        called = langid.classify(
+            docs.select(id_col, text_col), lang_profiles, id_col, text_col
+        ).select(id_col, F.col("lang").alias("lang_id"), "oop_distance")
+        out = out.join(called, id_col).withColumn(
+            "keep_lang",
+            F.col("lang_id").isin(*keep_langs).cast("int"),
+        )
+    else:
+        out = out.withColumn("lang_id", F.lit(None).cast("string")).withColumn(
+            "keep_lang", F.lit(1)
+        )
+
+    out = out.withColumn(
+        "keep",
+        (
+            (F.col("keep_quality") == 1)
+            & (F.col("keep_repetition") == 1)
+            & (F.col("keep_lm") == 1)
+            & (F.col("keep_lang") == 1)
+            & (F.col("keep_neardup") == 1)
+        ).cast("int"),
+    )
+    key = split_key or id_col
+    return sampling.split_assign(
+        out.withColumn("_split_key", F.col(key).cast("string")),
+        weights=split_weights,
+        key_col="_split_key",
+    ).drop("_split_key")
