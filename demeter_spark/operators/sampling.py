@@ -172,3 +172,35 @@ def pack_sequences(
         .drop("_run")
         .withColumnRenamed("_g", "pack_group")
     )
+
+
+def domain_quota(
+    docs: DataFrame,
+    quota: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "quota-v1",
+) -> DataFrame:
+    """Cap documents per domain at ``quota`` — the head-domain damper of
+    web-corpus curation (a handful of hosts dominate any crawl; capping
+    them is the standard C4-era rebalancing step).
+
+    WHICH rows survive is deterministic and layout-independent: rows rank
+    within their domain by the salted hash bucket (then key as the total
+    tie-break), so re-crawls, retries and repartitionings keep the same
+    winners — the same stability contract as split_assign. ONE window
+    shuffle keyed on the domain; the heavy hitters this exists to cap are
+    exactly the skewed partitions, which is fine because the window only
+    materializes rank <= quota per task after partial sort.
+    """
+    from pyspark.sql import Window
+
+    b = _bucket_expr(key_col, salt)
+    w = Window.partitionBy(domain_col).orderBy(
+        F.expr(b).asc(), F.col(key_col).asc()
+    )
+    return (
+        docs.withColumn("_qrank", F.row_number().over(w))
+        .where(F.col("_qrank") <= quota)
+        .drop("_qrank")
+    )

@@ -5,7 +5,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from pyspark.sql import functions as F
+
 from demeter_spark.operators import sampling
+from tests.conftest import SF_DIR
 
 
 def _docs(spark, n=4000):
@@ -173,3 +176,52 @@ def test_pack_sequences_oversized_doc_gets_own_packs(spark):
     # the oversized doc consumed packs 0-4 but didn't stall the stream
     assert packs[0] == packs[1]
     assert packs[2] - packs[0] == 4
+
+
+def test_domain_quota_oracle_and_stability(spark, ddb):
+    from demeter_spark.operators.sampling import (
+        domain_quota,
+        sampling_oracle_bucket,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        r["doc_id"]
+        for r in domain_quota(docs, 10, "source", "doc_id").collect()
+    )
+    b = sampling_oracle_bucket("doc_id", "quota-v1")
+    want = sorted(
+        r[0]
+        for r in ddb.sql(
+            f"""
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY source ORDER BY {b}, doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 10
+        """
+        ).fetchall()
+    )
+    assert got == want
+    # per-domain cap holds and big domains are actually capped
+    caps = {
+        r["source"]: r["n"]
+        for r in domain_quota(docs, 10, "source", "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert max(caps.values()) <= 10
+    full = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert any(v > 10 for v in full.values())  # fixture exercises the cap
+    # layout-independence: same winners after a repartition
+    again = sorted(
+        r["doc_id"]
+        for r in domain_quota(
+            docs.repartition(17), 10, "source", "doc_id"
+        ).collect()
+    )
+    assert again == got
