@@ -1,0 +1,144 @@
+"""Link extraction + PageRank: integer fixed-point mode is bit-identical
+to a pure-Python integer reference (and layout-independent); float mode
+tracks a numpy reference; extraction is pure Catalyst."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from demeter_spark.operators import linkgraph as lg
+
+SCALE = lg.SCALE
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("d", "a"), ("e", "d"),
+    # f is dangling (appears only as a target)
+    ("a", "f"),
+]
+
+
+def _ref_pagerank_int(edges, n_iter, damping=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    d_num, d_den = int(round(damping * (1 << 20))), 1 << 20
+    base = (SCALE - d_num * SCALE // d_den) // n
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(n_iter):
+        inflow = {v: 0 for v in nodes}
+        for s, t in edges:
+            inflow[t] += rank[s] // out[s]
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        share = dangling // n
+        rank = {
+            v: base + ((inflow[v] + share) * d_num) // d_den for v in nodes
+        }
+    return rank
+
+
+def _ref_pagerank_float(edges, n_iter, damping=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        inflow = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            inflow[t] += rank[s] / out[s]
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        rank = {
+            v: (1.0 - damping) / n + damping * (inflow[v] + dangling / n)
+            for v in nodes
+        }
+    return rank
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string")
+
+
+def test_int_mode_matches_reference_exactly(spark, edges_df):
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in lg.pagerank(edges_df, n_iter=8).collect()
+    }
+    assert got == _ref_pagerank_int(EDGES, 8)
+
+
+def test_int_mode_layout_independent(spark, edges_df):
+    a = {
+        r["node"]: r["rank_fp"]
+        for r in lg.pagerank(edges_df.repartition(7), n_iter=5).collect()
+    }
+    b = {
+        r["node"]: r["rank_fp"]
+        for r in lg.pagerank(edges_df.coalesce(1), n_iter=5).collect()
+    }
+    assert a == b == _ref_pagerank_int(EDGES, 5)
+
+
+def test_float_mode_tracks_numpy(spark, edges_df):
+    got = {
+        r["node"]: r["rank"]
+        for r in lg.pagerank(edges_df, n_iter=8, mode="float").collect()
+    }
+    want = _ref_pagerank_float(EDGES, 8)
+    assert all(abs(got[v] - want[v]) < 1e-12 for v in want)
+    # ranking sanity: c (most linked) outranks the leaf e
+    assert got["c"] > got["e"]
+
+
+def test_mass_conservation_int(spark, edges_df):
+    total = (
+        lg.pagerank(edges_df, n_iter=6)
+        .agg(F.sum("rank_fp"))
+        .collect()[0][0]
+    )
+    # floor losses only: within |nodes| + |E| units of 2^-40 per round
+    assert SCALE - total < 6 * (6 + len(EDGES)) * 4
+    assert total <= SCALE
+
+
+def test_extract_links_and_host_edges(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example/p1",
+                (
+                    '<html><body><a href="https://b.example/x">b</a>'
+                    '<a href="https://a.example/p2">self</a>'
+                    '<a href="/relative">rel</a>'
+                    '<a href="https://c.example/">c</a></body></html>'
+                ).encode(),
+            ),
+            (
+                "https://b.example/p",
+                '<html><a href="https://a.example/">a</a></html>'.encode(),
+            ),
+        ],
+        "url string, html binary",
+    )
+    links = lg.extract_links(pages)
+    got = sorted(map(tuple, links.collect()))
+    assert got == [
+        ("https://a.example/p1", "https://a.example/p2"),
+        ("https://a.example/p1", "https://b.example/x"),
+        ("https://a.example/p1", "https://c.example/"),
+        ("https://b.example/p", "https://a.example/"),
+    ]
+    hosts = sorted(map(tuple, lg.host_edges(links).collect()))
+    # self-host edge (a->a) dropped; page-level dedup to host level
+    assert hosts == [
+        ("a.example", "b.example"),
+        ("a.example", "c.example"),
+        ("b.example", "a.example"),
+    ]
+    # extraction is pure Catalyst: no Python eval in the plan
+    plan = links._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
