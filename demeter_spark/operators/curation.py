@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from demeter_spark.operators import dedup, langid, sampling, textstats
+from demeter_spark.plans.fence import eval_fence
 
 
 def curate(
@@ -65,10 +66,19 @@ def curate(
         c for c in docs.columns if c not in (id_col, text_col)
     ])
 
-    # --- map-only signal stages (fused into one scan each, no shuffle)
-    quality = textstats.quality_flags(base, id_col, text_col)
-    repetition = textstats.repetition_stats(base, id_col, text_col)
-    pii = textstats.pii_stats(base, id_col, text_col)
+    # --- map-only signal stages (fused into one scan each, no shuffle).
+    # eval_fence: users filter this frame on the keep flags, and predicate
+    # pushdown would otherwise re-expand each flag's O(L^2) alias chain
+    # into every pushed Filter (measured 21x blowup — see plans/fence.py).
+    # The lm/seg/comps branches end in Aggregate/localCheckpoint nodes,
+    # which already stop pushdown of derived-column predicates.
+    quality = eval_fence(
+        textstats.quality_flags(base, id_col, text_col), [id_col]
+    )
+    repetition = eval_fence(
+        textstats.repetition_stats(base, id_col, text_col), [id_col]
+    )
+    pii = eval_fence(textstats.pii_stats(base, id_col, text_col), [id_col])
 
     # --- one-shuffle signal stages
     lm = textstats.bigram_surprise(base, None, id_col, text_col).select(

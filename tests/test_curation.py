@@ -100,3 +100,24 @@ def test_language_gate(spark, docs):
     assert all(
         (r["lang_id"] == "en") == bool(r["keep_lang"]) for r in rows
     )
+
+
+def test_fence_blocks_pushdown_blowup(spark, docs, curated):
+    """Filtering the decision frame on keep flags must NOT re-expand the
+    O(L^2) signal expressions into pushed Filters (plans/fence.py; the
+    unfenced plan carried 7 copies of the top-gram array_max kernel and
+    ran 21x slower). Pin both the plan property and value parity."""
+    filtered = curation.curate(docs).filter("keep = 1")
+    plan = filtered._jdf.queryExecution().optimizedPlan().toString()
+    # every expensive kernel stays inside a Generate struct: no Filter
+    # line may embed the top-gram scan
+    for line in plan.splitlines():
+        if line.lstrip().startswith(("Filter", "+- Filter", ":- Filter")):
+            assert "array_max" not in line, line[:200]
+    assert plan.count("Generate explode") >= 3  # quality, repetition, pii
+    # value parity with the filter applied post-hoc (no pushdown possible)
+    want = sorted(
+        r.doc_id for r in curated.collect() if r.keep == 1
+    )
+    got = sorted(r.doc_id for r in filtered.select("doc_id").collect())
+    assert got == want and len(got) > 0
