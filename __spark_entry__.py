@@ -78,15 +78,71 @@ def _q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_spatial_join_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 with H3-style compacted covers + ancestor-chain point side."""
-    from demeter_spark.operators import joins
+def _q_web_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink graph + exact PageRank (round 6): href extraction from
+    stored HTML (map-only regexp explode), host-edge projection via
+    parse_url, then 3 power iterations in 2^-40 fixed point — integer sums
+    make the ranks BIT-IDENTICAL to the DuckDB oracle's unrolled-CTE
+    iteration (operators/linkgraph.py). One row per distinct host edge,
+    carrying the source host's rank."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.operators import linkgraph
     from demeter_spark.sources import synth
 
-    pts = synth.page_points(spark, sf_dir)
-    par = synth.parcels(spark)
-    return joins.spatial_join(pts, par, res=9, compact=True).select(
-        "url", "parcel_id"
+    lp = synth.linked_pages(spark, sf_dir)
+    edges = linkgraph.host_edges(linkgraph.extract_links(lp))
+    ranks = linkgraph.pagerank(edges, n_iter=3, mode="int")
+    return edges.join(ranks.withColumnRenamed("node", "src"), "src").select(
+        "src", "dst", F.col("rank_fp").alias("src_rank_fp")
+    )
+
+
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container round trip (sources/warc.py): render pages into
+    multi-member-gzip WARC/1.0 bytes per Arrow batch, parse them back,
+    split the HTTP envelope, and re-extract the article text — the
+    byte-identical-text-per-url invariant (BASELINE.json input_hint)
+    carried through a full write->read cycle of the Common Crawl
+    container format."""
+    import pandas as pd
+
+    from demeter_spark.sources import synth, warc
+
+    p = synth.pages(spark, sf_dir).select("url", "warc_ts", "html")
+
+    def _rt(batches):
+        for pdf in batches:
+            recs = [
+                {
+                    "type": "response",
+                    "url": u,
+                    "date": ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    "payload": warc.http_response_bytes(bytes(h)),
+                }
+                for u, ts, h in zip(pdf["url"], pdf["warc_ts"], pdf["html"])
+            ]
+            blob = warc.warc_bytes(recs, compress=True)
+            rows = {"url": [], "html": [], "http_status": [], "mime": []}
+            for rec in warc.parse_warc(blob):
+                if rec["type"] != "response":
+                    continue
+                st, mime, body = warc.split_http_response(rec["payload"])
+                rows["url"].append(rec["url"])
+                rows["html"].append(body)
+                rows["http_status"].append(st)
+                rows["mime"].append(mime)
+            yield pd.DataFrame(rows)
+
+    out = p.mapInPandas(
+        _rt, "url string, html binary, http_status int, mime string"
+    )
+    return out.selectExpr(
+        "url",
+        "http_status",
+        "mime",
+        "CAST(length(html) AS INT) AS n_bytes",
+        f"{synth.extract_text_expr('html')} AS text",
     )
 
 
@@ -202,18 +258,6 @@ def _q_empty_parcels(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = synth.parcels(spark)
     hits = joins.spatial_join(pts, par, res=8).select("parcel_id").distinct()
     return par.join(hits, "parcel_id", "left_anti").select("parcel_id", "kind")
-
-
-def _q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A-family smoke: groupBy count over the pages table."""
-    from demeter_spark.sources import synth
-    from pyspark.sql import functions as F
-
-    return (
-        synth.pages(spark, sf_dir)
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_pages"))
-    )
 
 
 def _q_ndvi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1145,9 +1189,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "carbon_stock_stats": _q_carbon_stock,
         "geojson_parcels": _q_geojson_parcels,
         "spatial_join": _q_spatial_join,
-        "spatial_join_compact": _q_spatial_join_compact,
+        # spatial_join_compact retired r06 (J1 compact path pytest-covered:
+        # tests/test_spatial_join.py compact=True vs DuckDB truth) to stay
+        # under the 50-row driver gate; lang_counts (smoke) likewise —
+        # replaced by web_graph + warc_roundtrip.
+        "web_graph": _q_web_graph,
+        "warc_roundtrip": _q_warc_roundtrip,
         "knn_kring": _q_knn,
-        "lang_counts": _q_lang_counts,
         "primary_soil_components": _q_primary_soil,
         "empty_parcels": _q_empty_parcels,
         "zonal_stats": _q_zonal_stats,
@@ -1283,6 +1331,8 @@ def oracle_sql() -> dict[str, str]:
         REAL_MEDIA_ORACLE_SQL as _REAL_MEDIA_ORACLE,
     )
     from demeter_spark.sources.multimodal import TIFF_ORACLE_SQL as _TIFF_ORACLE
+    from demeter_spark.sources.synth import HTML_PREFIX as _HTML_PREFIX
+    from demeter_spark.sources.synth import HTML_SUFFIX as _HTML_SUFFIX
     from demeter_spark.sources.synth import oracle_query
 
     return {
@@ -1373,8 +1423,53 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join": oracle_query(
             "SELECT url, parcel_id FROM point_parcel_truth"
         ),
-        "spatial_join_compact": oracle_query(
-            "SELECT url, parcel_id FROM point_parcel_truth"
+        # web_graph: ranks re-derived by the SAME 2^-40 fixed-point power
+        # iteration, unrolled as three exact-integer CTE layers — integer
+        # sums are order-independent, so Spark and DuckDB hash-match
+        # bit-for-bit (operators/linkgraph.py docstring).
+        "web_graph": oracle_query(
+            """
+            , nodes AS (SELECT DISTINCT node FROM (
+                SELECT src AS node FROM host_edges
+                UNION ALL SELECT dst FROM host_edges)),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS out_deg
+                    FROM host_edges GROUP BY src),
+            ed AS (SELECT e.src, e.dst, d.out_deg
+                   FROM host_edges e JOIN deg d USING (src)),
+            r0 AS (SELECT node, CAST(1099511627776 // nn.n AS BIGINT) AS rk
+                   FROM nodes CROSS JOIN nn),
+            c1 AS (SELECT ed.dst AS node, SUM(p.rk // ed.out_deg) AS inflow
+                   FROM ed JOIN r0 p ON ed.src = p.node GROUP BY ed.dst),
+            g1 AS (SELECT COALESCE(SUM(p.rk), 0) AS dang FROM r0 p
+                   LEFT JOIN deg ON p.node = deg.src WHERE deg.src IS NULL),
+            r1 AS (SELECT n0.node, CAST(164926324736 // nn.n
+                     + ((COALESCE(c1.inflow, 0) + g1.dang // nn.n) * 891290)
+                       // 1048576 AS BIGINT) AS rk
+                   FROM nodes n0 CROSS JOIN nn CROSS JOIN g1
+                   LEFT JOIN c1 ON n0.node = c1.node),
+            c2 AS (SELECT ed.dst AS node, SUM(p.rk // ed.out_deg) AS inflow
+                   FROM ed JOIN r1 p ON ed.src = p.node GROUP BY ed.dst),
+            g2 AS (SELECT COALESCE(SUM(p.rk), 0) AS dang FROM r1 p
+                   LEFT JOIN deg ON p.node = deg.src WHERE deg.src IS NULL),
+            r2 AS (SELECT n0.node, CAST(164926324736 // nn.n
+                     + ((COALESCE(c2.inflow, 0) + g2.dang // nn.n) * 891290)
+                       // 1048576 AS BIGINT) AS rk
+                   FROM nodes n0 CROSS JOIN nn CROSS JOIN g2
+                   LEFT JOIN c2 ON n0.node = c2.node),
+            c3 AS (SELECT ed.dst AS node, SUM(p.rk // ed.out_deg) AS inflow
+                   FROM ed JOIN r2 p ON ed.src = p.node GROUP BY ed.dst),
+            g3 AS (SELECT COALESCE(SUM(p.rk), 0) AS dang FROM r2 p
+                   LEFT JOIN deg ON p.node = deg.src WHERE deg.src IS NULL),
+            r3 AS (SELECT n0.node, CAST(164926324736 // nn.n
+                     + ((COALESCE(c3.inflow, 0) + g3.dang // nn.n) * 891290)
+                       // 1048576 AS BIGINT) AS rk
+                   FROM nodes n0 CROSS JOIN nn CROSS JOIN g3
+                   LEFT JOIN c3 ON n0.node = c3.node)
+            SELECT e.src, e.dst, r3.rk AS src_rank_fp
+            FROM host_edges e JOIN r3 ON e.src = r3.node
+            """,
+            ("host_edges",),
         ),
         "knn_kring": oracle_query(
             """
@@ -1390,8 +1485,22 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 3
             """
         ),
-        "lang_counts": oracle_query(
-            "SELECT lang, CAST(count(*) AS BIGINT) AS n_pages FROM pages GROUP BY lang",
+        # warc_roundtrip: the oracle re-renders the html closed-form and
+        # checks byte length + byte-identical text; status/mime are the
+        # constants the Spark side must recover from the HTTP envelope it
+        # itself serialized into the WARC container.
+        "warc_roundtrip": oracle_query(
+            f"""
+            SELECT url,
+                   CAST(200 AS INT) AS http_status,
+                   'text/html' AS mime,
+                   CAST(strlen('{_HTML_PREFIX}'
+                     || replace(replace(replace(text, '&', '&amp;'),
+                                '<', '&lt;'), '>', '&gt;')
+                     || '{_HTML_SUFFIX}') AS INT) AS n_bytes,
+                   text
+            FROM pages
+            """,
             ("pages",),
         ),
         "primary_soil_components": oracle_query(

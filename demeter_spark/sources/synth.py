@@ -80,6 +80,39 @@ def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pages`` plus a deterministic ``<nav>`` block of two absolute
+    anchors per page, OUTSIDE the ``<article>`` body so the byte-identical
+    extraction invariant is untouched. Link targets (7d+1, 13d+3 mod
+    N_SITES) give a non-uniform host graph: hosts where the two targets
+    coincide (s = 8, 33 mod 50) have out-degree 1 after distinct, the rest
+    2 — so PageRank over it is not the uniform fixed point."""
+    esc = (
+        "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
+        " '>', '&gt;')"
+    )
+    a1 = (
+        f"concat('https://site', CAST((doc_id * 7 + 1) % {N_SITES}"
+        " AS STRING), '.example/p/', CAST(doc_id + 1 AS STRING))"
+    )
+    a2 = (
+        f"concat('https://site', CAST((doc_id * 13 + 3) % {N_SITES}"
+        " AS STRING), '.example/p/', CAST(doc_id * 2 AS STRING))"
+    )
+    html = (
+        f"encode(concat('{HTML_PREFIX}', {esc}, '</article><nav>',"
+        f" '<a href=\"', {a1}, '\">n1</a>',"
+        f" '<a href=\"', {a2}, '\">n2</a>',"
+        " '</nav></body></html>'), 'UTF-8')"
+    )
+    return (
+        pages(spark, sf_dir)
+        .select("doc_id", "url", "warc_ts", "text", "lang")
+        .withColumn("html", F.expr(html))
+        .select("doc_id", "url", "warc_ts", "html", "text", "lang")
+    )
+
+
 def render_html_expr(text_col: str) -> str:
     """SQL expression rendering escaped HTML bytes from a text column."""
     esc = (
@@ -490,6 +523,20 @@ ORACLE_TABLES: dict[str, str] = {
                CASE WHEN h % 20 = 0 THEN 'de' WHEN h % 20 = 1 THEN 'fr' ELSE 'en' END AS lang
         FROM (SELECT doc_id, (doc_id * {HASH_MULT}) % 4294967296 AS h FROM documents)
     """,
+    # distinct host graph of linked_pages (closed form: the two anchor
+    # targets depend only on doc_id mod N_SITES; self-loops are impossible
+    # because 6d+1 and 12d+3 are odd while 0 mod 50 needs even)
+    "host_edges": f"""
+        SELECT DISTINCT 'site' || CAST(s AS VARCHAR) || '.example' AS src,
+                        'site' || CAST(d AS VARCHAR) || '.example' AS dst
+        FROM (
+          SELECT doc_id % {N_SITES} AS s,
+                 (doc_id * 7 + 1) % {N_SITES} AS d FROM documents
+          UNION ALL
+          SELECT doc_id % {N_SITES} AS s,
+                 (doc_id * 13 + 3) % {N_SITES} AS d FROM documents
+        ) WHERE s <> d
+    """,
     "page_points": """
         SELECT p.url, p.doc_id, g.place_id,
                g.lon + ((h % 211) - 105) / 1000e0 AS lon,
@@ -614,6 +661,7 @@ ORACLE_TABLES: dict[str, str] = {
 _ORACLE_ORDER = [
     "gazetteer",
     "pages",
+    "host_edges",
     "page_points",
     "parcels",
     "point_parcel_truth",
