@@ -15,6 +15,41 @@ from pyspark.sql import functions as F
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
 
+def _max_multiplicity_expr(arr_sql: str) -> str:
+    """Max element multiplicity in a string array, O(L log L): sort, then
+    one aggregate() fold tracking the current run length. Replaces the
+    O(L^2) ``array_max(transform(array_distinct(a), g -> size(filter(a,
+    x -> x = g))))`` scan — same integer result (0 for empty input), so
+    oracles are unaffected; at web-corpus document lengths the quadratic
+    kernel is the difference between a map-only pass and an unrunnable
+    one. Elements must be non-NULL (split/concat_ws never yield NULL)."""
+    return (
+        f"aggregate(array_sort({arr_sql}),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+        " (a, x) -> IF(x <=> a.prev,"
+        "   named_struct('prev', x, 'run', a.run + 1,"
+        "                'best', GREATEST(a.best, a.run + 1)),"
+        "   named_struct('prev', x, 'run', 1, 'best', GREATEST(a.best, 1))),"
+        " a -> a.best)"
+    )
+
+
+def _dup_positions_expr(arr_sql: str) -> str:
+    """Count of positions whose element occurs more than once, O(L log L)
+    by the same sort + run-length fold (a run of length r > 1 contributes
+    r: +2 when it first reaches 2, +1 per further extension). Replaces the
+    O(L^2) ``size(filter(a, g -> size(filter(a, x -> x = g)) > 1))``."""
+    return (
+        f"aggregate(array_sort({arr_sql}),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'acc', 0),"
+        " (a, x) -> IF(x <=> a.prev,"
+        "   named_struct('prev', x, 'run', a.run + 1,"
+        "                'acc', a.acc + IF(a.run = 1, 2, 1)),"
+        "   named_struct('prev', x, 'run', 1, 'acc', a.acc)),"
+        " a -> a.acc)"
+    )
+
+
 def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document token counts, type-token ratio, stopword ratio, mean word
     length, language guess, and a composite quality score."""
@@ -88,15 +123,12 @@ def quality_flags(
     - n_stop: distinct stopwords present (language-evidence filter),
     - keep: the conjunction actually used to gate training data.
 
-    O(L^2) per doc for the repetition scan (L = tokens, bounded by the
-    tokenizer upstream) inside codegen — cheaper than a groupBy explode at
-    corpus scale because nothing leaves the row.
+    O(L log L) per doc (sort + run-length fold, _max_multiplicity_expr)
+    inside codegen — cheaper than a groupBy explode at corpus scale
+    because nothing leaves the row.
     """
     ws = "split(%s, ' ')" % text_col
-    top = (
-        f"array_max(transform(array_distinct({ws}),"
-        f" w -> size(filter({ws}, x -> x = w))))"
-    )
+    top = _max_multiplicity_expr(ws)
     return docs.selectExpr(
         id_col,
         f"CAST(size({ws}) AS INT) AS n_words",
@@ -306,10 +338,12 @@ def repetition_stats(
     - keep_repetition: the conjunction gating the training set.
 
     Everything stays inside one row — grams built with transform(sequence)
-    over the word array, counts via nested higher-order filters. O(L^2) per
-    document inside whole-stage codegen, but ZERO shuffle: at 100 TB this is
-    a map-only pass over the corpus (the explode+groupBy alternative ships
-    every gram through an exchange). L is bounded upstream by the tokenizer.
+    over the word array, multiplicities via the sorted run-length folds
+    (_max_multiplicity_expr / _dup_positions_expr, O(L log L) per document)
+    inside whole-stage codegen, ZERO shuffle: at 100 TB this is a map-only
+    pass over the corpus (the explode+groupBy alternative ships every gram
+    through an exchange). Formerly nested-filter O(L^2) — quadratic per-doc
+    cost is the difference between a scan and a stall on real web pages.
 
     Reference anchor: the reference has no text stack (raster/vector only,
     demeter/raster/__init__.py); this covers the webtext payload axis.
@@ -335,10 +369,8 @@ def repetition_stats(
     ).selectExpr(
         id_col,
         "n_words",
-        "CAST(coalesce(array_max(transform(array_distinct(_gt),"
-        " g -> size(filter(_gt, x -> x = g)))), 0) AS INT) AS top_gram_n",
-        "CAST(size(filter(_gd, g -> size(filter(_gd, x -> x = g)) > 1)) AS INT)"
-        " AS dup_gram_n",
+        f"CAST({_max_multiplicity_expr('_gt')} AS INT) AS top_gram_n",
+        f"CAST({_dup_positions_expr('_gd')} AS INT) AS dup_gram_n",
         "CAST(size(_gd) AS INT) AS n_dup_positions",
     ).selectExpr(
         id_col,
