@@ -376,6 +376,26 @@ def main() -> None:
         tiling["bpe_encode_sec"] = round(dt, 3)
         tiling["bpe_encode_tokens_per_sec"] = round(n_tokens / dt)
 
+        # --- web-graph probe (off-total): 3 fixed-point PageRank rounds
+        # over a 1M-edge synthetic host graph (200k hosts, multiplicative-
+        # hash targets => skewed in-degrees). Each round is one hash join
+        # + one map-side-combined sum + two scalar actions; edges/sec =
+        # iterations * |E| / wall. Integer ranks make the result identical
+        # at any parallelism — the same number is comparable across runs.
+        from demeter_spark.operators import linkgraph as lg
+
+        edges_g = spark.range(0, 500_000, 1, 32).selectExpr(
+            "concat('h', CAST(id % 100000 AS STRING)) AS src",
+            "concat('h', CAST((id * 2654435761) % 100000 AS STRING)) AS dst",
+        )
+        t0 = time.time()
+        pr = lg.pagerank(edges_g, n_iter=3, mode="int")
+        tiling["pagerank_mass"] = pr.agg(F.sum("rank_fp")).collect()[0][0]
+        dt = time.time() - t0
+        tiling["pagerank_edges"] = 500_000
+        tiling["pagerank_sec"] = round(dt, 3)
+        tiling["pagerank_edge_iters_per_sec"] = round(3 * 500_000 / dt)
+
         # --- skew evidence (VERDICT r03 #8, measurement design r05 #1):
         # the cover join through a REAL shuffle join (auto-broadcast
         # disabled — at 100 TB the continental cover is not broadcastable)

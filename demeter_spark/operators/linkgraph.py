@@ -81,24 +81,31 @@ def pagerank(
     Dangling nodes (no outlinks) redistribute their mass uniformly, the
     standard correction.
     """
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # node dimension carries out_deg (NULL = dangling) so the per-round
+    # dangling-mass sum is a scan of this small checkpointed frame — no
+    # per-round anti-join against deg
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .join(deg.withColumnRenamed("src", "node"), "node", "left")
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     ed = edges.join(deg, "src").localCheckpoint(eager=True)
 
     d_num, d_den = int(round(damping * (1 << 20))), 1 << 20
     if mode == "int":
         init = SCALE // n
         base = (SCALE - d_num * SCALE // d_den) // n  # (1-d)/n, exact ints
-        ranks = nodes.withColumn("rank", F.lit(init).cast("bigint"))
+        ranks = nodes.select("node", "out_deg").withColumn(
+            "rank", F.lit(init).cast("bigint")
+        )
         for _ in range(n_iter):
+            r = ranks.select("node", "rank")
             contrib = (
-                ed.join(ranks, ed["src"] == ranks["node"])
+                ed.join(r, ed["src"] == r["node"])
                 .select(
                     F.col("dst").alias("node"),
                     # integer `div`, NOT `/`: bigint / bigint is a double
@@ -109,9 +116,9 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("c").alias("inflow"))
             )
-            # dangling mass: rank not sitting on any out-edge source
+            # dangling mass: rank sitting on nodes with no outlinks
             dangling = (
-                ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+                ranks.filter("out_deg IS NULL")
                 .agg(F.sum("rank"))
                 .collect()[0][0]
                 or 0
@@ -121,6 +128,7 @@ def pagerank(
                 nodes.join(contrib, "node", "left")
                 .select(
                     "node",
+                    "out_deg",
                     F.expr(
                         f"{base} + ((coalesce(inflow, 0) + {share})"
                         f" * {d_num}) div {d_den}"
@@ -136,10 +144,11 @@ def pagerank(
 
     if mode != "float":
         raise ValueError(f"unknown mode {mode!r}")
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = nodes.select("node", "out_deg").withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
+        r = ranks.select("node", "rank")
         contrib = (
-            ed.join(ranks, ed["src"] == ranks["node"])
+            ed.join(r, ed["src"] == r["node"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("out_deg")).alias("c"),
@@ -148,7 +157,7 @@ def pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         dangling = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            ranks.filter("out_deg IS NULL")
             .agg(F.sum("rank"))
             .collect()[0][0]
             or 0.0
@@ -157,6 +166,7 @@ def pagerank(
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
+                "out_deg",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -165,4 +175,4 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.drop("out_deg")
