@@ -31,7 +31,14 @@ from pyspark.sql import functions as F
 
 SCALE = 1 << 40  # fixed-point unit for integer mode
 
-__all__ = ["extract_links", "host_edges", "pagerank"]
+__all__ = [
+    "extract_links",
+    "extract_anchor_texts",
+    "anchor_text_corpus",
+    "host_edges",
+    "pagerank",
+    "hits",
+]
 
 
 def extract_links(
@@ -46,6 +53,36 @@ def extract_links(
         f"{url_col} AS src",
         f"""explode(regexp_extract_all(decode({html_col}, 'UTF-8'),
             'href="(https?://[^"]+)"', 1)) AS dst""",
+    )
+
+
+def extract_anchor_texts(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst, anchor) triples — the link target plus its anchor text.
+    Anchor text is the classic external description of the TARGET page
+    (training-data pipelines aggregate it as alt labels). Map-only: the
+    same pattern is matched twice for capture groups 1 and 2 and the two
+    arrays zipped, so href/text pairing is positional and exact; Catalyst
+    subexpression elimination shares the decode between the two calls."""
+    pat = '<a href="(https?://[^"]+)"[^>]*>([^<]*)</a>'
+    return pages.selectExpr(
+        f"{url_col} AS src",
+        f"""explode(arrays_zip(
+            regexp_extract_all(decode({html_col}, 'UTF-8'), '{pat}', 1),
+            regexp_extract_all(decode({html_col}, 'UTF-8'), '{pat}', 2)
+        )) AS z""",
+    ).selectExpr("src", "z.`0` AS dst", "z.`1` AS anchor")
+
+
+def anchor_text_corpus(anchors: DataFrame) -> DataFrame:
+    """Per target URL: sorted-unique anchor texts pointing at it plus the
+    in-link count — ONE map-side-combined aggregate keyed on dst (the
+    corpus-scale shape: anchor rows shuffle once, already projected down
+    to (dst, anchor))."""
+    return anchors.groupBy("dst").agg(
+        F.array_sort(F.collect_set("anchor")).alias("anchor_texts"),
+        F.count("*").alias("n_inlinks"),
     )
 
 
@@ -176,3 +213,82 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.drop("out_deg")
+
+
+def hits(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in the same 2^-40 fixed
+    point as ``pagerank``: (node, hub_fp, auth_fp, hub, auth).
+
+    Each half-round is one join + one integer-sum groupBy; normalization
+    is L1 in exact integers (v * 2^40 div total), so the output is
+    bit-identical under any partitioning — pinned against a numpy
+    replica performing the identical floor divisions in tests. State is
+    localCheckpointed per round (iterative-loop plan-growth contract).
+    Nodes with zero inlinks (outlinks) keep authority (hub) 0, the
+    textbook behaviour."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    ed = edges.localCheckpoint(eager=True)
+    init = SCALE // n
+    state = nodes.selectExpr(
+        "node",
+        f"CAST({init} AS BIGINT) AS hub",
+        f"CAST({init} AS BIGINT) AS auth",
+    )
+
+    def _l1_normalize(df: DataFrame, col: str) -> DataFrame:
+        total = int(df.agg(F.sum(col)).collect()[0][0] or 0)
+        if total == 0:
+            return df
+        # value * 2^40 can exceed int64 before the divide (raw sums reach
+        # SCALE each, total reaches SCALE * max_deg): widen through
+        # DECIMAL(38,0) — exact integer floor division, then back to BIGINT
+        return df.withColumn(
+            col,
+            F.expr(
+                f"CAST((CAST({col} AS DECIMAL(38,0)) * {SCALE})"
+                f" div {total} AS BIGINT)"
+            ),
+        )
+
+    for _ in range(n_iter):
+        # authority update: sum of hub over in-edges
+        h = state.select("node", "hub")
+        auth_in = (
+            ed.join(h, ed["src"] == h["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth_raw"))
+        )
+        state = (
+            state.drop("auth")
+            .join(auth_in, "node", "left")
+            .withColumn("auth", F.coalesce("auth_raw", F.lit(0)))
+            .drop("auth_raw")
+        )
+        state = _l1_normalize(state, "auth").localCheckpoint(eager=True)
+        # hub update: sum of auth over out-edges
+        a = state.select("node", "auth")
+        hub_out = (
+            ed.join(a, ed["dst"] == a["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub_raw"))
+        )
+        state = (
+            state.drop("hub")
+            .join(hub_out, "node", "left")
+            .withColumn("hub", F.coalesce("hub_raw", F.lit(0)))
+            .drop("hub_raw")
+        )
+        state = _l1_normalize(state, "hub").localCheckpoint(eager=True)
+    return state.select(
+        "node",
+        F.col("hub").alias("hub_fp"),
+        F.col("auth").alias("auth_fp"),
+        (F.col("hub").cast("double") / F.lit(float(SCALE))).alias("hub"),
+        (F.col("auth").cast("double") / F.lit(float(SCALE))).alias("auth"),
+    )

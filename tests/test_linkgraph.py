@@ -142,3 +142,81 @@ def test_extract_links_and_host_edges(spark):
     # extraction is pure Catalyst: no Python eval in the plan
     plan = links._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_anchor_texts_and_corpus(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example/p1",
+                (
+                    '<html><a href="https://b.example/x">Bravo site</a>'
+                    '<a href="https://c.example/">see C</a></html>'
+                ).encode(),
+            ),
+            (
+                "https://b.example/p",
+                '<html><a href="https://c.example/" rel="nofollow">C again</a></html>'.encode(),
+            ),
+        ],
+        "url string, html binary",
+    )
+    anchors = lg.extract_anchor_texts(pages)
+    got = sorted(map(tuple, anchors.collect()))
+    assert got == [
+        ("https://a.example/p1", "https://b.example/x", "Bravo site"),
+        ("https://a.example/p1", "https://c.example/", "see C"),
+        ("https://b.example/p", "https://c.example/", "C again"),
+    ]
+    corpus = {
+        r.dst: (list(r.anchor_texts), r.n_inlinks)
+        for r in lg.anchor_text_corpus(anchors).collect()
+    }
+    assert corpus == {
+        "https://b.example/x": (["Bravo site"], 1),
+        "https://c.example/": (["C again", "see C"], 2),
+    }
+    plan = anchors._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_hits_matches_integer_numpy_replica(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "b"), ("b", "d"),
+    ]
+    got = {
+        r.node: (r.hub_fp, r.auth_fp)
+        for r in lg.hits(
+            spark.createDataFrame(edges, "src string, dst string"), n_iter=4
+        ).collect()
+    }
+
+    # numpy replica with the identical integer floor divisions
+    import numpy as np
+
+    SCALE = 1 << 40
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    hub = np.full(n, SCALE // n, dtype=np.int64)
+    auth = np.full(n, SCALE // n, dtype=np.int64)
+
+    def l1norm(v):
+        t = int(v.sum())
+        return v if t == 0 else (v.astype(object) * SCALE // t).astype(np.int64)
+
+    for _ in range(4):
+        na = np.zeros(n, dtype=np.int64)
+        for s, d in edges:
+            na[idx[d]] += hub[idx[s]]
+        auth = l1norm(na)
+        nh = np.zeros(n, dtype=np.int64)
+        for s, d in edges:
+            nh[idx[s]] += auth[idx[d]]
+        hub = l1norm(nh)
+
+    want = {u: (int(hub[idx[u]]), int(auth[idx[u]])) for u in nodes}
+    assert got == want
+    # sanity: c has the most inlinks -> top authority
+    assert max(want, key=lambda u: want[u][1]) == "c"
