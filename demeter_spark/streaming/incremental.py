@@ -292,3 +292,44 @@ def streaming_segment_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_link_graph(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+) -> None:
+    """Continuous-crawl link-graph maintenance as a STREAM: each
+    micro-batch of pages folds its host-edge partials into the
+    LineageLog-backed graph (operators/linkgraph.incremental_link_graph)
+    and rewrites the CURRENT aggregated edge table partitioned by
+    batch_id — idempotent on replay via the same exactly-once bridge as
+    the other skins. The union-equals-batch property is pytest-verified
+    against host_pairs over the full corpus."""
+    from demeter_spark.operators.linkgraph import incremental_link_graph
+    from demeter_spark.plans.lineage import LineageLog
+
+    log = LineageLog(spark, state_dir)
+    stream = spark.readStream.schema("url STRING, html BINARY").parquet(
+        input_dir
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        edges = incremental_link_graph(log, batch_df, int(batch_id))
+        (
+            edges.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

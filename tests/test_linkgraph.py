@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from demeter_spark.operators import linkgraph as lg
+from tests.conftest import SF_DIR
 
 SCALE = lg.SCALE
 
@@ -220,3 +221,66 @@ def test_hits_matches_integer_numpy_replica(spark):
     assert got == want
     # sanity: c has the most inlinks -> top authority
     assert max(want, key=lambda u: want[u][1]) == "c"
+
+
+def test_incremental_link_graph_union_equals_batch(spark, tmp_path):
+    from demeter_spark.plans.lineage import LineageLog
+    from demeter_spark.sources import synth
+
+    pages = synth.linked_pages(spark, SF_DIR).select("doc_id", "url", "html")
+    log = LineageLog(spark, str(tmp_path / "state"))
+    for inc_id in range(3):
+        inc = pages.filter(f"doc_id % 3 = {inc_id}").drop("doc_id")
+        current = lg.incremental_link_graph(log, inc, inc_id)
+    got = sorted(map(tuple, current.collect()))
+    want = sorted(
+        map(
+            tuple,
+            lg.host_pairs(lg.extract_links(pages))
+            .groupBy("src", "dst")
+            .count()
+            .withColumnRenamed("count", "n_links")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # crash/replay of increment 1 heals idempotently
+    replay = lg.incremental_link_graph(
+        log, pages.filter("doc_id % 3 = 1").drop("doc_id"), 1
+    )
+    assert sorted(map(tuple, replay.collect())) == want
+
+
+def test_streaming_link_graph_matches_batch(spark, tmp_path):
+    from demeter_spark.sources import synth
+    from demeter_spark.streaming.incremental import streaming_link_graph
+
+    pages = synth.linked_pages(spark, SF_DIR).select("doc_id", "url", "html")
+    in_dir = str(tmp_path / "in")
+    for i in range(2):
+        pages.filter(f"doc_id % 2 = {i}").drop("doc_id").coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    streaming_link_graph(
+        spark,
+        in_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+    )
+    out = spark.read.parquet(str(tmp_path / "out"))
+    last = out.agg(F.max("batch_id")).collect()[0][0]
+    got = sorted(
+        map(tuple, out.filter(F.col("batch_id") == last).drop("batch_id").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            lg.host_pairs(lg.extract_links(pages))
+            .groupBy("src", "dst")
+            .count()
+            .withColumnRenamed("count", "n_links")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
