@@ -376,6 +376,30 @@ def main() -> None:
         tiling["bpe_encode_sec"] = round(dt, 3)
         tiling["bpe_encode_tokens_per_sec"] = round(n_tokens / dt)
 
+        # --- long-doc kernel probe (off-total): the Gopher repetition
+        # gates over 2k docs x 2k words — real web-page lengths, where the
+        # former nested-filter kernels were O(L^2) per doc. The sorted
+        # run-length folds keep this a map-only codegen pass; tokens/sec
+        # is the comparable number (r06: 8.6x at 4k words vs the old
+        # kernels, ratio grows with L).
+        from demeter_spark.operators import textstats as ts_mod
+
+        long_docs = spark.range(0, 2000, 1, 32).selectExpr(
+            "id AS doc_id",
+            "array_join(transform(sequence(1, 2000),"
+            " i -> concat('w', CAST(pmod(id * i, 97) AS STRING))), ' ')"
+            " AS text",
+        ).localCheckpoint(eager=True)
+        t0 = time.time()
+        ts_mod.repetition_stats(long_docs).selectExpr(
+            "sum(top_gram_n + dup_gram_n) AS s"
+        ).collect()
+        dt = time.time() - t0
+        tiling["longdoc_tokens"] = 2000 * 2000
+        tiling["longdoc_repetition_sec"] = round(dt, 3)
+        tiling["longdoc_tokens_per_sec"] = round(2000 * 2000 / dt)
+        long_docs.unpersist()
+
         # --- web-graph probe (off-total): 3 fixed-point PageRank rounds
         # over a 1M-edge synthetic host graph (200k hosts, multiplicative-
         # hash targets => skewed in-degrees). Each round is one hash join

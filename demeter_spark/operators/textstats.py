@@ -601,3 +601,48 @@ def pii_stats(
         " AS INT) AS pii_free",
         "redacted_fp",
     )
+
+
+def html_to_text_expr(html_col: str) -> str:
+    """General HTML -> visible text as ONE Catalyst expression chain —
+    the real-crawl counterpart of synth.extract_text_expr (which inverts
+    only the fixture template). Public-recipe extraction: drop
+    script/style/head subtrees, honor block boundaries as newlines,
+    strip remaining tags, decode the common entities, collapse
+    whitespace. Map-only regexp_replace chain, no UDF — fuses into the
+    corpus scan. Lossy by design (it is an extractor, not a parser):
+    comments and CDATA fall to the tag-strip rule."""
+    s = f"decode({html_col}, 'UTF-8')"
+    # kill non-content subtrees (case-insensitive, dotall, non-greedy)
+    for tag in ("script", "style", "head"):
+        s = f"regexp_replace({s}, '(?is)<{tag}[^>]*>.*?</{tag}>', ' ')"
+    # block-level closers -> newline so paragraphs survive the strip
+    s = (
+        f"regexp_replace({s},"
+        " '(?i)</(p|div|h[1-6]|li|tr|article|section)>|<br[^>]*>', '\\n')"
+    )
+    s = f"regexp_replace({s}, '<[^>]*>', ' ')"  # strip remaining tags
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # LAST: double-escaped entities decode one level
+    ):
+        lit = ch.replace("\\", "\\\\").replace("'", "\\'")
+        s = f"replace({s}, '{ent}', '{lit}')"
+    # collapse horizontal runs, trim line edges, collapse blank lines
+    s = f"regexp_replace({s}, '[ \\t]+', ' ')"
+    s = f"regexp_replace({s}, ' ?\\n ?', '\\n')"
+    s = f"regexp_replace({s}, '\\n+', '\\n')"
+    return f"trim({s})"
+
+
+def extract_page_text(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, text) from stored HTML bytes via html_to_text_expr."""
+    return pages.selectExpr(
+        f"{url_col} AS url", f"{html_to_text_expr(html_col)} AS text"
+    )

@@ -102,3 +102,26 @@ def test_extract_text_composition(spark, tmp_path):
             out[f"https://c.example/page/{i}"]
             == f"Doc {i} body & <tagged> text from c.example"
         )
+
+
+def test_html_to_text_general_extractor(spark):
+    from demeter_spark.operators import textstats
+
+    html = (
+        "<html><head><title>T</title><style>p{color:red}</style></head>"
+        "<body><script type='text/js'>var x = '<p>';</script>"
+        "<h1>Header</h1><p>First &amp;amp; para with &lt;tags&gt;.</p>"
+        "<div>Second&nbsp;block</div><ul><li>one</li><li>two</li></ul>"
+        "line<br/>break &quot;quoted&quot; &#39;q2&#39;</body></html>"
+    )
+    out = spark.createDataFrame(
+        [("u", html.encode())], "url string, html binary"
+    ).selectExpr(f"{textstats.html_to_text_expr('html')} AS text").collect()[0][0]
+    lines = out.split("\n")
+    assert lines[0] == "Header"
+    assert lines[1] == 'First &amp; para with <tags>.'
+    assert lines[2] == "Second block"
+    assert lines[3] == "one" and lines[4] == "two"
+    assert lines[5] == 'line' and lines[6] == 'break "quoted" \'q2\''
+    # script/style/head content never leaks
+    assert "color" not in out and "var x" not in out and "T" != lines[0][0]
