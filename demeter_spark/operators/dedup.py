@@ -1003,3 +1003,31 @@ def incremental_segment_dedup(
             " s -> s.seg))) AS dedup_fp",
         )
     )
+
+
+def canonical_by_priority(
+    components: DataFrame,
+    priority: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster keep the
+    member with the HIGHEST external priority — e.g. the PageRank of the
+    page's host (operators/linkgraph.py), the standard web-corpus rule
+    for choosing which copy of a mirrored page ships to training. Ties
+    break to the smallest id, so the output is deterministic.
+
+    ONE join (priority is usually a broadcastable host/doc dimension) +
+    ONE map-side-combined max_by aggregate keyed on the cluster — no
+    window, no secondary shuffle. Returns (cluster, keep_id,
+    keep_priority, cluster_size)."""
+    j = components.join(priority, id_col)
+    return j.groupBy(cluster_col).agg(
+        F.expr(
+            f"max_by({id_col}, named_struct('p', {priority_col},"
+            f" 'i', -{id_col}))"
+        ).alias("keep_id"),
+        F.max(priority_col).alias("keep_priority"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )

@@ -369,3 +369,22 @@ def test_trained_ivf_recall_floor_on_clustered_fixture(spark):
         .collect()
     ]
     assert max(sizes) <= 3 * (sum(sizes) / len(sizes)), sorted(sizes)
+
+
+def test_canonical_by_priority(spark):
+    from demeter_spark.operators.dedup import canonical_by_priority
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "doc_id long, cluster_id long",
+    )
+    prio = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 1.0), (20, 3.0)],
+        "doc_id long, priority double",
+    )
+    got = {
+        r.cluster_id: (r.keep_id, r.keep_priority, r.cluster_size)
+        for r in canonical_by_priority(comps, prio).collect()
+    }
+    # cluster 1: 2 and 3 tie at 9.0 -> min id 2; cluster 10: tie -> 10
+    assert got == {1: (2, 9.0, 3), 10: (10, 1.0, 2), 20: (20, 3.0, 1)}
