@@ -1,0 +1,128 @@
+"""robots.txt parsing + crawl-allow filtering — the compliance gate a
+crawl pipeline applies before fetch/retention (REP, RFC 9309; the
+longest-match Allow/Disallow rule popularized by Googlebot's documented
+behaviour).
+
+The reference fetches whatever it is pointed at (download loops in
+demeter/sentinel2/utils/download.py) — a web crawl cannot; this supplies
+the per-host rule table and the page-level verdict.
+
+Scale shape:
+- parsing is ONE map-only pass over the (host, robots_txt) dimension —
+  an aggregate() line fold builds the `User-agent: *` rule list per host
+  (robots files are KB-sized; the fold is trivial);
+- the verdict is a broadcast join of pages against the per-host rule
+  arrays + one higher-order fold per page computing the longest matching
+  Allow and Disallow prefixes — no explode of the fact table, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_robots", "allowed_pages"]
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, allow: array<string>, disallow: array<string>) for the
+    ``User-agent: *`` group(s).
+
+    Grammar subset (RFC 9309): groups open with one or more User-agent
+    lines and collect Allow/Disallow rules until the next agent line;
+    rules in any group whose agent set includes ``*`` apply. Comments
+    (#...) and blank rule values ("Disallow:" = allow all) are dropped.
+    One aggregate() fold over the split lines — state carries (in-agent-
+    run, star-applies) so consecutive agent lines union into one group.
+    """
+    lines = (
+        f"transform(split({txt_col}, '\\n'),"
+        " l -> trim(regexp_replace(l, '#.*$', '')))"
+    )
+    # fold state: agent_run = previous line was a user-agent line;
+    # star = current group applies to *; allow/dis = collected rules
+    fold = (
+        f"aggregate({lines},"
+        " named_struct('agent_run', false, 'star', false,"
+        "   'allow', CAST(array() AS ARRAY<STRING>),"
+        "   'dis',   CAST(array() AS ARRAY<STRING>)),"
+        " (a, l) -> CASE"
+        # user-agent line: start a new group unless continuing an agent run
+        "   WHEN lower(l) LIKE 'user-agent:%' THEN named_struct("
+        "     'agent_run', true,"
+        "     'star', (CASE WHEN a.agent_run THEN a.star ELSE false END)"
+        "       OR trim(substring(l, 12)) = '*',"
+        "     'allow', a.allow, 'dis', a.dis)"
+        # allow rule inside a *-group (non-empty value only)
+        "   WHEN lower(l) LIKE 'allow:%' THEN named_struct("
+        "     'agent_run', false, 'star', a.star,"
+        "     'allow', CASE WHEN a.star AND trim(substring(l, 7)) != ''"
+        "       THEN array_append(a.allow, trim(substring(l, 7)))"
+        "       ELSE a.allow END,"
+        "     'dis', a.dis)"
+        "   WHEN lower(l) LIKE 'disallow:%' THEN named_struct("
+        "     'agent_run', false, 'star', a.star,"
+        "     'allow', a.allow,"
+        "     'dis', CASE WHEN a.star AND trim(substring(l, 10)) != ''"
+        "       THEN array_append(a.dis, trim(substring(l, 10)))"
+        "       ELSE a.dis END)"
+        # other lines (crawl-delay, sitemap, blanks) end an agent run
+        "   ELSE named_struct('agent_run', false, 'star', a.star,"
+        "     'allow', a.allow, 'dis', a.dis)"
+        " END)"
+    )
+    return robots.selectExpr(
+        f"{host_col} AS host",
+        f"{fold} AS _r",
+    ).selectExpr("host", "_r.allow AS allow", "_r.dis AS disallow")
+
+
+def allowed_pages(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Pages + (allowed, match_allow_len, match_dis_len) under the
+    longest-match rule: the verdict follows the longer of the longest
+    matching Allow vs Disallow prefix (ties -> allowed, the documented
+    Googlebot behaviour); hosts with no robots row allow everything.
+
+    Broadcast join on host + one fold per page over each rule array —
+    the fact table is never exploded. '*'-wildcard rules are matched on
+    their literal prefix up to the first '*' (the common subset; full
+    wildcard semantics would need per-rule regex compilation)."""
+    p = pages.withColumn("_host", F.expr(f"parse_url({url_col}, 'HOST')"))
+    p = p.withColumn(
+        "_path",
+        F.expr(
+            f"coalesce(nullif(regexp_extract({url_col},"
+            " '^[A-Za-z]+://[^/?#]+([^#]*)', 1), ''), '/')"
+        ),
+    )
+    j = p.join(
+        F.broadcast(rules.withColumnRenamed("host", "_host")),
+        "_host",
+        "left",
+    )
+
+    def longest(arr: str) -> str:
+        # longest rule whose pre-'*' literal prefix matches the path
+        return (
+            f"aggregate(coalesce({arr}, CAST(array() AS ARRAY<STRING>)),"
+            " 0, (m, r) -> CASE WHEN startswith(_path,"
+            "   element_at(split(r, '[*]'), 1))"
+            "   AND length(r) > m THEN length(r) ELSE m END)"
+        )
+
+    return (
+        j.withColumn("match_allow_len", F.expr(longest("allow")))
+        .withColumn("match_dis_len", F.expr(longest("disallow")))
+        .withColumn(
+            "allowed",
+            (F.col("match_allow_len") >= F.col("match_dis_len")).cast("int"),
+        )
+        .drop("allow", "disallow")
+        .withColumnRenamed("_host", "host")
+        .withColumnRenamed("_path", "path")
+    )
