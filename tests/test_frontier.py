@@ -1,0 +1,52 @@
+"""Crawl-frontier planning (operators/frontier.py): new/stale
+selection, robots gating, rank-ordered output."""
+
+from datetime import datetime
+
+from demeter_spark.operators import frontier as fr
+from demeter_spark.operators import robots as rb
+
+
+def test_plan_frontier_end_to_end(spark):
+    sm = spark.createDataFrame(
+        [
+            ("a.example", "https://a.example/new", None, 0.9, 0),
+            ("a.example", "https://a.example/stale",
+             datetime(2024, 9, 5), 0.5, 0),
+            ("a.example", "https://a.example/fresh",
+             datetime(2024, 8, 1), 0.5, 0),
+            ("a.example", "https://a.example/tmp/blocked", None, 1.0, 0),
+            ("a.example", "https://a.example/child.xml", None, None, 1),
+            ("b.example", "https://b.example/new", None, 0.2, 0),
+        ],
+        "host string, url string, lastmod timestamp, priority double,"
+        " is_index int",
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("https://a.example/stale", datetime(2024, 9, 1)),
+            ("https://a.example/fresh", datetime(2024, 9, 1)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    rules = rb.parse_robots(
+        spark.createDataFrame(
+            [("a.example", "User-agent: *\nDisallow: /tmp/")],
+            "host string, robots_txt string",
+        )
+    )
+    ranks = spark.createDataFrame(
+        [("a.example", 900), ("b.example", 100)], "node string, rank_fp long"
+    )
+    got = fr.plan_frontier(sm, corpus, rules, ranks).collect()
+    urls = [r.url for r in got]
+    # fresh (crawled after lastmod) and blocked and index rows excluded;
+    # a.example (rank 900) before b.example (rank 100)
+    assert urls == [
+        "https://a.example/new",
+        "https://a.example/stale",
+        "https://b.example/new",
+    ]
+    reasons = {r.url: r.reason for r in got}
+    assert reasons["https://a.example/new"] == "new"
+    assert reasons["https://a.example/stale"] == "stale"
