@@ -127,16 +127,23 @@ def quality_flags(
     inside codegen — cheaper than a groupBy explode at corpus scale
     because nothing leaves the row.
     """
-    ws = "split(%s, ' ')" % text_col
-    top = _max_multiplicity_expr(ws)
     return docs.selectExpr(
         id_col,
-        f"CAST(size({ws}) AS INT) AS n_words",
-        f"CAST({top} AS INT) AS top_word_n",
-        f"CAST({top} AS DOUBLE) / size({ws}) AS top_word_frac",
-        f"CAST(size(array_distinct({ws})) AS DOUBLE) / size({ws}) AS ttr",
-        "CAST(size(array_intersect(split(%s, ' '), array('the','a','of','and','to','in','is'))) AS INT) AS n_stop"
-        % text_col,
+        f"split({text_col}, ' ') AS _w",
+    ).selectExpr(
+        id_col,
+        "CAST(size(_w) AS INT) AS n_words",
+        f"CAST({_max_multiplicity_expr('_w')} AS INT) AS top_word_n",
+        "CAST(size(array_distinct(_w)) AS INT) AS _n_types",
+        "CAST(size(array_intersect(_w,"
+        " array('the','a','of','and','to','in','is'))) AS INT) AS n_stop",
+    ).selectExpr(
+        id_col,
+        "n_words",
+        "top_word_n",
+        "CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac",
+        "CAST(_n_types AS DOUBLE) / n_words AS ttr",
+        "n_stop",
     ).selectExpr(
         id_col,
         "n_words",
@@ -348,22 +355,27 @@ def repetition_stats(
     Reference anchor: the reference has no text stack (raster/vector only,
     demeter/raster/__init__.py); this covers the webtext payload axis.
     """
-    ws = f"split({text_col}, ' ')"
-
     def grams(n: int) -> str:
         # gram starting at 1-based word i, i in 1 .. L-n+1. The guard matters:
         # Spark's sequence(1, 0) is DESCENDING [1, 0], not empty, and
         # slice(_, 0, n) throws — so short docs must short-circuit to array().
+        # _w MUST be a materialized column, never the split() expression
+        # inline: an expression inside the transform lambda is re-evaluated
+        # PER ELEMENT (measured: re-splitting the text per gram made this
+        # O(L^2) — 47 s for 4M tokens; the column reference is O(1)).
         return (
-            f"CASE WHEN size({ws}) >= {n} THEN"
-            f" transform(sequence(1, size({ws}) - {n - 1}),"
-            f" i -> concat_ws(' ', slice({ws}, i, {n})))"
+            f"CASE WHEN size(_w) >= {n} THEN"
+            f" transform(sequence(1, size(_w) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(_w, i, {n})))"
             " ELSE array() END"
         )
 
     return docs.selectExpr(
         id_col,
-        f"size({ws}) AS n_words",
+        f"split({text_col}, ' ') AS _w",
+    ).selectExpr(
+        id_col,
+        "size(_w) AS n_words",
         f"{grams(top_n)} AS _gt",
         f"{grams(dup_n)} AS _gd",
     ).selectExpr(
@@ -514,12 +526,15 @@ def bigram_surprise(
     """
     if model is None:
         model = bigram_lm_train(docs, id_col=id_col, text_col=text_col)
-    ws = f"split({text_col}, ' ')"
+    # _w materialized first: split() inline in the lambda would re-split
+    # per element (the O(L^2) hazard fixed in repetition_stats)
     trans = docs.selectExpr(
+        id_col, f"split({text_col}, ' ') AS _w"
+    ).selectExpr(
         id_col,
-        f"CASE WHEN size({ws}) >= 2 THEN"
-        f" transform(sequence(1, size({ws}) - 1),"
-        f" i -> concat_ws(' ', slice({ws}, i, 2)))"
+        "CASE WHEN size(_w) >= 2 THEN"
+        " transform(sequence(1, size(_w) - 1),"
+        " i -> concat_ws(' ', slice(_w, i, 2)))"
         " ELSE array() END AS _gt",
     ).select(id_col, F.explode("_gt").alias("g"))
     m = F.broadcast(model) if broadcast_model else model
