@@ -883,12 +883,15 @@ def segment_dedup(
     """
     from pyspark.sql import Window
 
-    ws = f"split({text_col}, ' ')"
+    # _w materialized first: split() inline in the lambda re-splits the
+    # text per segment (the repo-wide O(L^2) HOF hazard, see textstats)
     segs = docs.selectExpr(
+        id_col, f"split({text_col}, ' ') AS _w"
+    ).selectExpr(
         id_col,
-        f"explode(transform(sequence(0, CAST(ceil(size({ws}) / {seg_words}e0)"
+        f"explode(transform(sequence(0, CAST(ceil(size(_w) / {seg_words}e0)"
         f" AS INT) - 1), i -> struct(i AS pos,"
-        f" concat_ws(' ', slice({ws}, i * {seg_words} + 1, {seg_words}))"
+        f" concat_ws(' ', slice(_w, i * {seg_words} + 1, {seg_words}))"
         " AS seg))) AS s",
     ).select(id_col, "s.pos", "s.seg")
     w = Window.partitionBy("seg").orderBy(id_col, "pos")
@@ -951,12 +954,13 @@ def incremental_segment_dedup(
     from pyspark.sql import Window
 
     fingerprint = f"inc-{int(inc_id)}"
-    ws = f"split({text_col}, ' ')"
     segs = docs_increment.selectExpr(
+        id_col, f"split({text_col}, ' ') AS _w"
+    ).selectExpr(
         id_col,
-        f"explode(transform(sequence(0, CAST(ceil(size({ws}) / {seg_words}e0)"
+        f"explode(transform(sequence(0, CAST(ceil(size(_w) / {seg_words}e0)"
         f" AS INT) - 1), i -> struct(i AS pos,"
-        f" concat_ws(' ', slice({ws}, i * {seg_words} + 1, {seg_words}))"
+        f" concat_ws(' ', slice(_w, i * {seg_words} + 1, {seg_words}))"
         " AS seg))) AS s",
     ).selectExpr(id_col, "s.pos AS pos", "s.seg AS seg", "md5(s.seg) AS seg_hash")
     w = Window.partitionBy("seg_hash").orderBy(id_col, "pos")

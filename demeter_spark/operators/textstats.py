@@ -426,15 +426,17 @@ def boilerplate_ngrams(
     all-pairs comparison anywhere — cost is O(total grams), the same
     discipline as the MinHash/shingle stack (operators/dedup.py).
     """
-    ws = f"split({text_col}, ' ')"
-    # same short-doc guard as repetition_stats: sequence(1, 0) is [1, 0]
+    # same short-doc guard as repetition_stats: sequence(1, 0) is [1, 0];
+    # _w materialized first (inline split in the lambda = O(L^2) re-split)
     grams = (
-        f"CASE WHEN size({ws}) >= {n} THEN"
-        f" array_distinct(transform(sequence(1, size({ws}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({ws}, i, {n}))))"
+        f"CASE WHEN size(_w) >= {n} THEN"
+        f" array_distinct(transform(sequence(1, size(_w) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(_w, i, {n}))))"
         " ELSE array() END"
     )
-    per_doc = docs.selectExpr(id_col, f"explode({grams}) AS gram")
+    per_doc = docs.selectExpr(
+        id_col, f"split({text_col}, ' ') AS _w"
+    ).selectExpr(id_col, f"explode({grams}) AS gram")
     gram_docs = per_doc.groupBy("gram").agg(
         F.count("*").alias("gram_docs")  # per_doc grams are distinct per doc
     )
@@ -476,12 +478,13 @@ def bigram_lm_train(
     are corpus-bounded and heavy-tailed, the classic LM-training shuffle).
     The model is a dimension table relative to the corpus.
     """
-    ws = f"split({text_col}, ' ')"
     trans = docs.selectExpr(
+        id_col, f"split({text_col}, ' ') AS _w"
+    ).selectExpr(
         id_col,
-        f"CASE WHEN size({ws}) >= 2 THEN"
-        f" transform(sequence(1, size({ws}) - 1),"
-        f" i -> concat_ws(' ', slice({ws}, i, 2)))"
+        "CASE WHEN size(_w) >= 2 THEN"
+        " transform(sequence(1, size(_w) - 1),"
+        " i -> concat_ws(' ', slice(_w, i, 2)))"
         " ELSE array() END AS _gt",
     ).select(F.explode("_gt").alias("g"))
     bg = trans.groupBy("g").agg(F.count(F.lit(1)).alias("c_bg"))
