@@ -44,18 +44,53 @@ __all__ = [
 
 
 def extract_links(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    resolve_relative: bool = False,
 ) -> DataFrame:
-    """(src, dst) absolute-http(s) link pairs from stored HTML bytes.
-    Map-only: decode + regexp_extract_all + explode, no UDF. Relative
-    URLs are out of scope (a resolver needs base-URL semantics; absolute
-    links dominate cross-host graphs, which is what PageRank consumes).
-    """
+    """(src, dst) link pairs from stored HTML bytes. Map-only: decode +
+    regexp_extract_all + explode, no UDF.
+
+    Default: absolute http(s) targets only — they dominate cross-host
+    graphs, which is what PageRank consumes. With ``resolve_relative``,
+    root-relative (``/path``) targets resolve against the source origin
+    and path-relative (``foo/bar``) against the source directory (one
+    CASE over the exploded hrefs — still no UDF); protocol-relative
+    (``//host/p``) adopts the source scheme. Fragments, queries-only,
+    and non-http schemes (mailto:, javascript:) are dropped. ``../``
+    segments are NOT normalized (dot-segment removal needs a loop; hosts
+    compare equal regardless, which is what the host graph uses)."""
+    if not resolve_relative:
+        return pages.selectExpr(
+            f"{url_col} AS src",
+            f"""explode(regexp_extract_all(decode({html_col}, 'UTF-8'),
+                'href="(https?://[^"]+)"', 1)) AS dst""",
+        )
+    scheme = f"regexp_extract({url_col}, '^([A-Za-z]+)://', 1)"
+    origin = f"regexp_extract({url_col}, '^([A-Za-z]+://[^/?#]+)', 1)"
+    # source directory: origin + path up to (and incl.) the last '/'
+    dirpath = (
+        f"concat({origin}, regexp_extract(regexp_extract({url_col},"
+        " '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '^(.*/)?', 1))"
+    )
     return pages.selectExpr(
         f"{url_col} AS src",
         f"""explode(regexp_extract_all(decode({html_col}, 'UTF-8'),
-            'href="(https?://[^"]+)"', 1)) AS dst""",
-    )
+            'href="([^"]+)"', 1)) AS _h""",
+    ).selectExpr(
+        "src",
+        f"""CASE
+          WHEN _h LIKE 'http://%' OR _h LIKE 'https://%' THEN _h
+          WHEN startswith(_h, '//') THEN concat({scheme.replace(url_col, 'src')}, ':', _h)
+          WHEN startswith(_h, '/') THEN concat({origin.replace(url_col, 'src')}, _h)
+          WHEN _h RLIKE '^[A-Za-z][A-Za-z0-9+.-]*:' THEN NULL
+          WHEN startswith(_h, '#') OR startswith(_h, '?') THEN NULL
+          ELSE concat(CASE WHEN {dirpath.replace(url_col, 'src')} = {origin.replace(url_col, 'src')}
+                      THEN concat({origin.replace(url_col, 'src')}, '/')
+                      ELSE {dirpath.replace(url_col, 'src')} END, _h)
+        END AS dst""",
+    ).where("dst IS NOT NULL")
 
 
 def extract_anchor_texts(

@@ -284,3 +284,36 @@ def test_streaming_link_graph_matches_batch(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_extract_links_resolve_relative(spark):
+    html = (
+        '<html><a href="https://x.example/abs">a</a>'
+        '<a href="/root-rel">b</a>'
+        '<a href="sub/page">c</a>'
+        '<a href="//cdn.example/asset">d</a>'
+        '<a href="#frag">e</a>'
+        '<a href="mailto:x@y.z">f</a></html>'
+    ).encode()
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/dir/index.html", html),
+            ("https://a.example", html),  # bare origin: dir = origin + /
+        ],
+        "url string, html binary",
+    )
+    got = sorted(
+        map(tuple, lg.extract_links(pages, resolve_relative=True).collect())
+    )
+    assert got == sorted(
+        [
+            ("https://a.example/dir/index.html", "https://x.example/abs"),
+            ("https://a.example/dir/index.html", "https://a.example/root-rel"),
+            ("https://a.example/dir/index.html", "https://a.example/dir/sub/page"),
+            ("https://a.example/dir/index.html", "https://cdn.example/asset"),
+            ("https://a.example", "https://x.example/abs"),
+            ("https://a.example", "https://a.example/root-rel"),
+            ("https://a.example", "https://a.example/sub/page"),
+            ("https://a.example", "https://cdn.example/asset"),
+        ]
+    )
