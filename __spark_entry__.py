@@ -93,8 +93,24 @@ def _q_web_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = synth.linked_pages(spark, sf_dir)
     edges = linkgraph.host_edges(linkgraph.extract_links(lp))
     ranks = linkgraph.pagerank(edges, n_iter=3, mode="int")
-    return edges.join(ranks.withColumnRenamed("node", "src"), "src").select(
-        "src", "dst", F.col("rank_fp").alias("src_rank_fp")
+    ha = linkgraph.hits(edges, n_iter=3)
+    return (
+        edges.join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(
+            ha.select(
+                F.col("node").alias("src"),
+                F.col("hub_fp").alias("src_hub_fp"),
+                F.col("auth_fp").alias("src_auth_fp"),
+            ),
+            "src",
+        )
+        .select(
+            "src",
+            "dst",
+            F.col("rank_fp").alias("src_rank_fp"),
+            "src_hub_fp",
+            "src_auth_fp",
+        )
     )
 
 
@@ -1465,9 +1481,57 @@ def oracle_sql() -> dict[str, str]:
                      + ((COALESCE(c3.inflow, 0) + g3.dang // nn.n) * 891290)
                        // 1048576 AS BIGINT) AS rk
                    FROM nodes n0 CROSS JOIN nn CROSS JOIN g3
-                   LEFT JOIN c3 ON n0.node = c3.node)
-            SELECT e.src, e.dst, r3.rk AS src_rank_fp
-            FROM host_edges e JOIN r3 ON e.src = r3.node
+                   LEFT JOIN c3 ON n0.node = c3.node),
+            h0 AS (SELECT node, CAST(1099511627776 // nn.n AS BIGINT) AS v
+                   FROM nodes CROSS JOIN nn),
+            a1r AS (SELECT n0.node, COALESCE(s.v, 0) AS v FROM nodes n0
+                    LEFT JOIN (SELECT e.dst AS node, SUM(h.v) AS v
+                      FROM host_edges e JOIN h0 h ON e.src = h.node
+                      GROUP BY e.dst) s ON n0.node = s.node),
+            a1t AS (SELECT SUM(v) AS t FROM a1r),
+            a1 AS (SELECT node, CAST((v * 1099511627776) // t AS BIGINT) AS v
+                   FROM a1r CROSS JOIN a1t),
+            h1r AS (SELECT n0.node, COALESCE(s.v, 0) AS v FROM nodes n0
+                    LEFT JOIN (SELECT e.src AS node, SUM(a.v) AS v
+                      FROM host_edges e JOIN a1 a ON e.dst = a.node
+                      GROUP BY e.src) s ON n0.node = s.node),
+            h1t AS (SELECT SUM(v) AS t FROM h1r),
+            h1 AS (SELECT node, CAST((v * 1099511627776) // t AS BIGINT) AS v
+                   FROM h1r CROSS JOIN h1t),
+            a2r AS (SELECT n0.node, COALESCE(s.v, 0) AS v FROM nodes n0
+                    LEFT JOIN (SELECT e.dst AS node, SUM(h.v) AS v
+                      FROM host_edges e JOIN h1 h ON e.src = h.node
+                      GROUP BY e.dst) s ON n0.node = s.node),
+            a2t AS (SELECT SUM(v) AS t FROM a2r),
+            a2 AS (SELECT node, CAST((v * 1099511627776) // t AS BIGINT) AS v
+                   FROM a2r CROSS JOIN a2t),
+            h2r AS (SELECT n0.node, COALESCE(s.v, 0) AS v FROM nodes n0
+                    LEFT JOIN (SELECT e.src AS node, SUM(a.v) AS v
+                      FROM host_edges e JOIN a2 a ON e.dst = a.node
+                      GROUP BY e.src) s ON n0.node = s.node),
+            h2t AS (SELECT SUM(v) AS t FROM h2r),
+            h2 AS (SELECT node, CAST((v * 1099511627776) // t AS BIGINT) AS v
+                   FROM h2r CROSS JOIN h2t),
+            a3r AS (SELECT n0.node, COALESCE(s.v, 0) AS v FROM nodes n0
+                    LEFT JOIN (SELECT e.dst AS node, SUM(h.v) AS v
+                      FROM host_edges e JOIN h2 h ON e.src = h.node
+                      GROUP BY e.dst) s ON n0.node = s.node),
+            a3t AS (SELECT SUM(v) AS t FROM a3r),
+            a3 AS (SELECT node, CAST((v * 1099511627776) // t AS BIGINT) AS v
+                   FROM a3r CROSS JOIN a3t),
+            h3r AS (SELECT n0.node, COALESCE(s.v, 0) AS v FROM nodes n0
+                    LEFT JOIN (SELECT e.src AS node, SUM(a.v) AS v
+                      FROM host_edges e JOIN a3 a ON e.dst = a.node
+                      GROUP BY e.src) s ON n0.node = s.node),
+            h3t AS (SELECT SUM(v) AS t FROM h3r),
+            h3 AS (SELECT node, CAST((v * 1099511627776) // t AS BIGINT) AS v
+                   FROM h3r CROSS JOIN h3t)
+            SELECT e.src, e.dst, r3.rk AS src_rank_fp,
+                   h3.v AS src_hub_fp, a3.v AS src_auth_fp
+            FROM host_edges e
+            JOIN r3 ON e.src = r3.node
+            JOIN h3 ON e.src = h3.node
+            JOIN a3 ON e.src = a3.node
             """,
             ("host_edges",),
         ),
