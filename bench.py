@@ -261,6 +261,35 @@ def main() -> None:
             exact_probe10,
         )
 
+        # the same operator on a corpus WITH locality (40 planted
+        # clusters — what real embedding corpora look like): recall at
+        # n_probe=3 of 22 lists must clear 0.9, the r05 #4 target; the
+        # isotropic numbers above are the honest no-locality ceiling.
+        import numpy as np
+
+        _rng = np.random.RandomState(7)
+        _centers = _rng.normal(size=(40, 16)) * 5.0
+        cl_emb = spark.createDataFrame(
+            [
+                (int(c * 25 + i),
+                 (_centers[c] + _rng.normal(size=16) * 0.3).tolist())
+                for c in range(40)
+                for i in range(25)
+            ],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        ).withColumn("cell", F.pmod(F.xxhash64("vec_id"), F.lit(22)))
+        cl_q = cl_emb.filter(F.col("vec_id") % 10 == 0)
+        cl_exact = simsearch.brute_force_topk(
+            cl_emb, cl_q, k=10
+        ).localCheckpoint()
+        cl_book = simsearch.train_centroids(cl_emb, n_lists=22, n_iter=2)
+        ann_recall_clustered = simsearch.recall_at_k(
+            simsearch.ivf_multiprobe_topk(
+                cl_emb, cl_q, k=10, n_probe=3, cell_col="cell", cents=cl_book
+            ),
+            cl_exact,
+        )
+
         # q7: winnowing-fingerprint containment dedup (the asymmetric
         # embedded-document case MinHash misses) — gram explode + one
         # window aggregate + df-capped fingerprint self-join
@@ -536,6 +565,7 @@ def main() -> None:
     if ann_recall is not None:
         out["ann_recall_at_10"] = round(ann_recall, 4)
         out["ann_recall_at_10_trained"] = round(ann_recall_trained, 4)
+        out["ann_recall_at_10_clustered"] = round(ann_recall_clustered, 4)
         out["ann_train_sec"] = ann_train_sec
         out["ann_recall_at_10_pq"] = round(pq_recall, 4)
         out["pq_adc_fidelity_at_10"] = round(pq_fidelity, 4)
