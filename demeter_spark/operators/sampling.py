@@ -204,3 +204,68 @@ def domain_quota(
         .where(F.col("_qrank") <= quota)
         .drop("_qrank")
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    domain_col: str = "source",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual-corpus /
+    Pile-style rebalancing rule): sampling probability of domain i is
+    p_i ∝ n_i^alpha, so alpha<1 upweights small domains and alpha=1 is
+    natural sampling. Returns (domain, n, weight, keep_fraction) where
+    keep_fraction = p_i * N / n_i capped at 1 — the per-domain Bernoulli
+    rate that realizes the mixture WITHOUT upsampling (epoch replication
+    of the capped domains is the caller's knob).
+
+    One map-side-combined aggregate over the corpus; the result is a
+    domain-cardinality dimension. ``size_col`` weighs domains by tokens
+    (or bytes) instead of document counts.
+    """
+    agg = (
+        F.sum(size_col).alias("n")
+        if size_col is not None
+        else F.count(F.lit(1)).alias("n")
+    )
+    dims = docs.groupBy(F.col(domain_col).alias("domain")).agg(agg)
+    tot = dims.selectExpr(
+        "sum(n) AS n_total", f"sum(pow(n, {alpha}e0)) AS z"
+    )
+    return dims.crossJoin(F.broadcast(tot)).selectExpr(
+        "domain",
+        "n",
+        f"pow(n, {alpha}e0) / z AS weight",
+        f"least(1e0, pow(n, {alpha}e0) / z * n_total / n) AS keep_fraction",
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    domain_col: str = "source",
+    key_col: str = "url",
+    salt: str = "mixture-v1",
+) -> DataFrame:
+    """Deterministic realization of the temperature mixture: keep a row
+    iff its salted-md5 bucket clears its domain's keep_fraction — the
+    same exact-integer draw as stratified_sample, with thresholds from
+    temperature_weights broadcast-joined (domains can number millions;
+    a CASE would not scale). Adds the domain's weight column so
+    downstream loaders can replicate capped domains across epochs."""
+    w = temperature_weights(docs, alpha, domain_col)
+    thr = w.selectExpr(
+        "domain",
+        "weight",
+        f"CAST(keep_fraction * {_BUCKETS} AS BIGINT) AS _thr",
+    )
+    b = _bucket_expr(key_col, salt)
+    return (
+        docs.join(
+            F.broadcast(thr),
+            F.col(domain_col) == F.col("domain"),
+        )
+        .where(f"{b} < _thr")
+        .drop("domain", "_thr")
+    )

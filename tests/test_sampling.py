@@ -225,3 +225,37 @@ def test_domain_quota_oracle_and_stability(spark, ddb):
         ).collect()
     )
     assert again == got
+
+
+def test_temperature_weights_and_mixture_sample(spark):
+    from demeter_spark.operators.sampling import (
+        mixture_sample,
+        temperature_weights,
+    )
+
+    docs = spark.range(0, 1300).selectExpr(
+        "CAST(id AS STRING) AS url",
+        "CASE WHEN id < 1000 THEN 'big' WHEN id < 1250 THEN 'mid'"
+        " ELSE 'small' END AS source",
+        "id",
+    )
+    w = {r.domain: r for r in temperature_weights(docs, 0.5).collect()}
+    import math
+
+    z = math.sqrt(1000) + math.sqrt(250) + math.sqrt(50)
+    for d, n in (("big", 1000), ("mid", 250), ("small", 50)):
+        assert abs(w[d].weight - math.sqrt(n) / z) < 1e-12
+        assert abs(
+            w[d].keep_fraction - min(1.0, math.sqrt(n) / z * 1300 / n)
+        ) < 1e-12
+    # alpha < 1 upweights small domains relative to natural sampling
+    assert w["small"].keep_fraction > w["big"].keep_fraction
+    kept = mixture_sample(docs, 0.5).groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in kept}
+    # deterministic: exact same rows on re-run
+    kept2 = mixture_sample(docs, 0.5).groupBy("source").count().collect()
+    assert got == {r.source: r["count"] for r in kept2}
+    # realized counts near n * keep_fraction (md5 buckets are uniform)
+    for d, n in (("big", 1000), ("mid", 250), ("small", 50)):
+        expect = n * w[d].keep_fraction
+        assert abs(got.get(d, 0) - expect) < max(12, 0.25 * expect), (d, got)
