@@ -664,3 +664,61 @@ def extract_page_text(
     return pages.selectExpr(
         f"{url_col} AS url", f"{html_to_text_expr(html_col)} AS text"
     )
+
+
+def main_content_blocks(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_text_chars: int = 25,
+    max_link_ratio: float = 0.4,
+) -> DataFrame:
+    """Block-level boilerplate removal — the text-density heuristic of
+    the readability/boilerpipe line: split the document into block
+    elements, score each by visible-text length and anchor-text ratio,
+    keep content blocks (long text, few links); navigation/footer chrome
+    is short and link-dense and drops out. One map-only pass: the split
+    produces the per-block array and every per-block regexp operates on
+    the lambda ELEMENT (linear total — the inline-outer-expression
+    hazard does not apply to element-local work). Output one row per
+    kept block: (url, block_no, text, n_chars, link_ratio)."""
+    doc = f"decode({html_col}, 'UTF-8')"
+    blocks = (
+        f"split({doc},"
+        " '(?i)</(p|div|h[1-6]|li|ul|ol|section|article|td|blockquote"
+        "|table|nav|header|footer)>')"
+    )
+    # per block: anchor inner text length vs total visible text
+    visible = (
+        "trim(regexp_replace(regexp_replace(regexp_replace(b,"
+        " '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' '),"
+        " '<[^>]*>', ' '), '\\\\s+', ' '))"
+    )
+    link_txt = (
+        "aggregate(regexp_extract_all(b, '(?is)<a[^>]*>([^<]*)</a>', 1),"
+        " 0, (m, t) -> m + length(trim(t)))"
+    )
+    return (
+        pages.selectExpr(
+            f"{url_col} AS url",
+            f"posexplode({blocks}) AS (block_no, b)",
+        )
+        .selectExpr(
+            "url",
+            "block_no",
+            f"{visible} AS text",
+            f"CAST({link_txt} AS INT) AS link_chars",
+        )
+        .selectExpr(
+            "url",
+            "block_no",
+            "text",
+            "CAST(length(text) AS INT) AS n_chars",
+            "CASE WHEN length(text) > 0 THEN CAST(link_chars AS DOUBLE)"
+            " / length(text) ELSE 1e0 END AS link_ratio",
+        )
+        .where(
+            f"n_chars >= {min_text_chars}"
+            f" AND link_ratio <= {max_link_ratio}e0"
+        )
+    )

@@ -125,3 +125,30 @@ def test_html_to_text_general_extractor(spark):
     assert lines[5] == 'line' and lines[6] == 'break "quoted" \'q2\''
     # script/style/head content never leaks
     assert "color" not in out and "var x" not in out and "T" != lines[0][0]
+
+
+def test_main_content_blocks(spark):
+    from demeter_spark.operators import textstats
+
+    html = (
+        "<html><body>"
+        "<nav><a href='/a'>Home</a> <a href='/b'>About</a>"
+        " <a href='/c'>Contact us</a></nav>"
+        "<article><p>This is the long main paragraph of the page with"
+        " plenty of real sentence content to keep.</p>"
+        "<p>Second substantial paragraph, also long enough to clear the"
+        " minimum and mostly <a href='/x'>one link</a> free.</p></article>"
+        "<footer><a href='/t'>Terms</a> <a href='/p'>Privacy</a></footer>"
+        "</body></html>"
+    ).encode()
+    out = textstats.main_content_blocks(
+        spark.createDataFrame([("u", html)], "url string, html binary")
+    ).collect()
+    texts = [r.text for r in out]
+    assert any("long main paragraph" in t for t in texts)
+    assert any("Second substantial paragraph" in t for t in texts)
+    # nav and footer chrome dropped (short + link-dense)
+    assert not any("Home" in t and "About" in t for t in texts)
+    assert not any("Terms" in t for t in texts)
+    for r in out:
+        assert r.link_ratio <= 0.4 and r.n_chars >= 25
