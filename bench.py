@@ -176,6 +176,30 @@ def main() -> None:
             lambda: dedup.minhash_lsh_pairs(corpus, 0.8).count(),
         )
 
+        # dedup quality vs exact ground truth (the q6-recall discipline
+        # applied to q5): MinHash+LSH candidates are exact-verified, so
+        # precision is 1.0 by construction — the informative number is
+        # RECALL (pairs the banding missed). Off-clock, exact side is
+        # the df-capped shingle join at bench scale.
+        exact_pairs = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.jaccard_pairs(corpus, 0.8).collect()
+        }
+        mh_pairs = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.minhash_lsh_pairs(corpus, 0.8).collect()
+        }
+        dedup_quality = {
+            "exact_pairs": len(exact_pairs),
+            "minhash_pairs": len(mh_pairs),
+            "precision": round(
+                len(mh_pairs & exact_pairs) / max(1, len(mh_pairs)), 4
+            ),
+            "recall": round(
+                len(mh_pairs & exact_pairs) / max(1, len(exact_pairs)), 4
+            ),
+        }
+
         # q6: true-IVF multi-probe ANN (nearest-centroid lists, shuffle-free
         # assignment) — every embedding queried against the corpus. The
         # quantizer is seeded at the standard n_lists ~ sqrt(N) (the label
@@ -563,6 +587,7 @@ def main() -> None:
         "load_avg_end": round(os.getloadavg()[0], 2),
     }
     if ann_recall is not None:
+        out["dedup_quality"] = dedup_quality
         out["ann_recall_at_10"] = round(ann_recall, 4)
         out["ann_recall_at_10_trained"] = round(ann_recall_trained, 4)
         out["ann_recall_at_10_clustered"] = round(ann_recall_clustered, 4)
