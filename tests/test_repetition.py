@@ -107,3 +107,37 @@ def test_boilerplate_single_gram_shuffle(spark):
     exchanges = re.findall(r"Exchange (\w+)", plan)
     assert exchanges and all(e == "hashpartitioning" for e in exchanges), plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_fold_kernels_match_counter_on_random_docs(spark):
+    """Randomized cross-check of the sorted run-length folds against
+    collections.Counter (200 seeded-random docs in ONE Spark job —
+    the hypothesis-style sweep batched for Spark economics)."""
+    import random
+    from collections import Counter
+
+    from demeter_spark.operators.textstats import (
+        _dup_positions_expr,
+        _max_multiplicity_expr,
+    )
+
+    rng = random.Random(42)
+    docs = []
+    for i in range(200):
+        n = rng.randint(0, 60)
+        words = [f"w{rng.randint(0, max(1, n // 3))}" for _ in range(n)]
+        docs.append((i, words))
+    df = spark.createDataFrame(docs, "doc_id long, words array<string>")
+    got = {
+        r.doc_id: (r.m, r.d)
+        for r in df.selectExpr(
+            "doc_id",
+            f"CAST({_max_multiplicity_expr('words')} AS INT) AS m",
+            f"CAST({_dup_positions_expr('words')} AS INT) AS d",
+        ).collect()
+    }
+    for i, words in docs:
+        c = Counter(words)
+        want_m = max(c.values()) if c else 0
+        want_d = sum(v for v in c.values() if v > 1)
+        assert got[i] == (want_m, want_d), (i, got[i], (want_m, want_d))
