@@ -85,3 +85,33 @@ def plan_frontier(
         F.desc_nulls_last("priority"),
         F.asc("url"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    content_col: str = "text",
+) -> DataFrame:
+    """Crawl-to-crawl delta: (key, change) with change in
+    {'added','removed','modified'} — unchanged rows are dropped (at
+    crawl scale they are ~all rows; the delta is the product). Feed two
+    LineageLog time-travel reads (plans/lineage.read_stage(as_of=...))
+    to diff committed snapshots without re-reading page bodies from
+    later commits.
+
+    ONE full outer join on the key comparing content fingerprints
+    (md5 computed map-side so only 32-hex strings shuffle, not bodies).
+    """
+    o = old.selectExpr(f"{key_col} AS k", f"md5({content_col}) AS _fo")
+    n = new.selectExpr(f"{key_col} AS k", f"md5({content_col}) AS _fn")
+    return (
+        o.join(n, "k", "full_outer")
+        .selectExpr(
+            f"k AS {key_col}",
+            "CASE WHEN _fo IS NULL THEN 'added'"
+            " WHEN _fn IS NULL THEN 'removed'"
+            " WHEN _fo != _fn THEN 'modified' END AS change",
+        )
+        .where("change IS NOT NULL")
+    )

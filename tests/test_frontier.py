@@ -50,3 +50,24 @@ def test_plan_frontier_end_to_end(spark):
     reasons = {r.url: r.reason for r in got}
     assert reasons["https://a.example/new"] == "new"
     assert reasons["https://a.example/stale"] == "stale"
+
+
+def test_snapshot_diff(spark):
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "gone")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "fresh")],
+        "url string, text string",
+    )
+    got = {r.url: r.change for r in fr.snapshot_diff(old, new).collect()}
+    assert got == {"u2": "modified", "u3": "removed", "u4": "added"}
+    # only fingerprints cross the exchange, never bodies
+    plan = (
+        fr.snapshot_diff(old, new)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "md5" in plan and "text" not in plan.split("Join")[0]
