@@ -722,3 +722,75 @@ def main_content_blocks(
             f" AND link_ratio <= {max_link_ratio}e0"
         )
     )
+
+
+def readability(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease signals — the classic surface-readability
+    quality feature. Syllables are approximated as vowel GROUPS per word
+    (the standard regex heuristic; silent-e and diphthong corrections
+    change scores by a few points, not orderings), sentences as
+    [.!?]+ runs with a floor of 1. Map-only, one pass, no UDF:
+
+        flesch = 206.835 - 1.015*(words/sentences)
+                         - 84.6*(syllables/words)
+    """
+    return docs.selectExpr(
+        id_col,
+        f"CAST(size(split({text_col}, ' ')) AS INT) AS n_words",
+        f"CAST(greatest(1, size(regexp_extract_all({text_col},"
+        " '[.!?]+', 0))) AS INT) AS n_sentences",
+        f"CAST(greatest(size(split({text_col}, ' ')),"
+        f" size(regexp_extract_all(lower({text_col}),"
+        " '[aeiouy]+', 0))) AS INT) AS n_syllables",
+    ).selectExpr(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) / n_sentences)"
+        " - 84.6e0 * (CAST(n_syllables AS DOUBLE) / n_words)"
+        " AS flesch",
+    )
+
+
+def compression_ratio(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """zlib compression ratio per document — the information-density
+    quality signal (boilerplate and generated spam compress far better
+    than natural prose; the public web-corpus recipes gate on it).
+    Arrow-batched mapInPandas kernel (zlib is not expressible in
+    Catalyst); one map-only pass, rows never leave their partition.
+    ratio = deflate_len / max(1, raw_len); short docs -> ratio near or
+    above 1 (header overhead), repetitive docs -> near 0."""
+    import pandas as pd
+
+    id_type = dict(docs.dtypes)[id_col]
+
+    def _k(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_len": raw.str.len().astype("int32"),
+                    "deflate_len": raw.map(
+                        lambda b: len(zlib.compress(b, 6))
+                    ).astype("int32"),
+                }
+            )
+
+    out = docs.select(id_col, text_col).mapInPandas(
+        _k, f"{id_col} {id_type}, raw_len int, deflate_len int"
+    )
+    return out.selectExpr(
+        id_col,
+        "raw_len",
+        "deflate_len",
+        "CAST(deflate_len AS DOUBLE) / greatest(1, raw_len)"
+        " AS compression_ratio",
+    )

@@ -141,3 +141,43 @@ def test_fold_kernels_match_counter_on_random_docs(spark):
         want_m = max(c.values()) if c else 0
         want_d = sum(v for v in c.values() if v > 1)
         assert got[i] == (want_m, want_d), (i, got[i], (want_m, want_d))
+
+
+def test_readability_flesch(spark):
+    from demeter_spark.operators.textstats import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran."),
+            (2, "Antidisestablishmentarian considerations notwithstanding,"
+                " multisyllabic verbosity diminishes comprehensibility."),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in readability(docs).collect()}
+    assert r[1].n_sentences == 2 and r[1].n_words == 6
+    # simple prose scores far higher than sesquipedalian prose
+    assert r[1].flesch > 80 and r[2].flesch < 20
+    # syllables never fewer than words (floor at one per word)
+    assert r[2].n_syllables >= r[2].n_words
+
+
+def test_compression_ratio(spark):
+    from demeter_spark.operators.textstats import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 400),
+            (2, "The quick brown fox inspects a genuinely varied sentence"
+                " with moderately unpredictable lexical content overall."),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in compression_ratio(docs).collect()}
+    import zlib
+
+    assert r[1].deflate_len == len(zlib.compress(("spam " * 400).encode(), 6))
+    assert r[1].compression_ratio < 0.05       # repetitive -> tiny
+    assert 0.3 < r[2].compression_ratio <= 1.2  # prose -> moderate
+    assert r[3].raw_len == 0 and r[3].deflate_len > 0
