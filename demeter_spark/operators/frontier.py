@@ -115,3 +115,43 @@ def snapshot_diff(
         )
         .where("change IS NOT NULL")
     )
+
+
+def crawl_traps(
+    pages: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 50,
+    max_template_ratio: float = 0.05,
+) -> DataFrame:
+    """Crawler-trap detection: hosts where huge URL counts collapse into
+    few path TEMPLATES (numbers/hex-ids/uuids normalized to N) —
+    calendars, session ids, faceted search, the infinite spaces a
+    frontier must stop feeding. Map-only template projection + ONE
+    map-side-combined aggregate per host (distinct templates via
+    approx-exact count_distinct over the already-tiny per-host template
+    set). Returns flagged hosts with the evidence columns."""
+    t = (
+        f"regexp_replace(regexp_replace(parse_url({url_col}, 'PATH'),"
+        " '[0-9a-fA-F]{8,}', 'H'), '[0-9]+', 'N')"
+    )
+    per_host = (
+        pages.selectExpr(
+            f"parse_url({url_col}, 'HOST') AS host",
+            f"{t} AS template",
+        )
+        .where("host IS NOT NULL")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("template").alias("n_templates"),
+        )
+    )
+    return per_host.selectExpr(
+        "host",
+        "n_urls",
+        "n_templates",
+        "CAST(n_templates AS DOUBLE) / n_urls AS template_ratio",
+    ).where(
+        f"n_urls >= {min_urls}"
+        f" AND CAST(n_templates AS DOUBLE) / n_urls <= {max_template_ratio}e0"
+    )

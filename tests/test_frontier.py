@@ -71,3 +71,19 @@ def test_snapshot_diff(spark):
         .toString()
     )
     assert "md5" in plan and "text" not in plan.split("Join")[0]
+
+
+def test_crawl_traps(spark):
+    rows = (
+        # trap host: 200 urls, all one calendar template
+        [(f"https://trap.example/cal/2024/{m}/{d}",)
+         for m in range(1, 11) for d in range(1, 21)]
+        # healthy host: 60 urls over 60 distinct templates
+        + [(f"https://ok.example/{'x' * (i % 7 + 1)}page{'y' * (i % 5)}/about{'z' * (i % 3)}",)
+           for i in range(60)]
+    )
+    pages = spark.createDataFrame(rows, "url string")
+    got = {r.host: r for r in fr.crawl_traps(pages, min_urls=50).collect()}
+    assert "trap.example" in got
+    assert got["trap.example"].n_templates == 1
+    assert "ok.example" not in got
