@@ -379,3 +379,47 @@ def streaming_knn(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_frontier(
+    spark: SparkSession,
+    sitemap_dir: str,
+    corpus_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous frontier refresh: each micro-batch of newly-fetched
+    sitemap XML is parsed and planned against the CURRENT crawled corpus
+    (stream-static join — the corpus snapshot is re-planned per batch,
+    so yesterday's fetches count as crawled today), emitting a
+    prioritized fetch list per batch; idempotent by batch_id. Robots and
+    rank dimensions are deliberately omitted here — the batch planner
+    (operators/frontier.plan_frontier) takes them when the caller has
+    them; the streaming skin exercises the new/stale core."""
+    from demeter_spark.operators.frontier import plan_frontier
+    from demeter_spark.sources.sitemap import parse_sitemap
+
+    stream = spark.readStream.schema("host STRING, xml STRING").parquet(
+        sitemap_dir
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        corpus = batch_df.sparkSession.read.schema(
+            "url STRING, warc_ts TIMESTAMP"
+        ).parquet(corpus_dir)
+        plan = plan_frontier(parse_sitemap(batch_df), corpus)
+        (
+            plan.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

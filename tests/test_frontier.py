@@ -87,3 +87,35 @@ def test_crawl_traps(spark):
     assert "trap.example" in got
     assert got["trap.example"].n_templates == 1
     assert "ok.example" not in got
+
+
+def test_streaming_frontier(spark, tmp_path):
+    from demeter_spark.streaming.incremental import streaming_frontier
+
+    corpus = spark.createDataFrame(
+        [("https://a.example/stale", datetime(2024, 9, 1))],
+        "url string, warc_ts timestamp",
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_dir)
+    sm_xml = (
+        "<urlset><url><loc>https://a.example/new</loc></url>"
+        "<url><loc>https://a.example/stale</loc>"
+        "<lastmod>2024-09-05</lastmod></url></urlset>"
+    )
+    sm_dir = str(tmp_path / "sm")
+    spark.createDataFrame(
+        [("a.example", sm_xml)], "host string, xml string"
+    ).write.parquet(sm_dir)
+    streaming_frontier(
+        spark, sm_dir, corpus_dir,
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    got = {
+        r.url: r.reason
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {
+        "https://a.example/new": "new",
+        "https://a.example/stale": "stale",
+    }
