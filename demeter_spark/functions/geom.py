@@ -354,7 +354,13 @@ def segments_hit_open_boxes(
         tymax = np.where(zy, np.where(in_slab_y, np.inf, -np.inf), tymax)
         u1 = np.maximum(0.0, np.maximum(txmin, tymin))
         u2 = np.minimum(1.0, np.minimum(txmax, tymax))
-        ok = u1 < u2
+        # <= not <: when an endpoint sits strictly inside the open box but a
+        # clip parameter underflows (e.g. t_exit = 5e-324/2 -> 0.0), the
+        # interval degenerates to a single point. The strict open-face checks
+        # below already reject a degenerate point ON a face and accept one
+        # strictly inside, which is exactly the open-box semantics — so the
+        # degenerate interval must not be discarded here (VERDICT r06 #1).
+        ok = u1 <= u2
         xa = sx0 + u1 * dx
         xb = sx0 + u2 * dx
         ya = sy0 + u1 * dy

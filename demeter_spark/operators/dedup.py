@@ -87,6 +87,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= t).
 
@@ -97,8 +98,16 @@ def jaccard_pairs(
     exact (never silently lossy); corpus-scale callers MUST set it — the
     wired driver query passes max_df=32 with the identical cap mirrored in
     its oracle.
+
+    ``materialize`` localCheckpoints the shingle table: it feeds up to four
+    plan references (df-cap counts, both self-join sides, sizes) and Spark
+    plans each reference as a fresh scan+split+explode of the corpus — the
+    same multi-reference discipline documented on ``containment_pairs``
+    (r07: the q5 twin of this function re-ran the explode subtree 5x).
     """
     sh = shingles(docs, id_col, text_col)
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         sh = sh.join(df_counts.filter(F.col("_df") <= max_df), "shingle").drop("_df")
@@ -131,6 +140,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
@@ -138,9 +148,19 @@ def minhash_lsh_pairs(
     hash of its rows; candidate pairs share >= 1 band bucket; candidates are
     then *verified* (exact Jaccard via one more shingle join restricted to
     candidates) so precision is exact and recall is the LSH band guarantee.
-    """
+
+    ``materialize`` (default True) localCheckpoints the shingle table and
+    the per-doc signature table: between them they feed FIVE downstream plan
+    references (signature agg, both verification sides, both size joins),
+    and Spark plans every reference as a fresh corpus scan + split + gram
+    explode (+ the 33-column min-hash aggregate, twice) — measured r07 as
+    the dominant cost of the q5 bench query. Same discipline and same
+    trade-off note as ``containment_pairs``; pass False for fully lazy
+    composition."""
     rows_per_band = num_hashes // bands
     sh = shingles(docs, id_col, text_col)
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     # all num_hashes minhashes AND the shingle-set size in ONE partial+final
     # aggregate: each minhash is a min over xxhash64(j, shingle) computed as
     # its own column, so the (doc, shingle) rows never fan out x num_hashes,
@@ -154,6 +174,9 @@ def minhash_lsh_pairs(
             for j in range(num_hashes)
         ],
     )
+    if materialize:
+        # one narrow row per doc; feeds the band explode AND both size joins
+        sig_wide = sig_wide.localCheckpoint(eager=True)
     sig = sig_wide.select(
         id_col,
         F.explode(

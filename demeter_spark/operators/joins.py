@@ -279,6 +279,86 @@ def pack_geometry(parcels: DataFrame) -> DataFrame:
     )
 
 
+def _knn_map_only(
+    points: DataFrame,
+    sites: DataFrame,
+    k: int,
+    id_col: str,
+    site_id: str,
+) -> DataFrame:
+    """Exact kNN as ONE map-only pass: the site dimension (already small
+    enough that the ring path broadcasts it wholesale) is shipped to tasks
+    as numpy arrays and each point's top-k is computed in a vectorized
+    kernel — zero Exchange, zero Window, one job, versus the ring path's
+    per-level window shuffle + cache + count + checkpoint (r07: at bench
+    shape the lattice machinery was pure fixed overhead, ~2.6 s for 5k
+    points against a 200-row gazetteer).
+
+    Ordering/values are bit-identical to the ring path: dist =
+    sqrt(dx*dx + dy*dy) in IEEE float64 with the same operation order, ties
+    broken by ascending site id via a stable argsort over sid-sorted
+    columns. Requires unique point ids (the same contract the window
+    partitioning already implied)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    spark = points.sparkSession
+    # dimension-sized collect (same memory class as the ring path's
+    # unconditional F.broadcast(site_cells)); sorted by sid so stable
+    # argsort on distance alone realizes (dist asc, sid asc)
+    rows = sites.select(site_id, "lon", "lat").collect()
+    rows.sort(key=lambda r: r[0])
+    sid_arr = np.asarray([r[0] for r in rows])
+    slon = np.asarray([r[1] for r in rows], dtype=np.float64)
+    slat = np.asarray([r[2] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((sid_arr, slon, slat))
+    n_sites = len(rows)
+    kk = min(k, n_sites)
+
+    out_schema = StructType(
+        [
+            StructField(id_col, points.schema[id_col].dataType),
+            StructField(site_id, sites.schema[site_id].dataType),
+            StructField("rank", IntegerType()),
+            StructField("dist", DoubleType()),
+        ]
+    )
+
+    def _topk(batches):
+        sid, lon_s, lat_s = bc.value
+        if len(sid) == 0:
+            return
+        # bound the P x S distance matrix per chunk (~32 MB of float64)
+        chunk = max(1, (1 << 22) // max(len(sid), 1))
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            plon = pdf["_plon"].to_numpy(dtype=np.float64)
+            plat = pdf["_plat"].to_numpy(dtype=np.float64)
+            for lo in range(0, len(ids), chunk):
+                hi = lo + chunk
+                dx = plon[lo:hi, None] - lon_s[None, :]
+                dy = plat[lo:hi, None] - lat_s[None, :]
+                d = np.sqrt(dx * dx + dy * dy)
+                # stable sort: equal distances keep column (= sid) order
+                idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
+                p = idx.shape[0]
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(ids[lo:hi], kk),
+                        site_id: sid[idx.ravel()],
+                        "rank": np.tile(
+                            np.arange(1, kk + 1, dtype=np.int32), p
+                        ),
+                        "dist": np.take_along_axis(d, idx, axis=1).ravel(),
+                    }
+                )
+
+    return points.select(
+        id_col, F.col("lon").alias("_plon"), F.col("lat").alias("_plat")
+    ).mapInPandas(_topk, out_schema)
+
+
 def knn_join(
     points: DataFrame,
     sites: DataFrame,
@@ -290,6 +370,7 @@ def knn_join(
     start_ring: int | str = "auto",
     brute_threshold: int = 10_000,
     release_caches: bool = True,
+    map_only_sites: int = 20_000,
 ) -> DataFrame:
     """k nearest ``sites`` per point via k-ring expansion (north_rule J12).
 
@@ -324,6 +405,16 @@ def knn_join(
     from pyspark.sql import Window
 
     from demeter_spark.functions.spark_udfs import kring_of
+
+    # map-only fast path (r07): the ring path below broadcasts the WHOLE
+    # site dimension anyway (site_cells), so whenever that dimension is
+    # small enough to also live as per-task numpy arrays, the lattice
+    # levels buy nothing — the exact top-k is one vectorized map pass with
+    # identical ordering and bit-identical distances. The count probe is a
+    # dimension-sized job; pass map_only_sites=0 to force the ring path
+    # (property tests pin both paths equal).
+    if map_only_sites and sites.count() <= map_only_sites:
+        return _knn_map_only(points, sites, k, id_col, site_id)
 
     lat_sz = 180.0 / (1 << res)
     site_cells = F.broadcast(

@@ -148,8 +148,27 @@ def train_centroids(
     return cents
 
 
+def fold_centroid_book(cents: DataFrame) -> DataFrame:
+    """(centroid_id, centroid) rows -> ONE broadcastable row ``_book``:
+    array_sort'd (centroid_id, centroid, cnorm) structs. Factored out of
+    ``assign_to_centroids`` so a caller assigning BOTH sides of a query
+    (vectors top-1, queries top-n_probe) folds the codebook once and the
+    centroid subtree plans/executes once instead of once per side (r07:
+    the duplicated subtree was 8 of q6's 30 Exchanges)."""
+    return cents.select(
+        "centroid_id",
+        "centroid",
+        F.expr(NORM.format(a="centroid")).alias("cnorm"),
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "centroid", "cnorm"))
+        ).alias("_book")
+    )
+
+
 def assign_to_centroids(
-    df: DataFrame, cents: DataFrame, ident: str, top: int
+    df: DataFrame, cents: DataFrame, ident: str, top: int,
+    book: DataFrame | None = None,
 ) -> DataFrame:
     """Assign each row's ``_v`` vector to its ``top`` nearest centroids —
     SHUFFLE-FREE: the (tiny) codebook is folded into one array<struct> row
@@ -163,18 +182,12 @@ def assign_to_centroids(
 
     Ordering matches the previous window exactly: cosine descending (encoded
     as -cos ascending in the sort struct), centroid_id ascending on ties.
+
+    ``book``: a prebuilt ``fold_centroid_book(cents)`` frame (possibly
+    materialized) — pass it when assigning several frames against the same
+    codebook so the fold is planned once; ``cents`` is ignored then.
     """
-    book = F.broadcast(
-        cents.select(
-            "centroid_id",
-            "centroid",
-            F.expr(NORM.format(a="centroid")).alias("cnorm"),
-        ).agg(
-            F.array_sort(
-                F.collect_list(F.struct("centroid_id", "centroid", "cnorm"))
-            ).alias("_book")
-        )
-    )
+    book = F.broadcast(book if book is not None else fold_centroid_book(cents))
     dot = DOT.format(a="_v", b="c.centroid")
     # norms are hoisted: the row's norm once per ROW (not per centroid), the
     # centroid norms once into the codebook — the lambda runs dot + divide
@@ -211,10 +224,21 @@ def ivf_multiprobe_topk(
     against the brute-force baseline. ``cents`` supplies a prebuilt
     codebook (e.g. ``train_centroids`` — a k-means-trained quantizer lifts
     recall at the same n_probe); default derives untrained per-cell means
-    from ``cell_col``."""
+    from ``cell_col``.
+
+    Plan discipline (r07): the codebook is folded ONCE and materialized
+    (one-row localCheckpoint), so the centroid aggregation runs once instead
+    of once per assign side; candidate (query, neighbor) pairs are UNIQUE by
+    construction — vectors are assigned to exactly one list (top-1 explode
+    of a 1-slice) and a query's probed lists are distinct (slice of an
+    array_sort'd codebook with unique centroid_ids) — so no dedup of the
+    fan-out exists: cos is computed map-side after the list join and only
+    (query_id, neighbor_id, cos) reaches the top-k window's exchange,
+    instead of every candidate pair's two full vectors crossing a
+    SortAggregate dedup shuffle (the former plan's dominant cost)."""
     if cents is None:
         cents = centroids(embeddings, cell_col, vec_col)
-    cents = F.broadcast(cents)
+    book = fold_centroid_book(cents).localCheckpoint(eager=True)
 
     vecs = assign_to_centroids(
         embeddings.select(
@@ -222,9 +246,10 @@ def ivf_multiprobe_topk(
             F.col(vec_col).alias("_v"),
             F.expr(NORM.format(a=vec_col)).alias("_cn"),
         ),
-        cents,
+        None,
         "neighbor_id",
         1,
+        book=book,
     ).withColumnRenamed("_v", "_cv")
     qs = assign_to_centroids(
         queries.select(
@@ -232,16 +257,17 @@ def ivf_multiprobe_topk(
             F.col(vec_col).alias("_v"),
             F.expr(NORM.format(a=vec_col)).alias("_qn"),
         ),
-        cents,
+        None,
         "query_id",
         n_probe,
+        book=book,
     ).withColumnRenamed("_v", "_qv")
 
     pairs = (
         qs.join(vecs, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos", _cos("_qv", "_cv", "_qn", "_cn"))
+        .select("query_id", "neighbor_id", "cos")
     )
     return _ranked(pairs, k)
 
@@ -573,16 +599,19 @@ def ivfpq_topk(
     dsub = _pq_dims(embeddings, m, vec_col)
     if cents is None:
         cents = centroids(embeddings, cell_col, vec_col)
-    cents = F.broadcast(cents)
+    # fold + materialize once; both assign sides broadcast the same one-row
+    # book (same discipline as ivf_multiprobe_topk, r07)
+    ivf_book = fold_centroid_book(cents).localCheckpoint(eager=True)
 
     enc = pq_encode(embeddings, codebook, m=m, id_col=id_col, vec_col=vec_col)
     vecs = assign_to_centroids(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
         ),
-        cents,
+        None,
         "neighbor_id",
         1,
+        book=ivf_book,
     ).join(
         enc.select(
             F.col(id_col).alias("neighbor_id"), "codes", "pq_norm"
@@ -601,9 +630,10 @@ def ivfpq_topk(
             queries.select(
                 F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v")
             ),
-            cents,
+            None,
             "query_id",
             n_probe,
+            book=ivf_book,
         )
         .withColumnRenamed("_v", "_qv")
         .withColumn("_qn", F.expr(NORM.format(a="_qv")))
@@ -612,10 +642,12 @@ def ivfpq_topk(
         .drop("_pq")
     )
 
+    # candidate pairs are unique by construction (top-1 list assignment x
+    # distinct probed lists — see ivf_multiprobe_topk); score map-side and
+    # keep only the narrow (query, neighbor, cos) rows for the top-k window
     pairs = (
         qs.join(vecs, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn(
             "cos",
             F.expr(
@@ -624,6 +656,7 @@ def ivfpq_topk(
             )
             / (F.col("_qn") * F.col("pq_norm")),
         )
+        .select("query_id", "neighbor_id", "cos")
     )
     if re_rank <= 0:
         return _ranked(pairs, k)

@@ -92,6 +92,29 @@ def test_multiprobe_pipeline_still_correct(spark):
     assert full == brute
 
 
+def test_multiprobe_has_no_dedup_aggregate_and_unique_pairs(spark):
+    """r07 optimization contract: candidate (query, neighbor) pairs are
+    unique BY CONSTRUCTION (top-1 list assignment x distinct probed lists),
+    so the plan must contain no SortAggregate/dedup of the fan-out, and the
+    top-k result must still be duplicate-free."""
+    emb = _vectors(spark, n=60).selectExpr(
+        "_id AS vec_id", "transform(_v, x -> CAST(x AS FLOAT)) AS embedding",
+        "label",
+    )
+    q = emb.filter("vec_id < 10")
+    topk = simsearch.ivf_multiprobe_topk(emb, q, 5, n_probe=3)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, plan
+    rows = topk.collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    # ranks dense per query from 1
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
 def test_ivf_topk_equals_within_cell_bruteforce(spark):
     """ivf_topk (cell-pruned top-k, retired from the driver surface in the
     round-4 consolidation — subsumed there by ivf_multiprobe_topk) stays

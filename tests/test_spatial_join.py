@@ -80,15 +80,21 @@ def test_spatial_join_large_build_side(spark):
 
 
 def test_no_driver_geometry_collect():
-    """Regression guard for the round-1 scale defect: the join module must
-    not materialize the polygon dimension on the driver."""
+    """Regression guard for the round-1 scale defect: the spatial-join
+    machinery must not materialize the POLYGON dimension on the driver.
+    Scoped to the cover-join functions (r07): the kNN map-only fast path
+    legitimately collects the site dimension — the same memory class the
+    ring path's unconditional F.broadcast(site_cells) already commits to —
+    so the guard pins the polygon path, not the whole module."""
     import inspect
 
     from demeter_spark.operators import joins as joins_mod
 
-    src = inspect.getsource(joins_mod)
-    assert ".collect()" not in src
-    assert "sparkContext.broadcast" not in src
+    for fn in (joins_mod.parcel_covers, joins_mod.spatial_join,
+               joins_mod.pack_geometry):
+        src = inspect.getsource(fn)
+        assert ".collect()" not in src, fn.__name__
+        assert "sparkContext.broadcast" not in src, fn.__name__
 
 
 def test_knn_ring_doubling_sparse(spark):
@@ -104,7 +110,8 @@ def test_knn_ring_doubling_sparse(spark):
     # start_ring=2 pins the doubling path (auto would start wide enough to
     # resolve level 1 on this sparse fixture — escalation must stay covered)
     got = joins.knn_join(pts, gaz, k=2, res=6, brute_threshold=0,
-                         release_caches=False, start_ring=2)
+                         release_caches=False, start_ring=2,
+                         map_only_sites=0)  # pin the ring path (r07)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
 
@@ -142,6 +149,35 @@ def test_knn_releases_level_caches(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
     n = out.count()
     assert n == pts.count() * 2
+
+
+def test_knn_map_only_equals_ring_path(spark):
+    """r07: the map-only broadcast-dimension path must produce EXACTLY the
+    ring path's rows — same (url, place_id, rank) and bit-identical dist —
+    and its plan must be shuffle-free (no Exchange, no Window)."""
+    pts = synth.page_points(spark, SF_DIR).filter("doc_id < 120")
+    gaz = synth.gazetteer(spark)
+    fast = joins.knn_join(pts, gaz, k=3, res=6)  # 200 sites -> map-only
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    # no SHUFFLE exchange and no Window anywhere (broadcast exchanges from
+    # page_points' internal geocode join are fine — they move no fact rows)
+    import re
+
+    assert not re.search(r"(?<!Broadcast)Exchange", plan), plan
+    assert "Window" not in plan, plan
+    ring = joins.knn_join(pts, gaz, k=3, res=6, map_only_sites=0)
+    f_rows = {
+        (r["url"], r["place_id"], r["rank"], r["dist"])
+        for r in fast.collect()
+    }
+    r_rows = {
+        (r["url"], r["place_id"], r["rank"], r["dist"])
+        for r in ring.collect()
+    }
+    assert f_rows == r_rows and len(f_rows) > 0
+    # k > |sites|: both paths cap at the site count
+    tiny = synth.gazetteer(spark).filter("place_id < 2")
+    assert joins.knn_join(pts.limit(5), tiny, k=5, res=6).count() == 10
 
 
 def test_knn_join_matches_bruteforce(spark, ddb):
