@@ -111,8 +111,23 @@ def curate(
             id_col,
         )
         .join(pii.select(id_col, "n_email", "n_ipv4", "n_phone", "pii_free"), id_col)
-        .join(lm, id_col)
-        .join(seg, id_col)
+        # LEFT join + defined defaults (ADVICE r06, medium): bigram_surprise
+        # emits no row for docs with zero transitions (< 2 words; fully-OOV
+        # under an external LM), and an inner join made such docs vanish
+        # from the decision frame entirely instead of getting a verdict.
+        # An un-scorable doc passes the LM gate (no evidence against it)
+        # with lm_n_trans = 0; same guard for segment_dedup's empty-doc
+        # case so every input doc surfaces exactly one decision row.
+        .join(lm, id_col, "left")
+        .withColumn("lm_n_trans", F.coalesce("lm_n_trans", F.lit(0)))
+        .withColumn(
+            "lm_improbable_frac",
+            F.coalesce("lm_improbable_frac", F.lit(0.0)),
+        )
+        .withColumn("keep_lm", F.coalesce("keep_lm", F.lit(1)))
+        .join(seg, id_col, "left")
+        .withColumn("n_segs", F.coalesce("n_segs", F.lit(0)))
+        .withColumn("n_dup_segs", F.coalesce("n_dup_segs", F.lit(0)))
         .join(comps, id_col)
         .withColumn(
             "keep_neardup",

@@ -41,8 +41,14 @@ def ngram_hashes(
         f" i -> xxhash64(concat_ws(' ', slice(_w, i, {n})))))"
         " ELSE array() END"
     )
+    # whitespace-class split with empty tokens dropped (ADVICE r06: a
+    # single-space split left newlines/tabs inside tokens, so an eval
+    # passage reformatted with different line breaks hashed differently
+    # and the contamination was missed — GPT-3-style normalization splits
+    # on any whitespace run, on BOTH train and eval sides since each
+    # calls this same function)
     return docs.selectExpr(
-        id_col, f"split({text_col}, ' ') AS _w"
+        id_col, f"filter(split({text_col}, '\\\\s+'), x -> x != '') AS _w"
     ).selectExpr(id_col, f"explode({grams}) AS gh")
 
 

@@ -60,12 +60,17 @@ def extract_links(
     (``//host/p``) adopts the source scheme. Fragments, queries-only,
     and non-http schemes (mailto:, javascript:) are dropped. ``../``
     segments are NOT normalized (dot-segment removal needs a loop; hosts
-    compare equal regardless, which is what the host graph uses)."""
+    compare equal regardless, which is what the host graph uses).
+
+    Attribute matching is case-insensitive and accepts single- OR
+    double-quoted values (ADVICE r06: lowercase double-quote-only
+    matching silently under-counted edges on real HTML); unquoted
+    values remain unmatched (ambiguous end delimiter)."""
     if not resolve_relative:
         return pages.selectExpr(
             f"{url_col} AS src",
             f"""explode(regexp_extract_all(decode({html_col}, 'UTF-8'),
-                'href="(https?://[^"]+)"', 1)) AS dst""",
+                '(?i)href=["\\'](https?://[^"\\']+)["\\']', 1)) AS dst""",
         )
     scheme = f"regexp_extract({url_col}, '^([A-Za-z]+)://', 1)"
     origin = f"regexp_extract({url_col}, '^([A-Za-z]+://[^/?#]+)', 1)"
@@ -77,7 +82,7 @@ def extract_links(
     return pages.selectExpr(
         f"{url_col} AS src",
         f"""explode(regexp_extract_all(decode({html_col}, 'UTF-8'),
-            'href="([^"]+)"', 1)) AS _h""",
+            '(?i)href=["\\']([^"\\']+)["\\']', 1)) AS _h""",
     ).selectExpr(
         "src",
         f"""CASE
@@ -101,8 +106,10 @@ def extract_anchor_texts(
     (training-data pipelines aggregate it as alt labels). Map-only: the
     same pattern is matched twice for capture groups 1 and 2 and the two
     arrays zipped, so href/text pairing is positional and exact; Catalyst
-    subexpression elimination shares the decode between the two calls."""
-    pat = '<a href="(https?://[^"]+)"[^>]*>([^<]*)</a>'
+    subexpression elimination shares the decode between the two calls.
+    Same case/quote tolerance as ``extract_links`` (ADVICE r06), same
+    capture-group structure for the arrays_zip pairing."""
+    pat = "(?i)<a href=[\"\\'](https?://[^\"\\']+)[\"\\'][^>]*>([^<]*)</a>"
     return pages.selectExpr(
         f"{url_col} AS src",
         f"""explode(arrays_zip(

@@ -36,8 +36,12 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
     One aggregate() fold over the split lines — state carries (in-agent-
     run, star-applies) so consecutive agent lines union into one group.
     """
+    # split on '\r?\n' (split's pattern arg is a regex): CRLF-served
+    # robots.txt would otherwise keep a trailing '\r' on every line —
+    # Spark trim strips only spaces, so 'User-agent: *\r' never equals
+    # '*' and the gate failed OPEN for the whole host (ADVICE r06, high)
     lines = (
-        f"transform(split({txt_col}, '\\n'),"
+        f"transform(split({txt_col}, '\\r?\\n'),"
         " l -> trim(regexp_replace(l, '#.*$', '')))"
     )
     # fold state: agent_run = previous line was a user-agent line;
@@ -107,12 +111,19 @@ def allowed_pages(
     )
 
     def longest(arr: str) -> str:
-        # longest rule whose pre-'*' literal prefix matches the path
+        # longest rule whose pre-'*' literal prefix matches the path,
+        # scored by the MATCHED literal prefix length, not the full rule
+        # length (ADVICE r06: 'Disallow: /*.pdf' scored 7 while matching
+        # only '/', out-ranking every shorter Allow and over-blocking the
+        # whole host; under the documented literal-prefix-subset
+        # semantics the match evidence is the prefix, so that is what
+        # competes in the longest-match rule)
         return (
-            f"aggregate(coalesce({arr}, CAST(array() AS ARRAY<STRING>)),"
-            " 0, (m, r) -> CASE WHEN startswith(_path,"
-            "   element_at(split(r, '[*]'), 1))"
-            "   AND length(r) > m THEN length(r) ELSE m END)"
+            f"aggregate(transform(coalesce({arr},"
+            " CAST(array() AS ARRAY<STRING>)),"
+            " r -> element_at(split(r, '[*]'), 1)),"
+            " 0, (m, p) -> CASE WHEN startswith(_path, p)"
+            "   AND length(p) > m THEN length(p) ELSE m END)"
         )
 
     return (

@@ -121,3 +121,25 @@ def test_fence_blocks_pushdown_blowup(spark, docs, curated):
     )
     got = sorted(r.doc_id for r in filtered.select("doc_id").collect())
     assert got == want and len(got) > 0
+
+
+def test_short_docs_get_decision_rows(spark):
+    """ADVICE r06 (medium): docs with < 2 words (no bigram transitions)
+    must still surface one decision row — keep_lm defaults to 1 (no
+    evidence), lm_n_trans to 0 — instead of vanishing through the former
+    inner join."""
+    df = spark.createDataFrame(
+        [
+            (1, "one"),
+            (2, ""),
+            (3, "a perfectly ordinary document with several words in it"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = curation.curate(df).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {1, 2, 3}
+    for i in (1, 2):
+        assert by_id[i].lm_n_trans == 0
+        assert by_id[i].keep_lm == 1
+        assert by_id[i].keep is not None

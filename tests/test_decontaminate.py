@@ -45,3 +45,20 @@ def test_contamination_pairs_and_drop(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_hashes_whitespace_normalized(spark):
+    """ADVICE r06: the same passage formatted with newlines/tabs instead of
+    single spaces must produce identical n-gram hashes, or reformatted eval
+    passages escape detection."""
+    from demeter_spark.operators import decontaminate as dc
+
+    words = " ".join(f"w{i}" for i in range(15))
+    reformatted = words.replace(" w5 ", "\nw5\t").replace(" w9 ", "  w9 ")
+    df = spark.createDataFrame(
+        [(1, words), (2, reformatted)], "doc_id BIGINT, text STRING"
+    )
+    g = dc.ngram_hashes(df, n=13)
+    a = {r.gh for r in g.filter("doc_id = 1").collect()}
+    b = {r.gh for r in g.filter("doc_id = 2").collect()}
+    assert a == b and len(a) == 3

@@ -214,6 +214,26 @@ def test_flow_accumulation_ramp_river(spark):
         assert got[(x, 3)] == x
 
 
+def test_flow_accumulation_driver_solve_equals_loop(spark):
+    """r07: the boundary fixpoint's driver topological solve (default when
+    the boundary graph fits) must equal the distributed push loop
+    (driver_solve_max=0) cell for cell."""
+    grid = _grid(17, H=16, W=32, hi=60)
+    df, _ = _cells_df(spark, grid)
+    flow = hydrology.d8_flow(df).localCheckpoint(eager=True)
+    fast = {
+        (r["ix"], r["iy"]): r["acc"]
+        for r in hydrology.flow_accumulation(flow, tile_b=4).collect()
+    }
+    loop = {
+        (r["ix"], r["iy"]): r["acc"]
+        for r in hydrology.flow_accumulation(
+            flow, tile_b=4, driver_solve_max=0
+        ).collect()
+    }
+    assert fast == loop and len(fast) > 0
+
+
 # ------------------------------------------------------------ watershed
 
 

@@ -66,3 +66,41 @@ def test_allowed_pages_longest_match(spark):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_parse_robots_crlf(spark):
+    """ADVICE r06 (high): CRLF-served robots.txt must parse identically to
+    LF — trailing '\\r' previously survived trim, the star group never set,
+    and the gate failed open for the whole host."""
+    txt_lf = "User-agent: *\nDisallow: /tmp/\nAllow: /tmp/public"
+    txt_crlf = txt_lf.replace("\n", "\r\n")
+    rows = rb.parse_robots(
+        spark.createDataFrame(
+            [("lf.example", txt_lf), ("crlf.example", txt_crlf)],
+            "host string, robots_txt string",
+        )
+    ).collect()
+    by_host = {r.host: (list(r.allow), list(r.disallow)) for r in rows}
+    assert by_host["crlf.example"] == by_host["lf.example"] == (
+        ["/tmp/public"], ["/tmp/"]
+    )
+
+
+def test_wildcard_rule_scored_by_literal_prefix(spark):
+    """ADVICE r06 (low): 'Disallow: /*.pdf' matches every path on its
+    literal prefix '/', but must score length 1 (the matched prefix), not
+    7 (the full rule) — otherwise it out-ranks every shorter Allow and
+    blocks the whole host."""
+    txt = "User-agent: *\nAllow: /docs\nDisallow: /*.pdf"
+    rules = rb.parse_robots(
+        spark.createDataFrame([("a.example", txt)], "host string, robots_txt string")
+    )
+    pages = spark.createDataFrame(
+        [("https://a.example/docs/guide",), ("https://a.example/other",)],
+        "url string",
+    )
+    got = {r.url: r.allowed for r in rb.allowed_pages(pages, rules).collect()}
+    # /docs/guide: allow '/docs' (5) beats wildcard prefix '/' (1)
+    assert got["https://a.example/docs/guide"] == 1
+    # /other: only the wildcard's '/' matches -> disallowed (len 1 > 0)
+    assert got["https://a.example/other"] == 0
