@@ -25,7 +25,14 @@ def get_spark(
         .master(master)
         # Arrow-batched pandas UDFs everywhere (no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Row cap raised 10k -> 100k (r07): the refine/decode kernels
+        # amortize per-batch setup and per-group bookkeeping over rows, and
+        # the flagship refine measured ~20% faster at 100k. Batches remain
+        # BYTE-bounded by spark.sql.execution.arrow.maxBytesPerBatch
+        # (Spark 4 default 64 MB, left at default), so wide binary rows
+        # (media payloads) cannot blow up executor memory at any row cap —
+        # the byte cap, not the row cap, is the scale-safety knob.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         # AQE: runtime re-plan, partition coalescing, skew-join splitting.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

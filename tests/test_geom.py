@@ -186,3 +186,54 @@ def test_clip_outer_contains_box_hole_crosses():
         px, py, np.zeros(2, dtype=np.int64), {0: clipped}
     )
     assert got.tolist() == [True, False]  # outside hole = in, inside hole = out
+
+
+def test_points_in_packed_grouped_flat_matches_looped_reference():
+    """r07 vectorization: the flattened pair kernel must be BIT-identical
+    to the per-group points_in_ring loop it replaced, across random mixed
+    geometries (holes, multiparts), duplicate (group, cell) keys, and
+    None-geometry rows."""
+    rng = np.random.RandomState(11)
+    wkts = [
+        "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "POLYGON ((10 0, 12 0, 11 3, 10 0))",
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((3 3, 5 3, 4 5, 3 3)))",
+        "POLYGON ((-3 -3, 3 -3, 0 3, -3 -3))",
+    ]
+    parts = [geom.parse_wkt_polygons(w) for w in wkts]
+    n = 500
+    px = rng.uniform(-4, 13, n)
+    py = rng.uniform(-4, 6, n)
+    gid = rng.randint(0, 4, n).astype(np.int64)
+    cell = rng.randint(0, 3, n).astype(np.int64)
+    packed = np.empty(n, dtype=object)
+    for i in range(n):
+        packed[i] = None if (i % 17 == 0) else geom.pack_polygons(parts[gid[i]])
+    # rows sharing (gid, cell) must share one packed value: overwrite by key
+    by_key = {}
+    for i in range(n):
+        by_key.setdefault((gid[i], cell[i]), packed[i])
+        packed[i] = by_key[(gid[i], cell[i])]
+
+    got = geom.points_in_packed_grouped(px, py, gid, packed, cell)
+
+    # reference: the pre-r07 per-group loop
+    want = np.zeros(n, dtype=bool)
+    order = np.lexsort((cell, gid))
+    sg, sc = gid[order], cell[order]
+    chg = (np.diff(sg) != 0) | (np.diff(sc) != 0)
+    bnd = np.flatnonzero(chg) + 1
+    for s, e in zip(np.r_[0, bnd], np.r_[bnd, n]):
+        idx = order[s:e]
+        flat = packed[idx[0]]
+        if flat is None:
+            continue
+        pp = geom.unpack_polygons(np.asarray(flat, dtype=np.float64))
+        inside = np.zeros(e - s, dtype=bool)
+        for rings in pp:
+            part_in = np.zeros(e - s, dtype=bool)
+            for xs, ys in rings:
+                part_in ^= geom.points_in_ring(px[idx], py[idx], xs, ys)
+            inside |= part_in
+        want[idx] = inside
+    assert got.tolist() == want.tolist()
