@@ -716,9 +716,13 @@ def containment_pairs(
     must survive executor loss)."""
     from demeter_spark.operators.textstats import winnowing_fingerprints
 
+    # unique_per_doc: the per-doc hash-set dedup happens INSIDE the winnow
+    # kernel (map-side np.unique), so no .distinct() shuffle of the
+    # fingerprint fan-out exists here (r07: that shuffle was ~0.5 s of q7)
     fp = winnowing_fingerprints(
-        docs, k=k, window=window, id_col=id_col, text_col=text_col
-    ).select(F.col(id_col).alias("_id"), "fp_hash").distinct()
+        docs, k=k, window=window, id_col=id_col, text_col=text_col,
+        unique_per_doc=True,
+    ).select(F.col(id_col).alias("_id"), "fp_hash")
     if materialize:
         fp = fp.localCheckpoint(eager=True)
     if max_df is not None:
@@ -817,10 +821,10 @@ def incremental_containment_pairs(
     )
     fp_new = (
         winnowing_fingerprints(
-            new_docs, k=k, window=window, id_col=id_col, text_col=text_col
+            new_docs, k=k, window=window, id_col=id_col, text_col=text_col,
+            unique_per_doc=True,  # map-side per-doc dedup, no distinct shuffle
         )
         .select(F.col(id_col).alias("_id"), "fp_hash")
-        .distinct()
         # reused by the commit, the probe join and the new-new dedup below;
         # bounded by the increment's fingerprint count
         .localCheckpoint(eager=True)

@@ -229,6 +229,7 @@ def winnowing_fingerprints(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_input: int | None = None,
+    unique_per_doc: bool = False,
 ) -> DataFrame:
     """Rolling-hash document fingerprints by winnowing (the task mandate's
     'document fingerprinting (rolling hash)'; the standard local
@@ -265,7 +266,14 @@ def winnowing_fingerprints(
     handful of partitions would otherwise fingerprint on as many cores;
     a well-partitioned corpus is left alone). ``n_input`` hints the input
     partition count so composed pipelines skip the plan-forcing probe
-    (ADVICE r05)."""
+    (ADVICE r05).
+
+    ``unique_per_doc`` (r07): emit the per-document DISTINCT hash set as
+    (id, fp_hash) — no pos column — deduplicated inside the kernel
+    (np.unique per doc, map-side) so set-oriented consumers
+    (containment_pairs & the incremental skin) skip the full
+    .distinct() shuffle of the fingerprint fan-out; the row set equals
+    select(id, fp_hash).distinct() of the positional output exactly."""
     import numpy as np
     import pandas as pd
     from numpy.lib.stride_tricks import sliding_window_view
@@ -280,7 +288,13 @@ def winnowing_fingerprints(
 
     def _win(batches):
         for pdf in batches:
-            ids, poss, hashes = [], [], []
+            # numpy-array accumulation + one concatenate per batch (r07):
+            # the former per-doc .tolist()/extend built python lists of
+            # millions of elements and dominated the kernel at real doc
+            # lengths
+            ids_l: list = []
+            pos_l: list = []
+            hash_l: list = []
             for did, t in zip(pdf[id_col], pdf[text_col]):
                 if t is None:
                     continue
@@ -307,17 +321,26 @@ def winnowing_fingerprints(
                 else:
                     am = np.argmin(sliding_window_view(s, ww)[:, ::-1], axis=1)
                     sel = np.unique(np.arange(m) + (ww - 1 - am))
-                ids.extend([did] * len(sel))
-                poss.extend((sel + 1).tolist())
-                hashes.extend(s[sel].tolist())
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "pos": pd.Series(poss, dtype="int32"),
-                    "fp_hash": pd.Series(hashes, dtype="int64"),
-                }
-            )
+                if unique_per_doc:
+                    hv = np.unique(s[sel])
+                    ids_l.append(np.full(len(hv), did, dtype=np.int64))
+                    hash_l.append(hv)
+                else:
+                    ids_l.append(np.full(len(sel), did, dtype=np.int64))
+                    pos_l.append((sel + 1).astype(np.int32))
+                    hash_l.append(s[sel])
 
+            def cat(lst, dt):
+                return np.concatenate(lst) if lst else np.array([], dtype=dt)
+
+            cols = {id_col: cat(ids_l, np.int64)}
+            if not unique_per_doc:
+                cols["pos"] = cat(pos_l, np.int32)
+            cols["fp_hash"] = cat(hash_l, np.int64)
+            yield pd.DataFrame(cols)
+
+    if unique_per_doc:
+        return docs.mapInPandas(_win, f"{id_col} BIGINT, fp_hash BIGINT")
     return docs.mapInPandas(
         _win, f"{id_col} BIGINT, pos INT, fp_hash BIGINT"
     )

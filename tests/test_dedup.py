@@ -388,3 +388,23 @@ def test_canonical_by_priority(spark):
     }
     # cluster 1: 2 and 3 tie at 9.0 -> min id 2; cluster 10: tie -> 10
     assert got == {1: (2, 9.0, 3), 10: (10, 1.0, 2), 20: (20, 3.0, 1)}
+
+
+def test_winnowing_unique_per_doc_equals_distinct(spark):
+    """r07: unique_per_doc=True must emit exactly
+    select(id, fp_hash).distinct() of the positional output."""
+    from demeter_spark.operators.textstats import winnowing_fingerprints
+    from demeter_spark.sources import synth
+    from tests.conftest import SF_DIR
+
+    corpus = synth.dedup_corpus(spark, SF_DIR).filter("doc_id % 7 = 0")
+    pos = {
+        (r["doc_id"], r["fp_hash"])
+        for r in winnowing_fingerprints(corpus).select("doc_id", "fp_hash")
+        .distinct().collect()
+    }
+    uniq = [
+        (r["doc_id"], r["fp_hash"])
+        for r in winnowing_fingerprints(corpus, unique_per_doc=True).collect()
+    ]
+    assert set(uniq) == pos and len(uniq) == len(pos)
