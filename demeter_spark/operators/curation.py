@@ -65,6 +65,15 @@ def curate(
     base = docs.select(id_col, text_col, *[
         c for c in docs.columns if c not in (id_col, text_col)
     ])
+    # widen a deficient input ONCE for the whole pipeline (r07): the corpus
+    # parquet arrives as a handful of partitions in the sandbox, and every
+    # map-only signal stage (quality/repetition/PII), the LM explode and
+    # the segment kernel would otherwise run on as many cores. Keyed by the
+    # doc id, so the downstream doc_id groupBys/joins reuse the layout; the
+    # shared key_repartition policy leaves well-partitioned corpora alone.
+    from demeter_spark.plans.bucketing import key_repartition
+
+    base = key_repartition(base, id_col)
 
     # --- map-only signal stages (fused into one scan each, no shuffle).
     # eval_fence: users filter this frame on the keep flags, and predicate

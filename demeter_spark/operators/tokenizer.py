@@ -43,7 +43,14 @@ def word_frequencies(
 
     Words are whitespace tokens; empty tokens (from repeated spaces) are
     dropped. Output is vocabulary-sized.
+
+    Deficient input parallelism is widened by the shared key_repartition
+    policy (r07): a corpus read as one parquet partition would otherwise
+    run the explode map side on one core.
     """
+    from demeter_spark.plans.bucketing import key_repartition
+
+    docs = key_repartition(docs.select(text_col), text_col)
     return (
         docs.select(
             F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
@@ -227,4 +234,9 @@ def bpe_encode(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(_encode, out_schema)
+    from demeter_spark.plans.bucketing import key_repartition
+
+    # widen a deficient input so the per-word kernel runs on every core,
+    # not on as many cores as the corpus has parquet partitions (r07)
+    narrow = key_repartition(docs.select(id_col, text_col), id_col)
+    return narrow.mapInPandas(_encode, out_schema)
