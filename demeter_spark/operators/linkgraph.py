@@ -162,19 +162,30 @@ def pagerank(
     Dangling nodes (no outlinks) redistribute their mass uniformly, the
     standard correction.
     """
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     # node dimension carries out_deg (NULL = dangling) so the per-round
-    # dangling-mass sum is a scan of this small checkpointed frame — no
-    # per-round anti-join against deg
+    # dangling-mass sum is a scan of this small checkpointed frame.
+    # Built with ONE union-aggregate (r07): out_deg = number of rows where
+    # the node is a src, which is exactly sum(is_src) over the tagged
+    # union — the former distinct + left-join against a separate deg
+    # aggregate shuffled the union twice for the same integers.
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .join(deg.withColumnRenamed("src", "node"), "node", "left")
+        edges.select(F.col("src").alias("node"), F.lit(1).alias("_s"))
+        .unionByName(
+            edges.select(F.col("dst").alias("node"), F.lit(0).alias("_s"))
+        )
+        .groupBy("node")
+        .agg(F.nullif(F.sum("_s"), F.lit(0)).alias("out_deg"))
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    # NO per-edge (edge x out_deg) table exists (r07): ranks carry out_deg
+    # through the rounds, so each round projects the per-SOURCE
+    # contribution (rank div out_deg — one division per node, not per
+    # edge) and joins it onto the raw edges; the former
+    # edges-join-deg materialization (a full edge-table checkpoint) is
+    # gone. Join strategy is left to Catalyst: broadcast at bench scale,
+    # shuffle join when the rank table outgrows the threshold at corpus
+    # scale — nothing here forces a broadcast.
 
     d_num, d_den = int(round(damping * (1 << 20))), 1 << 20
     if mode == "int":
@@ -184,16 +195,16 @@ def pagerank(
             "rank", F.lit(init).cast("bigint")
         )
         for _ in range(n_iter):
-            r = ranks.select("node", "rank")
+            # integer `div`, NOT `/`: bigint / bigint is a double divide in
+            # Spark, and truncating a nearest-rounded double is not exact
+            # floor division
+            c_src = ranks.filter("out_deg IS NOT NULL").select(
+                F.col("node").alias("_src"),
+                F.expr("rank div out_deg").alias("c"),
+            )
             contrib = (
-                ed.join(r, ed["src"] == r["node"])
-                .select(
-                    F.col("dst").alias("node"),
-                    # integer `div`, NOT `/`: bigint / bigint is a double
-                    # divide in Spark, and truncating a nearest-rounded
-                    # double is not exact floor division
-                    F.expr("rank div out_deg").alias("c"),
-                )
+                edges.join(c_src, edges["src"] == c_src["_src"])
+                .select(F.col("dst").alias("node"), "c")
                 .groupBy("node")
                 .agg(F.sum("c").alias("inflow"))
             )
@@ -227,13 +238,13 @@ def pagerank(
         raise ValueError(f"unknown mode {mode!r}")
     ranks = nodes.select("node", "out_deg").withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
-        r = ranks.select("node", "rank")
+        c_src = ranks.filter("out_deg IS NOT NULL").select(
+            F.col("node").alias("_src"),
+            (F.col("rank") / F.col("out_deg")).alias("c"),
+        )
         contrib = (
-            ed.join(r, ed["src"] == r["node"])
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
-            )
+            edges.join(c_src, edges["src"] == c_src["_src"])
+            .select(F.col("dst").alias("node"), "c")
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
