@@ -317,3 +317,33 @@ def test_extract_links_resolve_relative(spark):
             ("https://a.example", "https://cdn.example/asset"),
         ]
     )
+
+
+def test_resolve_relative_dot_segments(spark):
+    """VERDICT r06 #6: '../' and './' in resolved targets must normalize
+    (bounded 4-level unroll), and an above-root '..' must not swallow the
+    host."""
+    from demeter_spark.operators import linkgraph as lg
+
+    html = (
+        '<a href="../x/page.html">a</a>'
+        '<a href="./here.html">b</a>'
+        '<a href="a/../b/../c.html">c</a>'
+        '<a href="https://other.example/p/../q.html">d</a>'
+        '<a href="/../top.html">e</a>'
+    ).encode()
+    pages = spark.createDataFrame(
+        [("https://h.example/d1/d2/src.html", bytearray(html))],
+        "url string, html binary",
+    )
+    dsts = {
+        r["dst"]
+        for r in lg.extract_links(pages, resolve_relative=True).collect()
+    }
+    assert dsts == {
+        "https://h.example/d1/x/page.html",
+        "https://h.example/d1/d2/here.html",
+        "https://h.example/d1/d2/c.html",
+        "https://other.example/q.html",
+        "https://h.example/../top.html",  # above-root: host untouched
+    }

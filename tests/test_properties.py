@@ -254,3 +254,54 @@ def test_parts_intersect_vs_point_sampling(data):
         assert got
     if overlap_w < 0 or overlap_h < 0:
         assert not got
+
+
+@settings(max_examples=1000, deadline=None)
+@given(data=st.data())
+def test_parts_intersect_vertex_strictly_inside(data):
+    """VERDICT r06 #2 sibling sweep: a polygon with a vertex STRICTLY
+    inside the open unit box must intersect it, no matter how close to a
+    face (subnormal draws included) — the endpoint-inside shape that
+    caught the Liang-Barsky underflow."""
+    vx = data.draw(st.floats(min_value=0, max_value=1,
+                             exclude_min=True, exclude_max=True))
+    vy = data.draw(st.floats(min_value=0, max_value=1,
+                             exclude_min=True, exclude_max=True))
+    box = [[(np.array([0.0, 1.0, 1.0, 0.0]), np.array([0.0, 0.0, 1.0, 1.0]))]]
+    tri = [[(np.array([vx, vx + 3.0, vx]), np.array([vy, vy, vy + 3.0]))]]
+    assert geom.parts_intersect(box, tri)
+    assert geom.parts_intersect(tri, box)
+
+
+@settings(max_examples=1000, deadline=None)
+@given(data=st.data())
+def test_clip_parts_preserves_strict_interior_points(data):
+    """VERDICT r06 #2: Sutherland-Hodgman clip to a box must keep any point
+    strictly inside (polygon ∩ box) inside the clipped polygon, including
+    sub-ulp-thin overlaps near the clip faces."""
+    rx0 = data.draw(st.floats(min_value=-2, max_value=2))
+    ry0 = data.draw(st.floats(min_value=-2, max_value=2))
+    rw = data.draw(st.floats(min_value=5e-324, max_value=3))
+    rh = data.draw(st.floats(min_value=5e-324, max_value=3))
+    rect = [[(np.array([rx0, rx0 + rw, rx0 + rw, rx0]),
+              np.array([ry0, ry0, ry0 + rh, ry0 + rh]))]]
+    lo_x, hi_x = max(rx0, 0.0), min(rx0 + rw, 1.0)
+    lo_y, hi_y = max(ry0, 0.0), min(ry0 + rh, 1.0)
+    px = (lo_x + hi_x) / 2
+    py = (lo_y + hi_y) / 2
+    # only assert when the midpoint is STRICTLY interior to both shapes
+    if not (lo_x < px < hi_x and lo_y < py < hi_y):
+        return
+    clipped = geom.clip_parts_to_box(rect, 0.0, 0.0, 1.0, 1.0)
+    assert clipped, "nonempty intersection clipped to nothing"
+    inside = False
+    for rings in clipped:
+        part_in = False
+        for xs, ys in rings:
+            part_in ^= bool(
+                geom.points_in_ring(
+                    np.array([px]), np.array([py]), xs, ys
+                )[0]
+            )
+        inside |= part_in
+    assert inside, (rx0, ry0, rw, rh, px, py)
