@@ -161,11 +161,116 @@ def cmd_stages() -> None:
     spark.stop()
 
 
+def cmd_ann_curve() -> None:
+    """VERDICT r06 #5: recall@10 vs n_probe on the UNIFORM (isotropic)
+    corpus — shows the knob trades compute for recall on structureless
+    data too (bench.py is frozen, so the curve lives here + in
+    OPTIMIZATION_r07.md)."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.operators import simsearch
+
+    spark = get_session()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        max(cpus, 8)
+    )
+    n_emb = emb.count()
+    n_lists = max(8, int(n_emb**0.5))
+    emb = emb.withColumn(
+        "ivf_cell", F.pmod(F.xxhash64("vec_id"), F.lit(n_lists))
+    )
+    rq = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(40)) == 0)
+    exact10 = simsearch.brute_force_topk(emb, rq, k=10).localCheckpoint()
+    book = simsearch.train_centroids(emb, n_lists, n_iter=2)
+    out = {"n_lists": n_lists, "n_emb": n_emb, "curve": {}}
+    for n_probe in (3, 8, 16, 32):
+        t0 = time.time()
+        rec = simsearch.recall_at_k(
+            simsearch.ivf_multiprobe_topk(
+                emb, rq, k=10, n_probe=n_probe, cell_col="ivf_cell",
+                cents=book,
+            ),
+            exact10,
+        )
+        out["curve"][n_probe] = {
+            "recall_at_10": round(rec, 4),
+            "probe_frac": round(n_probe / n_lists, 4),
+            "sec": round(time.time() - t0, 2),
+        }
+        print(n_probe, out["curve"][n_probe], flush=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def cmd_curate_scale() -> None:
+    """VERDICT r06 #4: curate() docs/sec at two corpus sizes (x1 and xN)
+    with per-stage seconds, showing the fixed-per-stage job overhead
+    amortizing — the 100 TB posture of the composed pipeline, evidenced."""
+    from pyspark.sql import functions as F
+
+    from demeter_spark.operators import curation, dedup, textstats
+
+    spark = get_session()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mult = int(os.environ.get("DEMETER_CURATE_MULT", "20"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n1 = docs.count()
+    # replicate with distinct ids + a leading token marker so replicas are
+    # near-dup (not exact-dup) variants, keeping every stage's work honest
+    big = docs
+    for r in range(1, mult):
+        big = big.unionByName(
+            docs.selectExpr(
+                f"doc_id + {r} * 1000000 AS doc_id",
+                f"concat('r{r} ', text) AS text",
+            )
+        )
+    big = big.repartition(64).localCheckpoint(eager=True)
+    nN = big.count()
+    report = {"n_small": n1, "n_big": nN}
+    for tag, frame, n in (("x1", docs, n1), (f"x{mult}", big, nN)):
+        stages = {}
+        def t(label, fn):
+            t0 = time.time()
+            fn()
+            stages[label] = round(time.time() - t0, 2)
+        def noop_(df):
+            df.write.format("noop").mode("overwrite").save()
+        t("signals_maponly", lambda: noop_(
+            textstats.quality_flags(frame)
+            .join(textstats.repetition_stats(frame), "doc_id")
+            .join(textstats.pii_stats(frame), "doc_id")))
+        t("lm_surprise", lambda: noop_(textstats.bigram_surprise(frame, None)))
+        t("segment_dedup", lambda: noop_(dedup.segment_dedup(frame)))
+        t("neardup_pairs", lambda: dedup.minhash_lsh_pairs(
+            frame.select("doc_id", "text"), 0.8).count())
+        t0 = time.time()
+        kept = curation.curate(frame).filter("keep = 1").count()
+        wall = time.time() - t0
+        report[tag] = {
+            "stages_isolated_sec": stages,
+            "curate_wall_sec": round(wall, 2),
+            "docs_per_sec": round(n / wall),
+            "kept": kept,
+        }
+        print(tag, report[tag], flush=True)
+    print(json.dumps(report))
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "time"
     if cmd == "plans":
         cmd_plans(sys.argv[2] if len(sys.argv) > 2 else "before")
     elif cmd == "stages":
         cmd_stages()
+    elif cmd == "ann_curve":
+        cmd_ann_curve()
+    elif cmd == "curate_scale":
+        cmd_curate_scale()
     else:
         cmd_time(sys.argv[2:])
