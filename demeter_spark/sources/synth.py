@@ -254,8 +254,17 @@ def parcels(spark: SparkSession) -> DataFrame:
         f"{hx0!r} {hy1!r}, {hx0!r} {hy0!r}))"
     )
     rows.append((200, "holed", wkt, ox0, oy0, ox1, oy1, hx0, hy0, hx1, hy1))
+    # pandas + Arrow conversion -> LocalTableScan (r07): a list-of-tuples
+    # createDataFrame is RDD-backed and re-serializes the python rows on
+    # EVERY action (~0.44 s/action measured); the LocalRelation costs
+    # ~0.08 s and embeds in the plan (broadcasts cheaply). Rows verified
+    # identical incl. NULL cx/cy/a/b (tests/test_synth_parity.py).
+    import pandas as pd
+
+    cols = ["parcel_id", "kind", "geom_wkt", "xmin", "ymin",
+            "xmax", "ymax", "cx", "cy", "a", "b"]
     return spark.createDataFrame(
-        rows,
+        pd.DataFrame(rows, columns=cols),
         "parcel_id BIGINT, kind STRING, geom_wkt STRING, xmin DOUBLE, ymin DOUBLE, "
         "xmax DOUBLE, ymax DOUBLE, cx DOUBLE, cy DOUBLE, a DOUBLE, b DOUBLE",
     )
@@ -314,7 +323,12 @@ def circle_parcels(spark: SparkSession, n_vertices: int = 128) -> DataFrame:
         rows.append(
             (j, "circle", f"POLYGON (({pts_s}, {xs[0]!r} {ys[0]!r}))")
         )
-    return spark.createDataFrame(rows, "parcel_id BIGINT, kind STRING, geom_wkt STRING")
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["parcel_id", "kind", "geom_wkt"]),
+        "parcel_id BIGINT, kind STRING, geom_wkt STRING",
+    )
 
 
 def raster_tiles(spark: SparkSession, datasets: tuple[tuple[str, int, int], ...] = (
